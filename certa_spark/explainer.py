@@ -1,0 +1,165 @@
+"""CertaExplainer — the flagship query facade (certa/explain.py:11-158).
+
+Same contract as the reference: given two records and a matcher,
+produce (saliency, probabilities-of-sufficiency, counterfactuals,
+triangles). Pandas objects at the API edge for drop-in familiarity;
+every stage underneath is a Spark plan (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from certa_spark.matching import Matcher, NativeCosineMatcher
+from certa_spark.operators import triangles as T
+from certa_spark.operators.augment import generate_modified
+from certa_spark.operators.pairs import composite_id, pair_row
+from certa_spark.operators.support import support_predictions
+from certa_spark.schema import LPREFIX, RPREFIX
+
+
+@dataclass
+class Explanation:
+    """Result surface of one explain() call (explain.py:155)."""
+
+    saliency: pd.DataFrame        # 1 row, one col per pair attribute
+    pss: pd.Series                # "a/b"-keyed probability of sufficiency
+    counterfactuals: pd.DataFrame
+    triangles: list[tuple[str, str, str]]
+    cf_summary: pd.Series = field(default_factory=pd.Series)
+    # Spark-side handles for further composition
+    saliency_dict: dict[str, float] = field(default_factory=dict)
+    counterfactuals_df: DataFrame | None = None
+    pss_df: DataFrame | None = None
+
+
+class CertaExplainer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        lsource: DataFrame,
+        rsource: DataFrame,
+        data_augmentation: str = "on_demand",
+        seed: int = 42,
+    ):
+        """Mirror of certa/explain.py:13-32: with DA enabled, both
+        sources are widened upfront with token-drop copies
+        (generate_subsequences); 'always' additionally disables the
+        early-exit candidate scan (use_all)."""
+        self.spark = spark
+        self.seed = seed
+        lsource = lsource.select(
+            F.col("id").cast("long").alias("id"),
+            *[F.col(c).cast("string").alias(c) for c in lsource.columns if c != "id"],
+        )
+        rsource = rsource.select(
+            F.col("id").cast("long").alias("id"),
+            *[F.col(c).cast("string").alias(c) for c in rsource.columns if c != "id"],
+        )
+        if data_augmentation in ("always", "on_demand"):
+            n_l, n_r = lsource.count(), rsource.count()
+            gen_l = generate_modified(lsource, start_id=n_l)
+            gen_r = generate_modified(rsource, start_id=n_r)
+            self.lsource = lsource.unionByName(gen_l).cache()
+            self.rsource = rsource.unionByName(gen_r).cache()
+            self.use_all = data_augmentation == "always"
+        else:
+            self.lsource = lsource.cache()
+            self.rsource = rsource.cache()
+            self.use_all = False
+
+    def explain(
+        self,
+        l_tuple: dict,
+        r_tuple: dict,
+        matcher: Matcher | None = None,
+        left: bool = True,
+        right: bool = True,
+        attr_length: int = -1,
+        num_triangles: int = 100,
+        lprefix: str = LPREFIX,
+        rprefix: str = RPREFIX,
+        max_predict: int = -1,
+    ) -> Explanation:
+        spark = self.spark
+        if matcher is None:
+            matcher = NativeCosineMatcher(lprefix, rprefix)
+
+        # 1. original prediction (explain.py:54-55)
+        r1r2 = pair_row(spark, l_tuple, r_tuple, lprefix, rprefix)
+        scores = matcher.predict(r1r2).select("nomatch_score", "match_score").collect()[0]
+        pc = 1 if scores["match_score"] > scores["nomatch_score"] else 0
+
+        # 2. support search (explain.py:56-62)
+        support_pairs, copies_left, copies_right = support_predictions(
+            spark, l_tuple, r_tuple, self.lsource, self.rsource, matcher,
+            class_to_explain=pc, num_triangles=num_triangles,
+            lprefix=lprefix, rprefix=rprefix, use_w=left, use_q=right,
+            max_predict=max_predict, use_all=self.use_all, seed=self.seed,
+        )
+        support_pairs = support_pairs.cache()
+        if attr_length <= 0:
+            attr_length = min(len(l_tuple) - 1, len(r_tuple) - 1)
+        if support_pairs.count() == 0:
+            return Explanation(pd.DataFrame(), pd.Series(dtype=float), pd.DataFrame(), [])
+
+        # 3. extended sources (explain.py:67): DA copies of r2 extend the
+        # left source, copies of r1 extend the right source.
+        ext_l, ext_r = self.lsource, self.rsource
+        if copies_right is not None:
+            ext_l = ext_l.unionByName(copies_right.select(*ext_l.columns))
+        if copies_left is not None:
+            ext_r = ext_r.unionByName(copies_left.select(*ext_r.columns))
+        ext_l, ext_r = ext_l.cache(), ext_r.cache()
+
+        # 4. triangle enumeration (triangles_method.py:25-53)
+        tri = T.mixed_triangles(support_pairs).cache()
+        tri_rows = tri.collect()
+        n_triangles = len(tri_rows)
+        if n_triangles == 0:
+            return Explanation(pd.DataFrame(), pd.Series(dtype=float), pd.DataFrame(), [])
+
+        # 5. depth loop + aggregations
+        flipped, rankings, _all_pred = T.perturb_predict(
+            spark, tri, ext_l, ext_r, matcher, pc, attr_length, lprefix, rprefix
+        )
+        flipped = flipped.cache()
+        rankings = rankings.cache()
+        n_flipped = flipped.count()
+
+        explanation = T.aggregate_rankings(rankings, n_triangles, attr_length).cache()
+        attributes = [lprefix + c for c in self.lsource.columns if c != "id"] + [
+            rprefix + c for c in self.rsource.columns if c != "id"
+        ]
+        sal = T.saliency(rankings, attributes, n_triangles, n_flipped)
+        summary = T.cf_summary(explanation)
+        cfs = T.counterfactuals(flipped, summary)
+
+        pss_pdf = explanation.select("attr_set", "pss").toPandas()
+        summary_pdf = summary.select("attr_set", "pss").toPandas()
+        cf_pdf = (
+            cfs.withColumn(
+                "alteredAttributes", F.array_join("alteredAttributes", "/")
+            )
+            .withColumn("droppedValues", F.array_join("droppedValues", "/"))
+            .withColumn("copiedValues", F.array_join("copiedValues", "/"))
+            .toPandas()
+        )
+        return Explanation(
+            saliency=pd.DataFrame([sal]),
+            pss=pd.Series(
+                data=pss_pdf["pss"].values, index=pss_pdf["attr_set"].values
+            ),
+            counterfactuals=cf_pdf,
+            triangles=[(r["pivot"], r["anchor"], r["free"]) for r in tri_rows],
+            cf_summary=pd.Series(
+                data=summary_pdf["pss"].values, index=summary_pdf["attr_set"].values
+            ),
+            saliency_dict=sal,
+            counterfactuals_df=cfs,
+            pss_df=explanation,
+        )

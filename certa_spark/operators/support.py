@@ -1,0 +1,325 @@
+"""Support-pair search (certa/local_explain.py:17-197).
+
+Given the explained pair (r1, r2), find ``num_triangles`` support pairs
+that pair r1 (resp. r2) with records of the *opposite* source and get
+the *opposite* model prediction — the raw material for open triangles.
+
+Reference pipeline per side (find_candidates_predict,
+local_explain.py:82-137): replicate the probe against every opposite
+row (J2), rank by bag-of-words cosine (T1), then scan the ranked list
+in batches of ``4*num_candidates`` (max 20), calling the model per
+batch and stopping once ``num_candidates`` qualifying rows are found
+(T3 early exit).
+
+Spark-first re-expression — ONE distributed pass, exact same stopping
+semantics:
+  1. probe columns are literals -> no join at all for J2;
+  2. ranking cap: only the first ``batch*20`` rows in score order can
+     ever be scanned, so ``orderBy(score).limit(batch*20)`` (a
+     distributed TopK, no global sort) bounds the data;
+  3. model scores for the capped set are computed in one pass
+     (one ``mapInPandas`` job instead of <=20 driver round-trips);
+  4. the batched early-exit is replayed exactly with window arithmetic:
+     rows keep batch index ``floor(rank/batch)``; the scan "stops" at
+     the first batch where the cumulative qualifying count reaches
+     ``num_candidates``; rows of later batches are dropped.
+
+At 100TB the cosine ranking itself is the bottleneck; the scale path is
+MinHash-LSH candidate pruning (certa_spark.operators.similarity) feeding
+this same scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from certa_spark.functions.hashing import hash32
+from certa_spark.functions.text import bow_cosine
+from certa_spark.matching import Matcher
+from certa_spark.operators.pairs import composite_id
+from certa_spark.schema import LPREFIX, RPREFIX
+
+MAX_BATCHES = 20  # certa/local_explain.py:113
+
+
+def _text_expr(cols: list[str]) -> F.Column:
+    return F.concat_ws(
+        " ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    )
+
+
+def candidate_pairs(
+    probe: dict,
+    source: DataFrame,
+    probe_side: str,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> DataFrame:
+    """J2 — pair the probe record with every row of the opposite source.
+
+    The probe enters the plan as literal columns (cheaper than even a
+    broadcast nested-loop join). ``probe_side='left'`` pairs the probe
+    as ltable_* with each source row as rtable_*.
+    """
+    if probe_side == "left":
+        probe_pfx, src_pfx = lprefix, rprefix
+    else:
+        probe_pfx, src_pfx = rprefix, lprefix
+    out = source.select(
+        *[F.col(c).cast("string").alias(src_pfx + c) for c in source.columns]
+    )
+    for k, v in probe.items():
+        out = out.withColumn(probe_pfx + k, F.lit(None if v is None else str(v)))
+    return out
+
+
+def scan_candidates(
+    pairs: DataFrame,
+    matcher: Matcher,
+    find_positives: bool,
+    num_candidates: int,
+    score_side_prefix: str,
+    probe_text: str,
+    max_predict: int = -1,
+    batched: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """T1+T3 — rank candidates by cosine to the probe, replay the
+    reference's batched early-exit scan, return qualifying scored rows.
+
+    ``score_side_prefix`` is the prefix of the candidate (non-probe)
+    side; ``probe_text`` the probe's concatenated attribute text.
+    """
+    id_cols = [c for c in pairs.columns if c.endswith("_id") or c.endswith("id")]
+    side_cols = [
+        c
+        for c in pairs.columns
+        if c.startswith(score_side_prefix) and c != score_side_prefix + "id"
+    ]
+    if max_predict > 0:
+        # reference: random subsample before ranking (local_explain.py:103-104)
+        pairs = (
+            pairs.withColumn("_smp", hash32(_text_expr(pairs.columns), seed))
+            .orderBy("_smp")
+            .limit(max_predict)
+            .drop("_smp")
+        )
+    scored = pairs.withColumn(
+        "_score", bow_cosine(F.lit(probe_text), _text_expr(side_cols))
+    )
+    batch = num_candidates * 4
+    order = [F.col("_score").asc() if not find_positives else F.col("_score").desc()]
+    # deterministic tiebreak (pandas sort ties are arbitrary; we pin them)
+    order += [F.col(c).asc() for c in id_cols]
+
+    if not batched:
+        predicted = matcher.predict(scored.drop("_score"))
+        qual = (
+            F.col("match_score") > 0.5
+            if find_positives
+            else F.col("match_score") < 0.5
+        )
+        return predicted.filter(qual)
+
+    # rows beyond batch*MAX_BATCHES can never be scanned -> distributed TopK cap
+    capped = scored.orderBy(*order).limit(batch * MAX_BATCHES)
+    w = Window.orderBy(*order)
+    ranked = capped.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
+        "_batch", (F.col("_rn") / F.lit(batch)).cast("int")
+    )
+    predicted = matcher.predict(ranked.drop("_score"))
+    qual = (
+        F.col("match_score") > 0.5 if find_positives else F.col("match_score") < 0.5
+    )
+    predicted = predicted.withColumn("_q", qual.cast("int")).cache()
+    # replay the stop rule on per-batch counts (<= MAX_BATCHES rows)
+    batch_counts = (
+        predicted.groupBy("_batch").agg(F.sum("_q").alias("nq"), F.count("*").alias("n"))
+        .orderBy("_batch")
+        .collect()
+    )
+    n_total = sum(r["n"] for r in batch_counts)
+    splits = min(MAX_BATCHES, n_total // batch)
+    stop, cum = -1, 0
+    for r in batch_counts:
+        if r["_batch"] >= splits:
+            break
+        stop = r["_batch"]
+        cum += r["nq"]
+        if cum >= num_candidates:
+            break
+    result = predicted.filter((F.col("_batch") <= stop) & (F.col("_q") == 1))
+    return result.drop("_q", "_rn", "_batch")
+
+
+def get_support(
+    spark: SparkSession,
+    r1: dict,
+    r2: dict,
+    lsource: DataFrame,
+    rsource: DataFrame,
+    matcher: Matcher,
+    find_positives: bool,
+    num_triangles: int,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+    use_w: bool = True,
+    use_q: bool = True,
+    max_predict: int = -1,
+    use_all: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """certa/local_explain.py:162-197 — gather qualifying candidates on
+    both sides, balance them, permute, and keep rows past the 0.5
+    threshold. Returns scored pair rows + composite ``id``.
+    """
+    num_candidates = int(num_triangles / 2)
+
+    def probe_text(rec: dict) -> str:
+        return " ".join(str(v) for k, v in rec.items() if k not in ("id", "label"))
+
+    found = []
+    if use_q:
+        c1 = candidate_pairs(r1, rsource, "left", lprefix, rprefix)
+        found.append(
+            scan_candidates(
+                c1, matcher, find_positives, num_candidates, rprefix,
+                probe_text(r1), max_predict, batched=not use_all, seed=seed,
+            )
+        )
+    if use_w:
+        c2 = candidate_pairs(r2, lsource, "right", lprefix, rprefix)
+        found.append(
+            scan_candidates(
+                c2, matcher, find_positives, num_candidates, lprefix,
+                probe_text(r2), max_predict, batched=not use_all, seed=seed + 1,
+            )
+        )
+    if not found:
+        raise ValueError("at least one of use_w/use_q must be set")
+
+    counts = [df.count() for df in found]
+    if len(found) == 2:
+        max_len = min(*counts) or max(*counts)
+        balanced = []
+        for df, n in zip(found, counts):
+            if n > max_len:
+                # reference: random sample to max_len (local_explain.py:182-185)
+                df = (
+                    df.withColumn(
+                        "_h",
+                        hash32(
+                            composite_id(
+                                F.col(lprefix + "id"), F.col(rprefix + "id")
+                            ),
+                            seed,
+                        ),
+                    )
+                    .orderBy("_h")
+                    .limit(max_len)
+                    .drop("_h")
+                )
+            balanced.append(df)
+        candidates = balanced[0].unionByName(balanced[1])
+    else:
+        candidates = found[0]
+
+    candidates = candidates.withColumn(
+        "id", composite_id(F.col(lprefix + "id"), F.col(rprefix + "id"))
+    )
+    thr = (
+        F.col("match_score") >= 0.5
+        if find_positives
+        else F.col("match_score") < 0.5
+    )
+    return candidates.filter(thr)
+
+
+def support_predictions(
+    spark: SparkSession,
+    r1: dict,
+    r2: dict,
+    lsource: DataFrame,
+    rsource: DataFrame,
+    matcher: Matcher,
+    class_to_explain: int,
+    num_triangles: int = 100,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+    use_w: bool = True,
+    use_q: bool = True,
+    max_predict: int = -1,
+    use_all: bool = False,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """certa/local_explain.py:17-79 — the full support-set assembly.
+
+    Returns (support_pairs, copies_left, copies_right). Row 0 of
+    ``support_pairs`` is the explained pair itself with
+    ``label = class_to_explain``.
+    """
+    from certa_spark.operators.augment import expand_copies
+    from certa_spark.operators.pairs import pair_row
+
+    find_positives = class_to_explain == 0
+    support = get_support(
+        spark, r1, r2, lsource, rsource, matcher, find_positives,
+        num_triangles, lprefix, rprefix, use_w, use_q, max_predict, use_all, seed,
+    ).cache()
+    n_support = support.count()
+
+    copies_left = copies_right = None
+    if n_support < num_triangles:
+        # DA fallback (local_explain.py:51-60): token-drop copies of the
+        # probes themselves, paired through the same scan.
+        n_l, n_r = lsource.count(), rsource.count()
+        copies_left, copies_right = expand_copies(spark, r1, r2, n_l, n_r)
+        copies_left, copies_right = copies_left.cache(), copies_right.cache()
+        support2 = get_support(
+            spark, r1, r2, copies_right, copies_left, matcher, find_positives,
+            num_triangles, lprefix, rprefix, use_w, use_q, max_predict, use_all,
+            seed + 7,
+        )
+        support = support.unionByName(support2).cache()
+        n_support = support.count()
+
+    if n_support == 0:
+        return support.limit(0), copies_left, copies_right
+
+    # deterministic permutation stands in for pandas sample(frac=1)
+    # (local_explain.py:186); head n/2 + tail n/2 cap (line 63-64).
+    permuted = support.withColumn("_h", hash32(F.col("id"), seed + 13))
+    if n_support > num_triangles:
+        half = int(num_triangles / 2)
+        w_asc = Window.orderBy(F.col("_h").asc(), F.col("id"))
+        w_desc = Window.orderBy(F.col("_h").desc(), F.col("id"))
+        permuted = (
+            permuted.withColumn("_ra", F.row_number().over(w_asc))
+            .withColumn("_rd", F.row_number().over(w_desc))
+            .filter((F.col("_ra") <= half) | (F.col("_rd") <= half))
+            .drop("_ra", "_rd")
+        )
+    support_rows = (
+        permuted.orderBy("_h", "id")
+        .drop("_h")
+        .withColumn("label", F.round(F.col("match_score")).cast("int"))
+        .drop("match_score", "nomatch_score")
+    )
+
+    head = (
+        pair_row(spark, r1, r2, lprefix, rprefix)
+        .withColumn(
+            "id", composite_id(F.col(lprefix + "id"), F.col(rprefix + "id"))
+        )
+        .withColumn("label", F.lit(int(class_to_explain)))
+    )
+    for c in support_rows.columns:
+        if c not in head.columns:
+            head = head.withColumn(c, F.lit(None).cast("string"))
+    head = head.select(*support_rows.columns).withColumn("_ord", F.lit(0))
+    support_pairs = head.unionByName(
+        support_rows.withColumn("_ord", F.lit(1))
+    )
+    return support_pairs, copies_left, copies_right

@@ -1,0 +1,392 @@
+"""Open-triangle enumeration, perturbation generation and the
+depth-stratified flip analysis — the heart of CERTA
+(certa/triangles_method.py).
+
+Spark-first re-expressions:
+
+  * Wedge enumeration (getMixedTriangles, triangles_method.py:25-53):
+    the reference scans positives row-by-row with boolean-mask lookups
+    (O(P*N)); here it is two hash equi-joins pos><neg on the shared
+    endpoint — the classic wedge/motif join, shuffle-partitioned by the
+    join key, skew handled by AQE.
+
+  * Perturbation generation (createPerturbationsFromTriangle,
+    triangles_method.py:72-121): the reference loops triangle-by-
+    triangle building pandas rows; here the depth-``a`` attribute
+    powerset is a broadcast literal array and every (triangle, subset)
+    perturbation materializes in one explode — a narrow stage.
+
+  * Flip counting (getAttributeRanking/aggregateRankings,
+    triangles_method.py:376-396): hash aggregation with map-side
+    partials (A1/A2), replacing the hand-rolled two-phase dict merge.
+
+The per-depth loop with the monotonicity early-exit
+(perturb_predict, triangles_method.py:266-334) stays driver-side by
+design — each depth is one Spark job and the stop decision is a
+``count()`` action (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from certa_spark.matching import SCORE_COLS, Matcher
+from certa_spark.schema import LPREFIX, RPREFIX
+
+BOOKKEEPING = ("alteredAttributes", "droppedValues", "copiedValues", "triangle")
+
+
+def mixed_triangles(
+    support_pairs: DataFrame,
+) -> DataFrame:
+    """J3 — enumerate open triangles (pivot, anchor, free).
+
+    Input: support pairs with composite ``id`` ("0@l#1@r") and ``label``
+    (1 = predicted match). A triangle <u, v, w> has <u,v> a match and
+    <v,w> a non-match (triangles_method.py:26). Returns columns
+    ``pivot, anchor, free`` ("src@id" strings) and ``side``
+    ('left' when the pivot/free records live in the left source).
+    """
+    parts = F.split(F.col("id"), "#")
+    edges = support_pairs.select(
+        parts.getItem(0).alias("lt"),
+        parts.getItem(1).alias("rt"),
+        F.col("label").cast("int").alias("label"),
+    )
+    pos = edges.filter(F.col("label") == 1).select("lt", "rt")
+    neg = edges.filter(F.col("label") == 0).select(
+        F.col("lt").alias("n_lt"), F.col("rt").alias("n_rt")
+    )
+    # shared right endpoint: (l, r) match + (l', r) non-match -> <l, r, l'>
+    left_tri = pos.join(neg, pos.rt == neg.n_rt).select(
+        F.col("lt").alias("pivot"),
+        F.col("rt").alias("anchor"),
+        F.col("n_lt").alias("free"),
+        F.lit("left").alias("side"),
+    )
+    # shared left endpoint: (l, r) match + (l, r') non-match -> <r, l, r'>
+    right_tri = pos.join(neg, pos.lt == neg.n_lt).select(
+        F.col("rt").alias("pivot"),
+        F.col("lt").alias("anchor"),
+        F.col("n_rt").alias("free"),
+        F.lit("right").alias("side"),
+    )
+    return left_tri.unionByName(right_tri)
+
+
+def _member_id(col: F.Column) -> F.Column:
+    return F.split(col, "@").getItem(1).cast("long")
+
+
+def _subsets_literal(attrs: list[str], depth: int) -> F.Column:
+    subs = [list(c) for c in combinations(attrs, depth)]
+    if not subs:
+        return F.array().cast("array<array<string>>")
+    return F.array(
+        *[F.array(*[F.lit(a) for a in s]) for s in subs]
+    )
+
+
+def perturbations_at_depth(
+    triangles: DataFrame,
+    lsource: DataFrame,
+    rsource: DataFrame,
+    depth: int,
+    class_to_explain: int,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> DataFrame:
+    """UD5/U3 — all depth-``depth`` perturbation pairs for all triangles.
+
+    Sources are the *unprefixed* (id + attrs) extended sources. For a
+    left-side triangle the pivot u and free w live in ``lsource`` and
+    the anchor v in ``rsource`` (vice versa for right). For
+    class_to_explain==1 the perturbed record starts from u and receives
+    subset values from w; for class 0 it starts from w and receives
+    values from u (triangles_method.py:84-105). Output: prefixed pair
+    attribute columns (ids dropped) + alteredAttributes/droppedValues/
+    copiedValues arrays + triangle string.
+    """
+    l_attrs = [c for c in lsource.columns if c != "id"]
+    r_attrs = [c for c in rsource.columns if c != "id"]
+
+    out = []
+    for side in ("left", "right"):
+        tri = triangles.filter(F.col("side") == side)
+        if side == "left":
+            pivot_src, anchor_src = lsource, rsource
+            pivot_pfx, anchor_pfx = lprefix, rprefix
+            pivot_attrs, anchor_attrs = l_attrs, r_attrs
+        else:
+            pivot_src, anchor_src = rsource, lsource
+            pivot_pfx, anchor_pfx = rprefix, lprefix
+            pivot_attrs, anchor_attrs = r_attrs, l_attrs
+
+        u = F.broadcast(
+            pivot_src.select(
+                F.col("id").alias("_uid"),
+                *[F.col(c).cast("string").alias("u_" + c) for c in pivot_attrs],
+            )
+        )
+        w = F.broadcast(
+            pivot_src.select(
+                F.col("id").alias("_wid"),
+                *[F.col(c).cast("string").alias("w_" + c) for c in pivot_attrs],
+            )
+        )
+        v = F.broadcast(
+            anchor_src.select(
+                F.col("id").alias("_vid"),
+                *[F.col(c).cast("string").alias("v_" + c) for c in anchor_attrs],
+            )
+        )
+        joined = (
+            tri.withColumn("_uid", _member_id(F.col("pivot")))
+            .withColumn("_vid", _member_id(F.col("anchor")))
+            .withColumn("_wid", _member_id(F.col("free")))
+            .join(u, "_uid")
+            .join(w, "_wid")
+            .join(v, "_vid")
+        )
+        # subsets are over *prefixed* attr names (triangles_method.py:211-212)
+        subsets = _subsets_literal([pivot_pfx + c for c in pivot_attrs], depth)
+        exploded = joined.withColumn("alteredAttributes", F.explode(subsets))
+
+        if class_to_explain == 1:
+            base, donor = "u_", "w_"
+        else:
+            base, donor = "w_", "u_"
+        base_map = F.create_map(
+            *[
+                x
+                for c in pivot_attrs
+                for x in (F.lit(pivot_pfx + c), F.col(base + c))
+            ]
+        )
+        donor_map = F.create_map(
+            *[
+                x
+                for c in pivot_attrs
+                for x in (F.lit(pivot_pfx + c), F.col(donor + c))
+            ]
+        )
+        pivot_cols = [
+            F.when(
+                F.array_contains(F.col("alteredAttributes"), pivot_pfx + c),
+                F.col(donor + c),
+            )
+            .otherwise(F.col(base + c))
+            .alias(pivot_pfx + c)
+            for c in pivot_attrs
+        ]
+        anchor_cols = [
+            F.col("v_" + c).alias(anchor_pfx + c) for c in anchor_attrs
+        ]
+        cols = pivot_cols + anchor_cols if side == "left" else anchor_cols + pivot_cols
+        out.append(
+            exploded.select(
+                *cols,
+                F.col("alteredAttributes"),
+                F.transform(
+                    F.col("alteredAttributes"), lambda a: F.element_at(base_map, a)
+                ).alias("droppedValues"),
+                F.transform(
+                    F.col("alteredAttributes"), lambda a: F.element_at(donor_map, a)
+                ).alias("copiedValues"),
+                F.concat_ws(" ", "pivot", "anchor", "free").alias("triangle"),
+            )
+        )
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result
+
+
+def flip_condition(class_to_explain: int) -> F.Column:
+    """P9 — prediction flipped away from the original class
+    (triangles_method.py:307)."""
+    score_of_class = (
+        F.col("match_score") if class_to_explain == 1 else F.col("nomatch_score")
+    )
+    return score_of_class < 0.5
+
+
+def perturb_predict(
+    spark: SparkSession,
+    triangles: DataFrame,
+    lsource: DataFrame,
+    rsource: DataFrame,
+    matcher: Matcher,
+    class_to_explain: int,
+    attr_length: int,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Depth-stratified perturb+predict loop with monotonicity early
+    exit (triangles_method.py:266-334).
+
+    Depths run 1..attr_length-1 (reference ``range(1, attr_length)``).
+    Once an entire depth flips, deeper depths synthesize flipped scores
+    without calling the model (``all_good``, lines 309-327).
+
+    Returns (flipped_predictions, rankings, all_predictions):
+      * flipped_predictions — perturbation rows + scores that flipped;
+      * rankings — (alteredAttributes, depth, flips) incl. zero-flip
+        subsets (getAttributeRanking keeps zeros, line 377);
+      * all_predictions — every *model-predicted* perturbation + scores
+        (the S3 prediction log; synthesized depths excluded, matching
+        the reference which only logs real predictions).
+    """
+    triangles = triangles.cache()
+    flipped_parts: list[DataFrame] = []
+    ranking_parts: list[DataFrame] = []
+    predicted_parts: list[DataFrame] = []
+    all_good = False
+
+    for depth in range(1, attr_length):
+        pert = perturbations_at_depth(
+            triangles, lsource, rsource, depth, class_to_explain, lprefix, rprefix
+        )
+        if not all_good:
+            predicted = matcher.predict(pert).cache()
+            n_pert = predicted.count()
+            if n_pert == 0:
+                continue
+            flipped = predicted.filter(flip_condition(class_to_explain))
+            predicted_parts.append(predicted.withColumn("depth", F.lit(depth)))
+            n_flipped = flipped.count()
+        else:
+            # synthesized scores: everything counts as flipped
+            # (triangles_method.py:309-319)
+            match_syn = 1.0 if class_to_explain == 0 else 0.0
+            predicted = pert.withColumn(
+                "match_score", F.lit(match_syn)
+            ).withColumn("nomatch_score", F.lit(1.0 - match_syn))
+            n_pert = predicted.count()
+            if n_pert == 0:
+                continue
+            flipped = predicted
+            n_flipped = n_pert
+
+        flipped_parts.append(flipped.withColumn("depth", F.lit(depth)))
+        ranking_parts.append(
+            predicted.groupBy("alteredAttributes")
+            .agg(
+                F.sum(flip_condition(class_to_explain).cast("long")).alias("flips")
+            )
+            .withColumn("depth", F.lit(depth))
+        )
+        if not all_good and n_flipped == n_pert:
+            all_good = True
+
+    def _union(parts: list[DataFrame], template: DataFrame) -> DataFrame:
+        if not parts:
+            return template
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    empty_rank = spark.createDataFrame(
+        [], "alteredAttributes array<string>, flips long, depth int"
+    )
+    pert0 = perturbations_at_depth(
+        triangles, lsource, rsource, 1, class_to_explain, lprefix, rprefix
+    )
+    empty_pred = (
+        pert0.withColumn("match_score", F.lit(0.0))
+        .withColumn("nomatch_score", F.lit(0.0))
+        .withColumn("depth", F.lit(0))
+        .limit(0)
+    )
+    return (
+        _union(flipped_parts, empty_pred),
+        _union(ranking_parts, empty_rank),
+        _union(predicted_parts, empty_pred),
+    )
+
+
+def aggregate_rankings(
+    rankings: DataFrame, n_triangles: int, attr_length: int
+) -> DataFrame:
+    """A2 — merge per-depth flip counts, normalize by #triangles
+    (aggregateRankings, triangles_method.py:387-396).
+
+    Returns (alteredAttributes array, attr_set string "a/b", pss double).
+    """
+    return (
+        rankings.filter(F.size("alteredAttributes") <= attr_length)
+        .groupBy("alteredAttributes")
+        .agg((F.sum("flips") / F.lit(float(n_triangles))).alias("pss"))
+        .withColumn("attr_set", F.array_join("alteredAttributes", "/"))
+    )
+
+
+def saliency(
+    rankings: DataFrame,
+    attributes: list[str],
+    n_triangles: int,
+    n_flipped: int,
+) -> dict[str, float]:
+    """A3 — per-attribute saliency (triangles_method.py:224-233):
+    base rate n_triangles/flips plus the attribute's share of flip
+    counts, where flips = #flipped predictions + #triangles."""
+    flips = n_flipped + n_triangles
+    base = n_triangles / flips if flips else 0.0
+    per_attr = (
+        rankings.select(F.explode("alteredAttributes").alias("attr"), "flips")
+        .groupBy("attr")
+        .agg(F.sum("flips").alias("cnt"))
+        .collect()
+    )
+    counts = {r["attr"]: r["cnt"] for r in per_attr}
+    return {a: base + counts.get(a, 0) / flips for a in attributes}
+
+
+def cf_summary(explanation: DataFrame) -> DataFrame:
+    """A5+A6 — keep attr-sets at the max PSS, then drop any set that
+    strictly contains another surviving set (cf_summary,
+    triangles_method.py:254-263).
+
+    The reference's minimality test operates on characters of the
+    "a/b"-joined strings (a latent bug); we implement the documented
+    intent — attr-*set* containment.
+    """
+    top = explanation.filter(
+        F.col("pss")
+        == explanation.agg(F.max("pss").alias("m")).select("m").collect()[0]["m"]
+    ).cache()
+    a = top.select(
+        F.col("alteredAttributes").alias("a_set"), F.col("pss"), F.col("attr_set")
+    )
+    b = top.select(F.col("alteredAttributes").alias("b_set"))
+    strict_superset = (
+        F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
+        == F.size(F.col("b_set"))
+    ) & (F.size(F.col("a_set")) > F.size(F.col("b_set")))
+    return a.join(b, on=strict_superset, how="left_anti").select(
+        F.col("a_set").alias("alteredAttributes"), "attr_set", "pss"
+    )
+
+
+def counterfactuals(
+    flipped: DataFrame, summary: DataFrame
+) -> DataFrame:
+    """P7+P8+T4 — keep flipped rows whose altered set is one of the
+    summary's minimal sets, dedup, order simplest-first
+    (explain.py:73-77, triangles_method.py:236-239)."""
+    keys = F.broadcast(
+        summary.select(F.col("attr_set").alias("_k")).distinct()
+    )
+    out = (
+        flipped.withColumn("attr_count", F.size("alteredAttributes"))
+        .withColumn("_k", F.array_join("alteredAttributes", "/"))
+        .join(keys, "_k", "left_semi")
+        .drop("_k")
+        .dropDuplicates(["copiedValues", "alteredAttributes", "droppedValues"])
+        .orderBy("attr_count")
+    )
+    return out
