@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship CERTA explain on sf0.001 (ER cast of
+                 customer/supplier), returns the saliency DataFrame.
+queries()     -> one callable per implemented operator family
+                 (SURVEY.md §2 + training-data extensions); see
+                 certa_spark/queries.py.
+oracle_sql()  -> DuckDB twins computing identical results.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CERTA saliency explanation of one customer/supplier
+    pair over /root/testdata/sf0.001 with the deterministic native
+    matcher (SURVEY.md §3.1 pipeline, end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.explainer import CertaExplainer
+    from certa_spark.matching import NativeCosineMatcher
+    from certa_spark.queries import _er_sources
+
+    sf_dir = "/root/testdata/sf0.001"
+    cust, supp = _er_sources(spark, sf_dir)
+    explainer = CertaExplainer(spark, cust, supp, data_augmentation="no")
+    l_rec = {k: v for k, v in zip(cust.columns, cust.orderBy("id").first())}
+    r_rec = {k: v for k, v in zip(supp.columns, supp.orderBy("id").first())}
+    result = explainer.explain(
+        l_rec, r_rec, NativeCosineMatcher(), num_triangles=10
+    )
+    sal = result.saliency
+    if len(sal) == 0:
+        return spark.createDataFrame([(0.0,)], ["empty"])
+    return spark.createDataFrame(sal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from certa_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from certa_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,82 @@
+"""Benchmark driver: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+``value`` = total wall seconds over all headline queries (each timed to
+full materialization via count()). Explain-pipeline latency is reported
+separately inside "queries" as ``flagship_explain`` so relational
+throughput and the multi-job explain pipeline are both visible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from certa_spark.queries import QUERIES
+    from certa_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/catalyst once so per-query numbers measure the plan,
+    # not session startup
+    spark.range(1).count()
+
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    # flagship explain latency on a small slice (explain cost is governed
+    # by num_triangles/model calls, not source size)
+    t0 = time.time()
+    try:
+        from certa_spark.explainer import CertaExplainer
+        from certa_spark.matching import NativeCosineMatcher
+        from certa_spark.queries import _er_sources
+
+        cust, supp = _er_sources(spark, sf_dir)
+        ex = CertaExplainer(spark, cust, supp, data_augmentation="no")
+        l_rec = {k: v for k, v in zip(cust.columns, cust.orderBy("id").first())}
+        r_rec = {k: v for k, v in zip(supp.columns, supp.orderBy("id").first())}
+        ex.explain(l_rec, r_rec, NativeCosineMatcher(), num_triangles=10)
+        timings["flagship_explain"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in flagship_explain: {e}", file=sys.stderr)
+        timings["flagship_explain"] = -1.0
+
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH and SimHash — each
+designed for the 100TB shape:
+
+  * exact dedup: one hash aggregation, map-side partial combine;
+  * n-gram Jaccard: *blocked* self-join (never all-pairs) — candidate
+    pairs only form inside a blocking key (length bucket + source);
+  * MinHash LSH: signature -> band -> bucket equi-join, the standard
+    sub-quadratic near-dup join; band hash join keys shuffle-partition
+    the work, AQE handles hot buckets;
+  * SimHash: per-doc 16-bit signature; near-dups share the signature
+    (or a rotated band of it).
+
+Hashes are the md5-derived cross-engine family (functions/hashing.py)
+so every operator has a bit-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from certa_spark.functions.hashing import duck_hash32, hash32
+from certa_spark.functions.textstats import WORD_RE, duck_words, words
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) with >1 member.
+    Returns (text_hash, dup_count, min_doc_id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), e.g. 3-token windows."""
+    w = words(text)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+            ),
+        ).otherwise(F.array(F.array_join(w, " ")))
+    )
+
+
+def duck_shingles(expr: str, n: int = 3) -> str:
+    w = duck_words(expr)
+    window = " || ' ' || ".join(f"{w}[i + {k}]" for k in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n - 2}), i -> {window}) "
+        f"ELSE [array_to_string({w}, ' ')] END)"
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def duck_jaccard(a: str, b: str) -> str:
+    inter = f"CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+    return (
+        f"(CASE WHEN (len({a}) + len({b}) - len(list_intersect({a}, {b}))) = 0 "
+        f"THEN 0.0 ELSE {inter} / (len({a}) + len({b}) - len(list_intersect({a}, {b}))) END)"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    block_bucket_chars: int = 64,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard near-dup join.
+
+    Blocking key = (source, n_chars // bucket) so the self-join is
+    per-block, not all-pairs — the key requirement at scale. Returns
+    (doc_id_a, doc_id_b, jac) with a < b and jac >= threshold.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col("source").alias("_src"),
+        (F.col("n_chars") / block_bucket_chars).cast("long").alias("_blk"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    a = base.select(
+        F.col("_id").alias("doc_id_a"),
+        "_src",
+        "_blk",
+        F.col("_sh").alias("_sh_a"),
+    )
+    b = base.select(
+        F.col("_id").alias("doc_id_b"),
+        "_src",
+        "_blk",
+        F.col("_sh").alias("_sh_b"),
+    )
+    return (
+        a.join(b, on=["_src", "_blk"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("jac", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6))
+        .filter(F.col("jac") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jac")
+    )
+
+
+def minhash_signature(text: Column, k: int = N_MINHASH, n: int = 3) -> Column:
+    """MinHash signature: array of k minima of seeded 32-bit hashes over
+    the doc's shingle set."""
+    sh = shingles(text, n)
+
+    def seeded(seed: int):
+        # NB: a plain `lambda s, seed=seed:` would be treated as a
+        # binary (element, index) lambda by Spark's HOF binding.
+        return lambda s: hash32(s, seed)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, seeded(seed))) for seed in range(k)]
+    )
+
+
+def duck_minhash_signature(expr: str, k: int = N_MINHASH, n: int = 3) -> str:
+    sh = duck_shingles(expr, n)
+    mins = ", ".join(
+        f"list_min(list_transform({sh}, s -> {duck_hash32('s', seed)}))"
+        for seed in range(k)
+    )
+    return f"[{mins}]"
+
+
+def lsh_band_keys(sig: Column, bands: int = LSH_BANDS, k: int = N_MINHASH) -> Column:
+    """Array of (band, band_hash) structs: hash of each signature band."""
+    rows = k // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash32(
+                    F.concat_ws(
+                        "_",
+                        *[F.element_at(sig, b * rows + i + 1).cast("string") for i in range(rows)],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs, verified by signature
+    agreement rate (estimated Jaccard).
+
+    Plan shape: signature (narrow) -> explode bands (narrow) ->
+    self-equi-join on (band, band_hash) (one shuffle) -> distinct pair
+    (one shuffle) -> estimate filter. Sub-quadratic; the 100TB path.
+    Returns (doc_id_a, doc_id_b, est_jaccard).
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), k, n).alias("_sig")
+    )
+    banded = sigs.select(
+        "_id", "_sig", F.explode(lsh_band_keys(F.col("_sig"), bands, k)).alias("_b")
+    ).select("_id", "_sig", F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+    a = banded.select(
+        F.col("_id").alias("doc_id_a"), F.col("_sig").alias("_sig_a"), "_band", "_bh"
+    )
+    b = banded.select(
+        F.col("_id").alias("doc_id_b"), F.col("_sig").alias("_sig_b"), "_band", "_bh"
+    )
+    cand = (
+        a.join(b, on=["_band", "_bh"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "_sig_a", "_sig_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree.cast("double") / F.lit(float(k)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "est_jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash over distinct word tokens: bit b set iff the sum of
+    (+1 / -1) votes from each token's hash bit b is positive."""
+    toks = F.array_distinct(words(text))
+    th = F.transform(toks, lambda t: hash32(t, 99))
+
+    def bit_vote(bit: int):
+        # closure factory — keeps the aggregate lambda binary
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(th, F.lit(0), bit_vote(b))
+        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def duck_simhash(expr: str, bits: int = 16) -> str:
+    toks = f"list_distinct({duck_words(expr)})"
+    th = f"list_transform({toks}, t -> {duck_hash32('t', 99)})"
+    parts = []
+    for b in range(bits):
+        vote = (
+            f"list_aggregate(list_transform({th}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END), 'sum')"
+        )
+        parts.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

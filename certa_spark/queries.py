@@ -1,0 +1,774 @@
+"""Driver-contract query registry.
+
+Every implemented operator family from SURVEY.md §2 (plus the
+training-data-pipeline extensions) is exposed here twice:
+
+  * a Spark callable ``(spark, sf_dir) -> DataFrame`` built on the
+    certa_spark operators, and
+  * a DuckDB ANSI-SQL oracle string computing the identical result on
+    the same parquet tables.
+
+Column names/aliases are identical on both sides (the driver sorts
+columns by name and value-hashes). Floating-point rules:
+  - aggregates go through DECIMAL so partial-aggregation order can't
+    change the value, then ROUND(…, k) and cast to DOUBLE;
+  - per-row double arithmetic is written with the same operation order
+    on both sides and rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from certa_spark.functions import textstats as TS
+from certa_spark.functions.hashing import duck_hash64
+from certa_spark.operators import dedup as DD
+from certa_spark.operators import similarity as SIM
+from certa_spark.operators.pairs import composite_id, merge_sources
+from certa_spark.operators.triangles import mixed_triangles
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects by default; read nanos as long and derive both a
+    micros-truncated timestamp (for formatting) and the raw nanos
+    (``ts_ns``, for exact ordering parity with the nanos-aware oracle).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        e = e.withColumn("ts_ns", F.unix_micros("ts") * 1000)
+    return e
+
+
+def _dec_sum(col: F.Column, scale: int = 2) -> F.Column:
+    return F.round(F.sum(col.cast("decimal(30,6)")), scale).cast("double")
+
+
+def _dec_avg(col: F.Column, scale: int = 6) -> F.Column:
+    s = F.sum(col.cast("decimal(30,6)")).cast("double")
+    return F.round(s / F.count(F.lit(1)), scale)
+
+
+def _duck_dec_sum(expr: str, scale: int = 2) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(30,6))), {scale}) AS DOUBLE)"
+
+
+def _duck_dec_avg(expr: str, scale: int = 6) -> str:
+    return f"round(CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / count(*), {scale})"
+
+
+# --------------------------------------------------------------------------
+# ER cast of the TPC-H testdata (FIXTURES.md §5): lsource=customer,
+# rsource=supplier, candidate pairs by nation equality, deterministic
+# modulo sampling/labels shared verbatim between Spark and SQL.
+# --------------------------------------------------------------------------
+
+def _er_sources(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("string").alias("mktsegment"),
+    )
+    return cust, supp
+
+
+def _er_pairs(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey)
+        .filter((F.col("c_custkey") + F.col("s_suppkey")) % 7 < 2)
+        .select(
+            F.col("c_custkey").alias("ltable_id"),
+            F.col("s_suppkey").alias("rtable_id"),
+            ((F.col("c_custkey") + F.col("s_suppkey")) % 3 == 0)
+            .cast("int")
+            .alias("label"),
+        )
+    )
+
+
+_ER_PAIRS_SQL = """
+    SELECT c_custkey AS ltable_id, s_suppkey AS rtable_id,
+           CAST((c_custkey + s_suppkey) % 3 = 0 AS INT) AS label
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    WHERE (c_custkey + s_suppkey) % 7 < 2
+"""
+
+
+def q_er_pair_assembly(spark, sf_dir) -> DataFrame:
+    """J1 — merge_sources as two broadcast hash joins."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return merge_sources(_er_pairs(spark, sf_dir), c, s)
+
+
+_Q_ER_PAIR_ASSEMBLY_SQL = f"""
+    WITH pairs AS ({_ER_PAIRS_SQL})
+    SELECT c.c_custkey AS ltable_id, c.c_name AS ltable_name,
+           c.c_mktsegment AS ltable_segment, c.c_acctbal AS ltable_acctbal,
+           s.s_suppkey AS rtable_id, s.s_name AS rtable_name,
+           s.s_acctbal AS rtable_acctbal, p.label AS label
+    FROM pairs p
+    JOIN customer c ON p.ltable_id = c.c_custkey
+    JOIN supplier s ON p.rtable_id = s.s_suppkey
+"""
+
+
+def q_er_wedges(spark, sf_dir) -> DataFrame:
+    """J3 — open-triangle (wedge) enumeration over the deterministic
+    prediction edges, via the mixed_triangles join plan."""
+    pairs = _er_pairs(spark, sf_dir).select(
+        composite_id(F.col("ltable_id"), F.col("rtable_id")).alias("id"),
+        F.col("label"),
+    )
+    return mixed_triangles(pairs)
+
+
+_Q_ER_WEDGES_SQL = f"""
+    WITH pairs AS ({_ER_PAIRS_SQL}),
+    edges AS (
+        SELECT '0@' || CAST(ltable_id AS VARCHAR) AS lt,
+               '1@' || CAST(rtable_id AS VARCHAR) AS rt, label
+        FROM pairs
+    ),
+    pos AS (SELECT lt, rt FROM edges WHERE label = 1),
+    neg AS (SELECT lt AS n_lt, rt AS n_rt FROM edges WHERE label = 0)
+    SELECT pos.lt AS pivot, pos.rt AS anchor, neg.n_lt AS free,
+           'left' AS side
+    FROM pos JOIN neg ON pos.rt = neg.n_rt
+    UNION ALL
+    SELECT pos.rt AS pivot, pos.lt AS anchor, neg.n_rt AS free,
+           'right' AS side
+    FROM pos JOIN neg ON pos.lt = neg.n_lt
+"""
+
+
+def q_er_support_topk(spark, sf_dir) -> DataFrame:
+    """T1/T2 — similarity-ranked head+tail support selection: score all
+    suppliers against probe customer 1 by token Jaccard, keep the 5
+    most and 5 least similar."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 1)
+    probe_name = c.select("c_name").collect()[0][0]
+    s = _t(spark, sf_dir, "supplier")
+    pt = F.array_distinct(
+        F.regexp_extract_all(F.lit(probe_name.lower()), F.lit(TS.WORD_RE), 0)
+    )
+    st = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col("s_name")), F.lit(TS.WORD_RE), 0)
+    )
+    scored = s.select(
+        F.col("s_suppkey").alias("rtable_id"),
+        F.round(DD.jaccard(pt, st), 6).alias("score"),
+    )
+    w_desc = Window.orderBy(F.col("score").desc(), F.col("rtable_id"))
+    w_asc = Window.orderBy(F.col("score").asc(), F.col("rtable_id").desc())
+    return (
+        scored.withColumn("rd", F.row_number().over(w_desc))
+        .withColumn("ra", F.row_number().over(w_asc))
+        .filter((F.col("rd") <= 5) | (F.col("ra") <= 5))
+        .select("rtable_id", "score")
+    )
+
+
+def _duck_jaccard_names() -> str:
+    pt = "list_distinct(regexp_extract_all(lower(probe_name), '[a-z]+'))"
+    st = "list_distinct(regexp_extract_all(lower(s_name), '[a-z]+'))"
+    return DD.duck_jaccard(pt, st)
+
+
+_Q_ER_SUPPORT_TOPK_SQL = f"""
+    WITH probe AS (SELECT c_name AS probe_name FROM customer WHERE c_custkey = 1),
+    scored AS (
+        SELECT s_suppkey AS rtable_id,
+               round({_duck_jaccard_names()}, 6) AS score
+        FROM supplier, probe
+    ),
+    ranked AS (
+        SELECT rtable_id, score,
+               row_number() OVER (ORDER BY score DESC, rtable_id) AS rd,
+               row_number() OVER (ORDER BY score ASC, rtable_id DESC) AS ra
+        FROM scored
+    )
+    SELECT rtable_id, score FROM ranked WHERE rd <= 5 OR ra <= 5
+"""
+
+
+def q_er_flip_ranking(spark, sf_dir) -> DataFrame:
+    """A1/A2 — flip-count ranking shape: per attr-set key (cast:
+    mktsegment x orderpriority), count 'flipped' orders and normalize —
+    a partial+final hash aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    n_total = j.count()
+    return (
+        j.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("flips"),
+            F.count("*").cast("long").alias("total"),
+        )
+        .withColumn(
+            "flip_rate",
+            F.round(F.col("flips").cast("double") / F.lit(float(n_total)), 6),
+        )
+    )
+
+
+_Q_ER_FLIP_RANKING_SQL = """
+    WITH j AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+               o_orderstatus
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    tot AS (SELECT count(*) AS n FROM j)
+    SELECT segment, priority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS flips,
+           CAST(count(*) AS BIGINT) AS total,
+           round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) AS flip_rate
+    FROM j GROUP BY segment, priority
+"""
+
+
+# ------------------------------------------------------------------ TPC-H
+
+def q_tpch_q1(spark, sf_dir) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            _dec_avg(F.col("l_quantity")).alias("avg_qty"),
+            _dec_avg(F.col("l_extendedprice")).alias("avg_price"),
+            _dec_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+_Q_TPCH_Q1_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {_duck_dec_sum('l_quantity')} AS sum_qty,
+           {_duck_dec_sum('l_extendedprice')} AS sum_base_price,
+           {_duck_dec_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_duck_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_duck_dec_avg('l_quantity')} AS avg_qty,
+           {_duck_dec_avg('l_extendedprice')} AS avg_price,
+           {_duck_dec_avg('l_discount')} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+_Q_TPCH_Q3_SQL = f"""
+    SELECT l_orderkey AS orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority AS priority,
+           {_duck_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dec_sum(revenue).alias("revenue"))
+    )
+
+
+_Q_TPCH_Q5_SQL = f"""
+    SELECT n_name AS nation,
+           {_duck_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir) -> DataFrame:
+    """Window coverage: top-3 orders per customer by total price."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+_Q_TOP_ORDERS_SQL = """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_totalprice AS totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+    FROM orders
+    QUALIFY rnk <= 3
+"""
+
+
+def q_orders_except(spark, sf_dir) -> DataFrame:
+    """Set-op coverage: customers with open orders but no finished ones."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    return open_c.subtract(fin_c)
+
+
+_Q_ORDERS_EXCEPT_SQL = """
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_part_token_diff(spark, sf_dir) -> DataFrame:
+    """U2/F14 — token set difference between part name and type."""
+    p = _t(spark, sf_dir, "part")
+    a = F.split(F.lower(F.col("p_name")), " ")
+    b = F.split(F.lower(F.col("p_type")), " ")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.array_join(F.array_sort(F.array_except(a, b)), " ").alias("name_only"),
+    )
+
+
+_Q_PART_TOKEN_DIFF_SQL = """
+    SELECT p_partkey AS partkey,
+           array_to_string(list_sort(list_distinct(list_filter(
+               string_split(lower(p_name), ' '),
+               x -> NOT list_contains(string_split(lower(p_type), ' '), x)
+           ))), ' ') AS name_only
+    FROM part
+"""
+
+
+# ------------------------------------------------------ events / streaming
+
+def q_events_hourly(spark, sf_dir) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _dec_sum(F.col("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_Q_EVENTS_HOURLY_SQL = f"""
+    SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           {_duck_dec_sum('value', 4)} AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir) -> DataFrame:
+    """JSON extraction from the props column + modulo bucketing."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_Q_EVENTS_JSON_SQL = """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def q_events_dedup(spark, sf_dir) -> DataFrame:
+    """Streaming-dedup batch equivalent: earliest event per (user,type)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+_Q_EVENTS_DEDUP_SQL = """
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+"""
+
+
+# ----------------------------------------------- documents: text pipeline
+
+def q_doc_token_stats(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            TS.token_count(F.col("text")).alias("toks"),
+            TS.bpe_ish_token_count(F.col("text")).alias("btoks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.sum("btoks").cast("long").alias("total_bpe_tokens"),
+            _dec_avg(F.col("toks"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+_Q_DOC_TOKEN_STATS_SQL = f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({TS.duck_token_count('text')}) AS BIGINT) AS total_tokens,
+           CAST(sum({TS.duck_bpe_ish_token_count('text')}) AS BIGINT) AS total_bpe_tokens,
+           {_duck_dec_avg(TS.duck_token_count('text'), 6)} AS avg_tokens
+    FROM documents GROUP BY lang
+"""
+
+
+def q_doc_quality(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        d.select(
+            "doc_id",
+            TS.quality_score(F.col("text")).alias("quality"),
+            TS.punct_ratio(F.col("text")).alias("pr"),
+        )
+        .withColumn("pr", F.round(F.col("pr"), 6))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+_Q_DOC_QUALITY_SQL = f"""
+    SELECT doc_id, {TS.duck_quality_score('text')} AS quality,
+           round({TS.duck_punct_ratio('text')}, 6) AS pr,
+           CAST(row_number() OVER (ORDER BY {TS.duck_quality_score('text')} DESC,
+                                   doc_id) AS BIGINT) AS rnk
+    FROM documents
+    QUALIFY rnk <= 20
+"""
+
+
+def q_doc_langid(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(TS.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_Q_DOC_LANGID_SQL = f"""
+    SELECT {TS.duck_lang_id('text')} AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TS.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_Q_DOC_FINGERPRINT_SQL = f"""
+    SELECT doc_id, {TS.duck_fingerprint('text')} AS fp FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup summary (hash groupBy): corpus-level dup stats."""
+    d = _t(spark, sf_dir, "documents")
+    groups = DD.exact_dup_groups(d)
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct"),
+    ).crossJoin(
+        groups.agg(F.count("*").cast("long").alias("n_dup_groups"))
+    )
+
+
+_Q_DEDUP_EXACT_SQL = """
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents) AS n_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT md5(text) h FROM documents GROUP BY 1 HAVING count(*) > 1) g
+           ) AS n_dup_groups
+"""
+
+
+def q_minhash_signatures(spark, sf_dir) -> DataFrame:
+    """MinHash signatures (16 seeded md5-derived hashes over 3-gram
+    shingles) for a deterministic doc sample."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sig = DD.minhash_signature(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(sig, lambda x: x.cast("string")), ","
+        ).alias("sig"),
+    )
+
+
+_Q_MINHASH_SQL = f"""
+    SELECT doc_id,
+           array_to_string({DD.duck_minhash_signature('text')}, ',') AS sig
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return d.select("doc_id", DD.simhash(F.col("text")).alias("sh"))
+
+
+_Q_SIMHASH_SQL = f"""
+    SELECT doc_id, {DD.duck_simhash('text')} AS sh
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup pairs (threshold 0.12 — the
+    synthetic corpus has no strong near-dups; a low threshold keeps the
+    join + measure shape exercised with non-empty output)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, threshold=0.12, n=2, block_bucket_chars=128)
+
+
+_Q_NGRAM_JACCARD_SQL = f"""
+    WITH base AS (
+        SELECT doc_id AS _id, source AS _src,
+               CAST(n_chars / 128 AS BIGINT) AS _blk,
+               {DD.duck_shingles('text', 2)} AS _sh
+        FROM documents
+    )
+    SELECT a._id AS doc_id_a, b._id AS doc_id_b,
+           round({DD.duck_jaccard('a._sh', 'b._sh')}, 6) AS jac
+    FROM base a JOIN base b ON a._src = b._src AND a._blk = b._blk
+    WHERE a._id < b._id
+      AND round({DD.duck_jaccard('a._sh', 'b._sh')}, 6) >= 0.12
+"""
+
+
+# ----------------------------------------------------- embeddings: ANN
+
+def q_knn_bruteforce(spark, sf_dir) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.filter(F.col("vec_id") < 3)
+    corpus = e.filter(F.col("vec_id") >= 3)
+    return SIM.knn_bruteforce(corpus, probes, k=5)
+
+
+_Q_KNN_SQL = f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 3),
+    scored AS (
+        SELECT p.probe_id, c.neighbor_id,
+               round({SIM.duck_cosine('pv', 'cv')}, 6) AS sim
+        FROM c CROSS JOIN p
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+           sim
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
+def q_embedding_stats(spark, sf_dir) -> DataFrame:
+    """Vector column stats: per label, count + mean L2 norm."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        e.select("label", F.round(SIM.l2_norm(F.col("v")), 6).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _dec_avg(F.col("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+_Q_EMBEDDING_STATS_SQL = f"""
+    WITH t AS (
+        SELECT label,
+               round(sqrt(list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS nrm
+        FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           {_duck_dec_avg('nrm', 6)} AS avg_norm
+    FROM t GROUP BY label
+"""
+
+
+# ----------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "er_pair_assembly": q_er_pair_assembly,
+    "er_wedges": q_er_wedges,
+    "er_support_topk": q_er_support_topk,
+    "er_flip_ranking": q_er_flip_ranking,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "orders_except": q_orders_except,
+    "part_token_diff": q_part_token_diff,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "events_dedup": q_events_dedup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_stats": q_embedding_stats,
+}
+
+ORACLES: dict[str, str] = {
+    "er_pair_assembly": _Q_ER_PAIR_ASSEMBLY_SQL,
+    "er_wedges": _Q_ER_WEDGES_SQL,
+    "er_support_topk": _Q_ER_SUPPORT_TOPK_SQL,
+    "er_flip_ranking": _Q_ER_FLIP_RANKING_SQL,
+    "tpch_q1": _Q_TPCH_Q1_SQL,
+    "tpch_q3": _Q_TPCH_Q3_SQL,
+    "tpch_q5": _Q_TPCH_Q5_SQL,
+    "top_orders_per_customer": _Q_TOP_ORDERS_SQL,
+    "orders_except": _Q_ORDERS_EXCEPT_SQL,
+    "part_token_diff": _Q_PART_TOKEN_DIFF_SQL,
+    "events_hourly": _Q_EVENTS_HOURLY_SQL,
+    "events_json": _Q_EVENTS_JSON_SQL,
+    "events_dedup": _Q_EVENTS_DEDUP_SQL,
+    "doc_token_stats": _Q_DOC_TOKEN_STATS_SQL,
+    "doc_quality": _Q_DOC_QUALITY_SQL,
+    "doc_langid": _Q_DOC_LANGID_SQL,
+    "doc_fingerprint": _Q_DOC_FINGERPRINT_SQL,
+    "dedup_exact": _Q_DEDUP_EXACT_SQL,
+    "minhash_signatures": _Q_MINHASH_SQL,
+    "simhash": _Q_SIMHASH_SQL,
+    "ngram_jaccard_pairs": _Q_NGRAM_JACCARD_SQL,
+    "knn_bruteforce": _Q_KNN_SQL,
+    "embedding_stats": _Q_EMBEDDING_STATS_SQL,
+}
