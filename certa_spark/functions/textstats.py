@@ -177,4 +177,5 @@ def duck_quality_score(expr: str) -> str:
 def duck_fingerprint(expr: str) -> str:
     from certa_spark.functions.hashing import duck_hash64
 
-    return duck_hash64(f"array_to_string({duck_words(expr)}, ' ')")
+    # DuckDB's array_to_string([]) is NULL (Spark's array_join is '')
+    return duck_hash64(f"coalesce(array_to_string({duck_words(expr)}, ' '), '')")

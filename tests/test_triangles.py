@@ -1,0 +1,191 @@
+"""Triangle engine golden tests vs a pandas oracle that re-derives the
+reference algorithm (certa/triangles_method.py) on tiny fixtures."""
+
+from pyspark.sql import functions as F
+
+from certa_spark.operators import triangles as T
+
+
+def _support(spark, rows):
+    return spark.createDataFrame(rows, ["id", "label"])
+
+
+def _oracle_wedges(rows):
+    """Reference getMixedTriangles (triangles_method.py:25-53) re-derived:
+    iterate positives, join with negatives on shared endpoints."""
+    pos = [(i.split("#")[0], i.split("#")[1]) for i, l in rows if l == 1]
+    neg = [(i.split("#")[0], i.split("#")[1]) for i, l in rows if l == 0]
+    tri = []
+    for lt, rt in pos:
+        for nlt, nrt in neg:
+            if nrt == rt:
+                tri.append((lt, rt, nlt, "left"))
+        for nlt, nrt in neg:
+            if nlt == lt:
+                tri.append((rt, lt, nrt, "right"))
+    return sorted(tri)
+
+
+def test_mixed_triangles_matches_oracle(spark):
+    rows = [
+        ("0@1#1@10", 1),
+        ("0@2#1@10", 0),
+        ("0@3#1@10", 0),
+        ("0@1#1@11", 0),
+        ("0@5#1@12", 1),
+        ("0@5#1@13", 0),
+        ("0@9#1@14", 0),
+    ]
+    got = sorted(
+        (r["pivot"], r["anchor"], r["free"], r["side"])
+        for r in T.mixed_triangles(_support(spark, rows)).collect()
+    )
+    assert got == _oracle_wedges(rows)
+    # triangle invariant (FIXTURES.md §3.4): pivot-anchor from a match,
+    # anchor-free from a non-match
+    for pivot, anchor, free, side in got:
+        if side == "left":
+            assert (f"{pivot}#{anchor}", 1) in rows
+            assert (f"{free}#{anchor}", 0) in rows
+        else:
+            assert (f"{anchor}#{pivot}", 1) in rows
+            assert (f"{anchor}#{free}", 0) in rows
+
+
+def _sources(spark):
+    ls = spark.createDataFrame(
+        [(1, "u name", "u desc"), (2, "w name", "w desc"), (5, "x", "y")],
+        ["id", "name", "description"],
+    )
+    rs = spark.createDataFrame(
+        [(10, "v name", "v desc"), (12, "q", "r")], ["id", "name", "description"]
+    )
+    return ls, rs
+
+
+def test_perturbations_class1_copy_semantics(spark):
+    """class 1: perturbed record starts from pivot u, receives subset
+    values from free w (triangles_method.py:84-94)."""
+    ls, rs = _sources(spark)
+    tri = spark.createDataFrame(
+        [("0@1", "1@10", "0@2", "left")], ["pivot", "anchor", "free", "side"]
+    )
+    out = T.perturbations_at_depth(tri, ls, rs, 1, 1).collect()
+    by_attr = {tuple(r["alteredAttributes"]): r for r in out}
+    assert set(by_attr) == {("ltable_name",), ("ltable_description",)}
+    r = by_attr[("ltable_name",)]
+    assert r["ltable_name"] == "w name"          # copied from free
+    assert r["ltable_description"] == "u desc"   # untouched from pivot
+    assert r["rtable_name"] == "v name"          # anchor side intact
+    assert r["droppedValues"] == ["u name"]
+    assert r["copiedValues"] == ["w name"]
+    assert r["triangle"] == "0@1 1@10 0@2"
+
+
+def test_perturbations_class0_reversed(spark):
+    """class 0: perturbed record starts from free w, receives values
+    from pivot u (triangles_method.py:96-105)."""
+    ls, rs = _sources(spark)
+    tri = spark.createDataFrame(
+        [("0@1", "1@10", "0@2", "left")], ["pivot", "anchor", "free", "side"]
+    )
+    out = T.perturbations_at_depth(tri, ls, rs, 1, 0).collect()
+    by_attr = {tuple(r["alteredAttributes"]): r for r in out}
+    r = by_attr[("ltable_name",)]
+    assert r["ltable_name"] == "u name"          # copied from pivot
+    assert r["ltable_description"] == "w desc"   # base is free record
+    assert r["droppedValues"] == ["w name"]
+    assert r["copiedValues"] == ["u name"]
+
+
+def test_perturbations_right_side_and_depth2(spark):
+    ls, rs = _sources(spark)
+    rs3 = spark.createDataFrame(
+        [(10, "v name", "v desc"), (12, "q", "r"), (13, "s", "t")],
+        ["id", "name", "description"],
+    )
+    tri = spark.createDataFrame(
+        [("1@10", "0@1", "1@12", "right")], ["pivot", "anchor", "free", "side"]
+    )
+    out = T.perturbations_at_depth(tri, ls, rs3, 2, 1).collect()
+    assert len(out) == 1  # C(2,2) = 1 subset of rtable attrs
+    r = out[0]
+    assert tuple(r["alteredAttributes"]) == ("rtable_name", "rtable_description")
+    assert r["rtable_name"] == "q" and r["rtable_description"] == "r"
+    assert r["ltable_name"] == "u name"  # anchor (left) side intact
+
+
+def test_aggregate_and_summary(spark):
+    rankings = spark.createDataFrame(
+        [
+            (["a"], 3, 1),
+            (["b"], 0, 1),
+            (["a", "b"], 5, 2),
+            (["a", "c"], 5, 2),
+        ],
+        "alteredAttributes array<string>, flips long, depth int",
+    )
+    expl = T.aggregate_rankings(rankings, n_triangles=10, attr_length=3)
+    vals = {r["attr_set"]: r["pss"] for r in expl.collect()}
+    assert vals == {"a": 0.3, "b": 0.0, "a/b": 0.5, "a/c": 0.5}
+
+    summary = T.cf_summary(expl)
+    keys = {r["attr_set"] for r in summary.collect()}
+    assert keys == {"a/b", "a/c"}  # both at max 0.5, neither contains the other
+
+    sal = T.saliency(rankings, ["a", "b", "c"], n_triangles=10, n_flipped=13)
+    flips = 13 + 10
+    assert abs(sal["a"] - (10 / flips + (3 + 5 + 5) / flips)) < 1e-12
+    assert abs(sal["b"] - (10 / flips + (0 + 5) / flips)) < 1e-12
+    assert abs(sal["c"] - (10 / flips + 5 / flips)) < 1e-12
+
+
+def test_cf_summary_minimality(spark):
+    expl = spark.createDataFrame(
+        [
+            (["a"], "a", 0.5),
+            (["a", "b"], "a/b", 0.5),
+            (["c", "d"], "c/d", 0.5),
+            (["b"], "b", 0.2),
+        ],
+        "alteredAttributes array<string>, attr_set string, pss double",
+    )
+    keys = {r["attr_set"] for r in T.cf_summary(expl).collect()}
+    # a/b strictly contains surviving a -> dropped; c/d survives
+    assert keys == {"a", "c/d"}
+
+
+def test_monotonicity_early_exit(spark):
+    """Once an entire depth flips, deeper depths synthesize flips
+    without model calls (triangles_method.py:309-327)."""
+    from certa_spark.matching import Matcher
+
+    calls = []
+
+    class AlwaysFlipMatcher:
+        def predict(self, pairs):
+            calls.append(1)
+            return pairs.withColumn("match_score", F.lit(0.0)).withColumn(
+                "nomatch_score", F.lit(1.0)
+            )
+
+    ls = spark.createDataFrame(
+        [(1, "a", "b", "c"), (2, "d", "e", "f")],
+        ["id", "name", "description", "price"],
+    )
+    rs = spark.createDataFrame(
+        [(10, "p", "q", "r")], ["id", "name", "description", "price"]
+    )
+    tri = spark.createDataFrame(
+        [("0@1", "1@10", "0@2", "left")], ["pivot", "anchor", "free", "side"]
+    )
+    flipped, rankings, all_pred = T.perturb_predict(
+        spark, tri, ls, rs, AlwaysFlipMatcher(), 1, attr_length=3
+    )
+    # depth 1 flips everything -> depth 2 synthesized (1 model call only)
+    assert len(calls) == 1
+    # flips recorded for both depths: C(3,1) + C(3,2) subsets
+    assert flipped.count() == 3 + 3
+    assert rankings.agg(F.sum("flips")).collect()[0][0] == 6
+    # prediction log only contains genuinely predicted rows
+    assert all_pred.count() == 3
