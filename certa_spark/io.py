@@ -1,0 +1,100 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+  S1/S2  CSV entity & labeled-pair scans (models/utils.py:36-41)
+  S3     prediction-log sink/scan (triangles_method.py:220-221,
+         explain.py:81-86) — parquet, partitioned by depth
+  S4     experiment CSV sinks (eval.py:105,172-173)
+  S5     lattice DOT sink — see certa_spark.lattice
+  S7     report sink (models/utils.py:59-61)
+  P10    file-existence memoization (eval.py:87-89)
+
+The reference's temp-CSV model shim (S6, dm.py:61-68) is structurally
+unnecessary on Spark: mapInPandas hands pandas batches straight to the
+model.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def read_entity_csv(
+    spark: SparkSession, path: str, id_col: str = "id"
+) -> DataFrame:
+    """S1 — entity source table: header CSV, every attribute kept as
+    string (the reference is stringly-typed, SURVEY.md §1.2), id cast
+    long."""
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *[F.col(c) for c in df.columns if c != id_col],
+    )
+
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("ltable_id", LongType()),
+        StructField("rtable_id", LongType()),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def read_pairs_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — labeled pair table (train/valid/test.csv)."""
+    return spark.read.csv(path, header=True, schema=PAIR_SCHEMA)
+
+
+def write_prediction_log(df: DataFrame, path: str) -> None:
+    """S3 — persist perturbation predictions for lattice debug;
+    partitioned by depth so the debug reader prunes."""
+    cols = df.columns
+    part = ["depth"] if "depth" in cols else []
+    (
+        df.withColumn(
+            "alteredAttributes", F.array_join("alteredAttributes", "/")
+        )
+        .withColumn("droppedValues", F.array_join("droppedValues", "/"))
+        .withColumn("copiedValues", F.array_join("copiedValues", "/"))
+        .write.mode("overwrite")
+        .partitionBy(*part)
+        .parquet(path)
+    )
+
+
+def read_prediction_log(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_experiment_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """S4 — experiment result sink. ``single_file`` coalesces for the
+    small result frames the reference writes; large outputs should keep
+    default parallelism."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_report(text: str, path: str) -> None:
+    """S7 — plain-text training report."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def skip_if_exists(path: str) -> bool:
+    """P10 — resume semantics: True when output already materialized
+    (parquet _SUCCESS or non-empty dir/file)."""
+    if os.path.isdir(path):
+        return os.path.exists(os.path.join(path, "_SUCCESS")) or bool(
+            os.listdir(path)
+        )
+    return os.path.exists(path)

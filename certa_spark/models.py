@@ -1,0 +1,125 @@
+"""Trainable ER matcher (UD3 — certa/models/ermodel.py:12-24 contract:
+train / evaluation / save / load / predict) built on Spark MLlib.
+
+The reference wraps torch/TF models (DeepMatcher, BERT, Ditto, DeepER);
+those plug in through PandasPredictAdapter unchanged. This module is the
+*Spark-native* baseline matcher: JVM-side similarity features (cosine,
+jaccard, containment, length ratios) + MLlib LogisticRegression — fully
+distributed train and inference, no Python in the scoring path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from certa_spark.functions.text import bow_cosine_tokens, tokenize
+from certa_spark.operators.dedup import jaccard
+from certa_spark.schema import LPREFIX, RPREFIX
+
+
+def _side_text(columns: list[str], prefix: str) -> F.Column:
+    cols = [c for c in columns if c.startswith(prefix) and c != prefix + "id"]
+    return F.concat_ws(
+        " ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    )
+
+
+def pair_features(pairs: DataFrame, lprefix: str = LPREFIX, rprefix: str = RPREFIX) -> DataFrame:
+    """Similarity feature block — pure Column expressions."""
+    lt = tokenize(_side_text(pairs.columns, lprefix))
+    rt = tokenize(_side_text(pairs.columns, rprefix))
+    ld, rd = F.array_distinct(lt), F.array_distinct(rt)
+    inter = F.size(F.array_intersect(ld, rd)).cast("double")
+    return (
+        pairs.withColumn("f_cosine", bow_cosine_tokens(lt, rt))
+        .withColumn("f_jaccard", jaccard(ld, rd))
+        .withColumn(
+            "f_containment",
+            F.when(F.least(F.size(ld), F.size(rd)) == 0, F.lit(0.0)).otherwise(
+                inter / F.least(F.size(ld), F.size(rd)).cast("double")
+            ),
+        )
+        .withColumn(
+            "f_len_ratio",
+            F.when(F.greatest(F.size(lt), F.size(rt)) == 0, F.lit(1.0)).otherwise(
+                F.least(F.size(lt), F.size(rt)).cast("double")
+                / F.greatest(F.size(lt), F.size(rt)).cast("double")
+            ),
+        )
+    )
+
+
+FEATURES = ["f_cosine", "f_jaccard", "f_containment", "f_len_ratio"]
+
+
+class MLlibMatcher:
+    """ERModel-contract matcher backed by an MLlib LogisticRegression
+    pipeline over the similarity feature block."""
+
+    def __init__(self, lprefix: str = LPREFIX, rprefix: str = RPREFIX):
+        self.lprefix = lprefix
+        self.rprefix = rprefix
+        self._model = None
+
+    def train(self, train_pairs: DataFrame, valid_pairs: DataFrame | None = None,
+              name: str = "mllib_matcher") -> "MLlibMatcher":
+        from pyspark.ml import Pipeline
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import VectorAssembler
+
+        feats = pair_features(train_pairs, self.lprefix, self.rprefix)
+        pipeline = Pipeline(
+            stages=[
+                VectorAssembler(inputCols=FEATURES, outputCol="features"),
+                LogisticRegression(
+                    featuresCol="features",
+                    labelCol="label",
+                    probabilityCol="_prob",
+                    predictionCol="_pred",
+                    rawPredictionCol="_raw",
+                ),
+            ]
+        )
+        self._model = pipeline.fit(feats.withColumn("label", F.col("label").cast("double")))
+        return self
+
+    def predict(self, pairs: DataFrame) -> DataFrame:
+        if self._model is None:
+            raise RuntimeError("train() or load() first")
+        feats = pair_features(pairs, self.lprefix, self.rprefix)
+        scored = self._model.transform(feats)
+        # probability vector -> two double columns (UD1 contract)
+        from pyspark.ml.functions import vector_to_array
+
+        arr = vector_to_array(F.col("_prob"))
+        return (
+            scored.withColumn("nomatch_score", arr.getItem(0))
+            .withColumn("match_score", arr.getItem(1))
+            .drop("_prob", "_pred", "_raw", "features", *FEATURES)
+        )
+
+    def evaluation(self, test_pairs: DataFrame) -> tuple[float, float, float]:
+        """(precision, recall, f1) at the 0.5 threshold."""
+        pred = self.predict(test_pairs).withColumn(
+            "_p", (F.col("match_score") > 0.5).cast("int")
+        )
+        agg = pred.agg(
+            F.sum(((F.col("_p") == 1) & (F.col("label") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("_p") == 1) & (F.col("label") == 0)).cast("long")).alias("fp"),
+            F.sum(((F.col("_p") == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+        ).collect()[0]
+        tp, fp, fn = agg["tp"], agg["fp"], agg["fn"]
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        return p, r, f1
+
+    def save(self, path: str) -> None:
+        self._model.write().overwrite().save(path)
+
+    def load(self, path: str) -> "MLlibMatcher":
+        from pyspark.ml import PipelineModel
+
+        self._model = PipelineModel.load(path)
+        return self

@@ -663,6 +663,23 @@ _Q_NGRAM_JACCARD_SQL = f"""
 """
 
 
+def q_tfidf_topk(spark, sf_dir) -> DataFrame:
+    """F16 — per-doc top-5 TF-IDF tokens (relational CountVectorizer+IDF
+    equivalent: explode -> df table -> broadcast join -> window)."""
+    from certa_spark.operators.summarize import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    return tfidf_topk(d, k=5)
+
+
+def _q_tfidf_sql() -> str:
+    from certa_spark.operators.summarize import duck_tfidf_topk_sql
+
+    return duck_tfidf_topk_sql(5).replace(
+        "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 9 = 0)"
+    )
+
+
 # ----------------------------------------------------- embeddings: ANN
 
 def q_knn_bruteforce(spark, sf_dir) -> DataFrame:
@@ -745,6 +762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_stats": q_embedding_stats,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -771,4 +789,5 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": _Q_NGRAM_JACCARD_SQL,
     "knn_bruteforce": _Q_KNN_SQL,
     "embedding_stats": _Q_EMBEDDING_STATS_SQL,
+    "tfidf_topk": _q_tfidf_sql(),
 }

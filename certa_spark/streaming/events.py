@@ -1,0 +1,111 @@
+"""Structured Streaming operators over the events stream (green-field —
+the reference has no streaming; SURVEY.md §2.10).
+
+Batch twins of these transformations are oracle-checked in
+certa_spark.queries (events_dedup / events_hourly); the streaming
+variants add watermarks for state cleanup so they run unbounded:
+
+  * watermarked_dedup   — exactly-once keyed dedup with bounded state
+  * windowed_counts     — tumbling/sliding event-time aggregation
+  * sessionized         — session windows per user
+  * streaming_pair_dedup— north-star streaming ER ingestion: drop
+                          duplicate candidate pairs inside the watermark
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def watermarked_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Keyed dedup with watermark-bounded state: late duplicates beyond
+    the watermark are dropped by state cleanup rather than growing
+    executor memory forever — the 100TB-stream requirement."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    win = (
+        F.window(ts_col, window) if slide is None else F.window(ts_col, window, slide)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_pair_dedup(
+    pair_stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """North-star streaming ER ingestion: candidate pairs arrive as a
+    stream; duplicates of (ltable_id, rtable_id) within the watermark
+    are dropped before the (expensive) matcher sees them."""
+    return pair_stream.withWatermark(ts_col, watermark).dropDuplicates(
+        ["ltable_id", "rtable_id"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_s: int = 120,
+    output_mode: str = "append",
+) -> None:
+    """Test/debug helper: drain all available input into an in-memory
+    table (Trigger.AvailableNow) and block until done. Use
+    ``output_mode='complete'`` for aggregations whose last windows the
+    watermark never closes in a finite run."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

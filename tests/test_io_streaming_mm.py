@@ -1,0 +1,197 @@
+"""IO sinks/sources, lattice DOT, streaming, multimodal plumbing,
+serialization formats, MLlib matcher, eval driver."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from certa_spark import io as IO
+from certa_spark.lattice import Lattice
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "entities")
+    df = spark.createDataFrame([(0, "a b", "10")], ["id", "name", "price"])
+    IO.write_experiment_csv(df, p)
+    assert IO.skip_if_exists(p)
+    back = IO.read_entity_csv(spark, p)
+    row = back.collect()[0]
+    assert row["id"] == 0 and row["name"] == "a b"
+    assert dict(back.dtypes)["id"] == "bigint"
+    assert dict(back.dtypes)["price"] == "string"  # stringly-typed contract
+
+
+def test_prediction_log_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "predlog")
+    df = spark.createDataFrame(
+        [(["a"], ["v1"], ["v2"], "0@1 1@2 0@3", 0.7, 0.3, 1)],
+        "alteredAttributes array<string>, droppedValues array<string>, "
+        "copiedValues array<string>, triangle string, match_score double, "
+        "nomatch_score double, depth int",
+    )
+    IO.write_prediction_log(df, p)
+    back = IO.read_prediction_log(spark, p)
+    assert back.count() == 1
+    assert back.collect()[0]["alteredAttributes"] == "a"
+
+
+def test_lattice_dot():
+    lat = Lattice(
+        elements=[frozenset(), frozenset({"a"}), frozenset({"a", "b"})],
+        ranks=[0.9, 0.3, 0.8],
+    )
+    dot = lat.hasse_dot()
+    assert dot.startswith("digraph G")
+    assert '"{a}" -> "{a, b}"' in dot
+    assert lat.top == frozenset({"a", "b"})
+    assert lat.bottom == frozenset()
+    assert lat.join(frozenset({"a"}), frozenset({"b"})) == frozenset({"a", "b"})
+    assert lat.meet(frozenset({"a"}), frozenset({"a", "b"})) == frozenset({"a"})
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    from certa_spark.streaming.events import watermarked_dedup
+
+    src = str(tmp_path / "stream_src")
+    rows = [
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 10:00:00", "click"),   # exact duplicate
+        (2, "2024-01-01 10:05:00", "view"),
+    ]
+    batch = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    deduped = watermarked_dedup(stream, ["user_id", "event_type"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_test").count()
+    assert got == 2
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from certa_spark.streaming.events import windowed_counts
+
+    src = str(tmp_path / "stream_src2")
+    rows = [
+        ("2024-01-01 10:01:00", "click", 1.0),
+        ("2024-01-01 10:20:00", "click", 2.0),
+        ("2024-01-01 11:05:00", "view", 3.0),
+    ]
+    batch = spark.createDataFrame(rows, ["ts", "event_type", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = windowed_counts(stream, "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wc_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], str(r["window_start"])): r["n"]
+        for r in spark.sql("SELECT * FROM wc_test").collect()
+    }
+    assert got[("click", "2024-01-01 10:00:00")] == 2
+    assert got[("view", "2024-01-01 11:00:00")] == 1
+
+
+def test_multimodal_plumbing(spark):
+    from certa_spark.operators.multimodal import (
+        extract_features,
+        make_fake_media,
+        sample_frames,
+    )
+
+    media = make_fake_media(spark, n=8, kind="image")
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 8
+    assert all(len(r["features"]) == 16 for r in rows)
+    # deterministic: same input -> same features
+    again = extract_features(media, dim=16).collect()
+    assert rows[0]["features"] == again[0]["features"]
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode="real")
+
+    vids = make_fake_media(spark, n=2, kind="video")
+    frames = sample_frames(vids, every_ms=500)
+    assert frames.count() == sum(
+        (1000 + i) // 500 + 1 for i in range(2)
+    )
+
+
+def test_serialization_formats(spark):
+    from certa_spark.functions.serialize import (
+        colval_pair,
+        mark_tokens,
+        unmark_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "widget", 2, "gadget")],
+        ["ltable_id", "ltable_name", "rtable_id", "rtable_name"],
+    )
+    s = df.select(colval_pair(df).alias("s")).collect()[0]["s"]
+    assert s == "COL name VAL widget \tCOL name VAL gadget "
+
+    marked = df.select(mark_tokens(F.col("ltable_name"), "L", 0).alias("m"))
+    assert marked.collect()[0]["m"] == "L0_widget"
+    um = marked.select(unmark_tokens(F.col("m")).alias("u")).collect()[0]["u"]
+    assert um == "widget"
+
+
+def test_mllib_matcher_train_eval_save_load(spark, er_tables, tmp_path):
+    from certa_spark.models import MLlibMatcher
+    from certa_spark.operators.pairs import merge_sources
+    from tests.fixtures import make_pairs
+
+    rows_a, rows_b, A, B = er_tables
+    pairs = spark.createDataFrame(
+        make_pairs(rows_a, rows_b), ["ltable_id", "rtable_id", "label"]
+    )
+    wide = merge_sources(pairs, A, B)
+    train, test = wide.randomSplit([0.7, 0.3], seed=1)
+    m = MLlibMatcher().train(train)
+    p, r, f1 = m.evaluation(test)
+    assert f1 > 0.5, (p, r, f1)  # corrupted-copy matches are learnable
+    scored = m.predict(test.limit(3))
+    assert {"match_score", "nomatch_score"} <= set(scored.columns)
+
+    path = str(tmp_path / "model")
+    m.save(path)
+    m2 = MLlibMatcher().load(path)
+    a = [r["match_score"] for r in m.predict(test.limit(5)).collect()]
+    b = [r["match_score"] for r in m2.predict(test.limit(5)).collect()]
+    assert a == b
+
+
+def test_eval_driver(spark, er_tables):
+    from certa_spark.eval import evaluate
+    from certa_spark.explainer import CertaExplainer
+    from certa_spark.matching import NativeCosineMatcher
+    from tests.fixtures import COLS
+
+    rows_a, rows_b, A, B = er_tables
+    ex = CertaExplainer(spark, A, B, data_augmentation="no")
+    instances = [
+        (dict(zip(COLS, rows_a[0])), dict(zip(COLS, rows_b[0]))),
+        (dict(zip(COLS, rows_a[1])), dict(zip(COLS, rows_b[1]))),
+    ]
+    out = evaluate(
+        spark, ex, instances, NativeCosineMatcher(), num_triangles=6, parallelism=2
+    )
+    assert len(out) == 2
+    assert (out["latency"] > 0).all()

@@ -29,7 +29,8 @@ B = spark.createDataFrame(rows_b, cols)
 ex = CertaExplainer(spark, A, B, data_augmentation="no")
 l = dict(zip(cols, rows_a[0]))
 r = dict(zip(cols, rows_b[0]))
-res = ex.explain(l, r, NativeCosineMatcher(), num_triangles=10)
+# num_triangles=2 -> scan batch 4 <= 5-row sources, so support is found
+res = ex.explain(l, r, NativeCosineMatcher(), num_triangles=2)
 print("saliency:\n", res.saliency)
 print("pss:\n", res.pss)
 print("cf_summary:\n", res.cf_summary)
