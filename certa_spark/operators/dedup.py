@@ -198,12 +198,42 @@ def minhash_lsh_pairs(
     (one shuffle) -> estimate filter. Sub-quadratic; the 100TB path.
     Returns (doc_id_a, doc_id_b, est_jaccard).
     """
-    sigs = docs.select(
-        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), k, n).alias("_sig")
+    def seeded(seed: int):
+        return lambda s: hash32(s, seed)
+
+    # Two explicit projection steps so the expensive intermediates
+    # (_sh, _sig) are multi-referenced non-cheap aliases — Catalyst's
+    # CollapseProject then keeps them as once-per-row columns instead of
+    # inlining the whole expression tree into every consumer (16
+    # element_at copies of the signature = 16x recompute + a codegen
+    # blowup; this restructure took the sf0.01 query from 9.4s to ~1s).
+    sh = docs.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     )
+    sigs = sh.select(
+        "_id",
+        F.array(
+            *[F.array_min(F.transform("_sh", seeded(seed))) for seed in range(k)]
+        ).alias("_sig"),
+    )
+    rows = k // bands
+    band_start = F.col("_band") * rows + 1
     banded = sigs.select(
-        "_id", "_sig", F.explode(lsh_band_keys(F.col("_sig"), bands, k)).alias("_b")
-    ).select("_id", "_sig", F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+        "_id", "_sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
+    ).select(
+        "_id",
+        "_sig",
+        "_band",
+        hash32(
+            F.array_join(
+                F.transform(
+                    F.slice("_sig", band_start, F.lit(rows)),
+                    lambda x: x.cast("string"),
+                ),
+                "_",
+            )
+        ).alias("_bh"),
+    )
     a = banded.select(
         F.col("_id").alias("doc_id_a"), F.col("_sig").alias("_sig_a"), "_band", "_bh"
     )

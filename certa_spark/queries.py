@@ -736,6 +736,316 @@ _Q_EMBEDDING_STATS_SQL = f"""
 """
 
 
+# --------------------------------------- LSH near-dup / ANN scale paths
+
+def q_minhash_lsh_neardup(spark, sf_dir) -> DataFrame:
+    """MinHash+LSH near-dup join (shingle -> minhash -> band -> bucket
+    equi-join). Corpus = every 5th doc plus a last-token-dropped variant
+    of each (guaranteed near-dups), so the banding path is exercised
+    with non-trivial matches."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    variant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    corpus = d.unionByName(variant)
+    return DD.minhash_lsh_pairs(corpus, threshold=0.5)
+
+
+def _duck_band_hash(rows: int = 4) -> str:
+    band_concat = " || '_' || ".join(
+        f"CAST(sig[band * {rows} + {i + 1}] AS VARCHAR)" for i in range(rows)
+    )
+    from certa_spark.functions.hashing import duck_hash32
+
+    return duck_hash32(band_concat)
+
+
+_Q_MINHASH_LSH_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
+        FROM base
+    ),
+    sigs AS (
+        SELECT doc_id, {DD.duck_minhash_signature('text')} AS sig FROM corpus
+    ),
+    banded AS (
+        SELECT doc_id, sig, band, {_duck_band_hash()} AS bh
+        FROM sigs CROSS JOIN (SELECT unnest(range(0, {DD.LSH_BANDS})) AS band) bb
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
+                 i -> sa[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) AS est_jaccard
+    FROM cand
+    WHERE round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
+          i -> sa[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) >= 0.5
+"""
+
+
+# deterministic hyperplanes shared verbatim by Spark and the oracle
+_ANN_DIM = 64
+_ANN_PLANES = [
+    [float(((i * 7 + j * 13) % 11) - 5) for j in range(_ANN_DIM)] for i in range(6)
+]
+
+
+def q_knn_lsh_ann(spark, sf_dir) -> DataFrame:
+    """Hyperplane-LSH ANN: candidates restricted to the probe's sign
+    bucket (equi-join), the sub-quadratic scale path next to
+    knn_bruteforce."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.filter(F.col("vec_id") % 97 == 0)
+    return SIM.knn_lsh(e, probes, _ANN_PLANES, k=3)
+
+
+def _duck_ann_bucket(emb: str) -> str:
+    cases = []
+    for i, plane in enumerate(_ANN_PLANES):
+        lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        d = (
+            f"list_aggregate(list_transform(range(1, {_ANN_DIM} + 1), "
+            f"j -> CAST({emb}[j] AS DOUBLE) * ({lit}[j])), 'sum')"
+        )
+        cases.append(f"(CASE WHEN ({d}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(cases) + " AS BIGINT)"
+
+
+_Q_KNN_LSH_SQL = f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_duck_ann_bucket('embedding')} AS bkt
+        FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, embedding AS pv, bkt FROM b WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bkt FROM b),
+    scored AS (
+        SELECT probe_id, neighbor_id,
+               round({SIM.duck_cosine('pv', 'cv')}, 6) AS sim
+        FROM c JOIN p USING (bkt)
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+           sim
+    FROM scored
+    QUALIFY rank <= 3
+"""
+
+
+# -------------------------------------- augmentation / serialization
+
+def q_augment_variants(spark, sf_dir) -> DataFrame:
+    """F7/UD5 — token-drop augmentation (generate_modified) over part
+    names: one explode, no Python loops."""
+    from certa_spark.operators.augment import generate_modified
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 50 == 0)
+        .select(F.col("p_partkey").alias("id"), "p_name")
+    )
+    return generate_modified(p, attrs=["p_name"], start_id=0)
+
+
+_Q_AUGMENT_SQL = r"""
+    WITH base AS (
+        SELECT p_partkey AS src_id, p_name FROM part WHERE p_partkey % 50 = 0
+    ),
+    toks AS (
+        SELECT src_id,
+               list_filter(regexp_split_to_array(p_name, '\s+'), t -> t <> '') AS w
+        FROM base
+    ),
+    cuts AS (
+        SELECT src_id, w, unnest(range(1, len(w))) AS cut FROM toks
+    ),
+    variants AS (
+        SELECT src_id, cut, 0 AS v,
+               array_to_string(w[cut + 1:len(w)], ' ') AS p_name
+        FROM cuts
+        UNION ALL
+        SELECT src_id, cut, 1 AS v,
+               array_to_string(w[1:cut], ' ') AS p_name
+        FROM cuts
+    )
+    SELECT CAST(row_number() OVER (ORDER BY src_id, cut, v) - 1 AS BIGINT) AS id,
+           p_name
+    FROM variants
+"""
+
+
+def q_ditto_serialize(spark, sf_dir) -> DataFrame:
+    """F15 — Ditto COL/VAL pair serialization of matched ER pairs."""
+    from certa_spark.functions.serialize import colval_pair
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("decimal(12,2)").alias("acctbal"),
+    )
+    merged = merge_sources(_er_pairs(spark, sf_dir), c, s).filter(
+        F.col("label") == 1
+    )
+    return merged.select(
+        "ltable_id", "rtable_id", colval_pair(merged).alias("ditto_line")
+    )
+
+
+_Q_DITTO_SQL = f"""
+    WITH pairs AS ({_ER_PAIRS_SQL})
+    SELECT p.ltable_id, p.rtable_id,
+           'COL name VAL ' || coalesce(c.c_name, '') ||
+           ' COL segment VAL ' || coalesce(c.c_mktsegment, '') ||
+           ' COL acctbal VAL ' || coalesce(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS VARCHAR), '') ||
+           ' ' || chr(9) ||
+           'COL name VAL ' || coalesce(s.s_name, '') ||
+           ' COL acctbal VAL ' || coalesce(CAST(CAST(s.s_acctbal AS DECIMAL(12,2)) AS VARCHAR), '') ||
+           ' ' AS ditto_line
+    FROM pairs p
+    JOIN customer c ON p.ltable_id = c.c_custkey
+    JOIN supplier s ON p.rtable_id = s.s_suppkey
+    WHERE p.label = 1
+"""
+
+
+def q_marked_tokens(spark, sf_dir) -> DataFrame:
+    """F18 — L0_/R1_ side-markup encode + decode round-trip."""
+    from certa_spark.functions.serialize import mark_tokens, unmark_tokens
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    marked = mark_tokens(F.col("p_name"), "L", 0)
+    return p.select(
+        "p_partkey",
+        marked.alias("marked"),
+        unmark_tokens(marked).alias("unmarked"),
+    )
+
+
+_Q_MARKED_SQL = r"""
+    WITH t AS (
+        SELECT p_partkey,
+               array_to_string(list_transform(
+                   list_filter(regexp_split_to_array(p_name, '\s+'), x -> x <> ''),
+                   x -> 'L0_' || x), ' ') AS marked
+        FROM part WHERE p_partkey % 40 = 0
+    )
+    SELECT p_partkey, marked,
+           regexp_replace(marked, '\b[LR]\d+_', '', 'g') AS unmarked
+    FROM t
+"""
+
+
+# ------------------------------------------------- sessionization
+
+def q_events_sessionized(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization (batch twin of the streaming
+    session_window operator): lag + running boundary sum, one shuffle."""
+    from certa_spark.streaming.events import sessionize_batch
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 20 == 0)
+    return sessionize_batch(e, gap_ns=30 * 60 * 1_000_000_000)
+
+
+_Q_SESSION_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns
+        FROM events WHERE user_id % 20 = 0
+    ),
+    s AS (
+        SELECT user_id, value, ts_ns, event_id,
+               CASE WHEN lag(ts_ns) OVER w IS NULL
+                         OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                    THEN 1 ELSE 0 END AS b
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    ),
+    t AS (
+        SELECT user_id, value,
+               CAST(sum(b) OVER (PARTITION BY user_id
+                    ORDER BY ts_ns, event_id) AS BIGINT) AS session_id
+        FROM s
+    )
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_value
+    FROM t GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------- multimodal plumbing
+
+def _doc_media(spark, sf_dir, kind: str, modulo: int = 25) -> DataFrame:
+    """Documents cast as a media table (binary content + typed metadata)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % modulo == 0)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(f"{kind}/fake").alias("mime"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(48).cast("int").alias("height"),
+        F.col("n_chars").alias("duration_ms"),
+    )
+
+
+def q_media_frame_grid(spark, sf_dir) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled timestamp
+    (JVM-side explode of the timestamp grid; decode is the stub seam)."""
+    from certa_spark.operators.multimodal import sample_frames
+
+    media = _doc_media(spark, sf_dir, "video")
+    return sample_frames(media, every_ms=100).select(
+        "media_id", "frame_ts_ms", "mime"
+    )
+
+
+_Q_FRAME_GRID_SQL = """
+    SELECT doc_id AS media_id,
+           unnest(range(0, n_chars + 1, 100)) AS frame_ts_ms,
+           'video/fake' AS mime
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    (deterministic fake encoder — genuinely non-SQL, weak rows-only
+    driver check by design)."""
+    from certa_spark.operators.multimodal import extract_features
+
+    media = _doc_media(spark, sf_dir, "image")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        F.size("features").cast("long").alias("n_features"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("feat_sum"),
+    )
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -763,6 +1073,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_stats": q_embedding_stats,
     "tfidf_topk": q_tfidf_topk,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "knn_lsh_ann": q_knn_lsh_ann,
+    "augment_variants": q_augment_variants,
+    "ditto_serialize": q_ditto_serialize,
+    "marked_tokens": q_marked_tokens,
+    "events_sessionized": q_events_sessionized,
+    "media_frame_grid": q_media_frame_grid,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -790,4 +1108,13 @@ ORACLES: dict[str, str] = {
     "knn_bruteforce": _Q_KNN_SQL,
     "embedding_stats": _Q_EMBEDDING_STATS_SQL,
     "tfidf_topk": _q_tfidf_sql(),
+    "minhash_lsh_neardup": _Q_MINHASH_LSH_SQL,
+    "knn_lsh_ann": _Q_KNN_LSH_SQL,
+    "augment_variants": _Q_AUGMENT_SQL,
+    "ditto_serialize": _Q_DITTO_SQL,
+    "marked_tokens": _Q_MARKED_SQL,
+    "events_sessionized": _Q_SESSION_SQL,
+    "media_frame_grid": _Q_FRAME_GRID_SQL,
+    # media_features: intentionally no oracle (mapInPandas encoder stub
+    # is not SQL-expressible; driver records the weaker rows-only check)
 }

@@ -109,3 +109,38 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_ns: int = 30 * 60 * 1_000_000_000,
+    user_col: str = "user_id",
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """Batch twin of :func:`sessionized` — gap-based sessions via
+    lag + running sum of session boundaries.
+
+    One shuffle on ``user_col`` serves both window passes (same
+    partitioning), then one partial+final aggregation per session.
+    Returns (user_id, session_id, n_events, sum_value) where
+    ``session_id`` is the per-user 1-based session index.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_ns_col, "event_id")
+    prev = F.lag(ts_ns_col).over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col(ts_ns_col) - prev > gap_ns), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = events.withColumn(
+        "session_id", F.sum(boundary).over(w).cast("long")
+    )
+    return (
+        with_sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -195,3 +195,57 @@ def test_eval_driver(spark, er_tables):
     )
     assert len(out) == 2
     assert (out["latency"] > 0).all()
+
+
+def test_sessionize_batch_gap_split(spark):
+    from certa_spark.streaming.events import sessionize_batch
+
+    rows = [
+        # user 1: two events 10 min apart (one session), then one 2h later
+        (1, 1, 0, 10.0),
+        (2, 1, 600 * 10**9, 5.0),
+        (3, 1, 8000 * 10**9, 1.0),
+        # user 2: single event
+        (4, 2, 0, 7.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, value double"
+    )
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(e).collect()
+    }
+    assert out == {(1, 1): (2, 15.0), (1, 2): (1, 1.0), (2, 1): (1, 7.0)}
+
+
+def test_minhash_lsh_finds_exact_dup(spark):
+    from certa_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated text about spark catalyst optimizer internals"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).collect()
+    assert [(p["doc_id_a"], p["doc_id_b"], p["est_jaccard"]) for p in pairs] == [
+        (1, 2, 1.0)
+    ]
+
+
+def test_knn_lsh_self_neighbor(spark):
+    from certa_spark.operators.similarity import knn_lsh
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, -0.1, 0.0, 0.0]),
+        (2, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = knn_lsh(e, e.filter("vec_id = 0"), planes, k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    # vec 2 is in the opposite sign bucket -> excluded by LSH
+    assert got == [(0, 1), (1, 2)]
