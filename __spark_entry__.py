@@ -20,20 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full CERTA saliency explanation of one customer/supplier
+    """Flagship: full CERTA saliency explanation of one part-vs-variant
     pair over /root/testdata/sf0.001 with the deterministic native
     matcher (SURVEY.md §3.1 pipeline, end-to-end)."""
-    from pyspark.sql import functions as F
-
     from certa_spark.explainer import CertaExplainer
     from certa_spark.matching import NativeCosineMatcher
     from certa_spark.queries import _er_sources
 
     sf_dir = "/root/testdata/sf0.001"
-    cust, supp = _er_sources(spark, sf_dir)
-    explainer = CertaExplainer(spark, cust, supp, data_augmentation="no")
-    l_rec = {k: v for k, v in zip(cust.columns, cust.orderBy("id").first())}
-    r_rec = {k: v for k, v in zip(supp.columns, supp.orderBy("id").first())}
+    lsource, rsource = _er_sources(spark, sf_dir)
+    explainer = CertaExplainer(spark, lsource, rsource, data_augmentation="no")
+    l_rec = {k: v for k, v in zip(lsource.columns, lsource.orderBy("id").first())}
+    r_rec = {k: v for k, v in zip(rsource.columns, rsource.orderBy("id").first())}
     result = explainer.explain(
         l_rec, r_rec, NativeCosineMatcher(), num_triangles=10
     )

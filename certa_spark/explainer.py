@@ -101,7 +101,15 @@ class CertaExplainer:
             lprefix=lprefix, rprefix=rprefix, use_w=left, use_q=right,
             max_predict=max_predict, use_all=self.use_all, seed=self.seed,
         )
-        support_pairs = support_pairs.cache()
+        # Tiny frames: repartition(1) (NOT coalesce — that would collapse
+        # the upstream scan stages' parallelism) and localCheckpoint to
+        # truncate lineage. The logical plan accumulated across support
+        # scan -> triangles -> depth loop -> aggregations grows so large
+        # that Catalyst re-analysis per action dominates wall-clock
+        # (28s of a 42s explain was driver-side plan analysis in
+        # toPandas); checkpointing each tiny intermediate resets the
+        # plan to a leaf. Data is <= a few hundred rows at every cut.
+        support_pairs = support_pairs.repartition(1).localCheckpoint()
         if attr_length <= 0:
             attr_length = min(len(l_tuple) - 1, len(r_tuple) - 1)
         if support_pairs.count() == 0:
@@ -117,7 +125,7 @@ class CertaExplainer:
         ext_l, ext_r = ext_l.cache(), ext_r.cache()
 
         # 4. triangle enumeration (triangles_method.py:25-53)
-        tri = T.mixed_triangles(support_pairs).cache()
+        tri = T.mixed_triangles(support_pairs).repartition(1).localCheckpoint()
         tri_rows = tri.collect()
         n_triangles = len(tri_rows)
         if n_triangles == 0:
@@ -127,16 +135,16 @@ class CertaExplainer:
         flipped, rankings, _all_pred = T.perturb_predict(
             spark, tri, ext_l, ext_r, matcher, pc, attr_length, lprefix, rprefix
         )
-        flipped = flipped.cache()
-        rankings = rankings.cache()
+        flipped = flipped.repartition(2).localCheckpoint()
+        rankings = rankings.repartition(1).localCheckpoint()
         n_flipped = flipped.count()
 
-        explanation = T.aggregate_rankings(rankings, n_triangles, attr_length).cache()
+        explanation = T.aggregate_rankings(rankings, n_triangles, attr_length).repartition(1).localCheckpoint()
         attributes = [lprefix + c for c in self.lsource.columns if c != "id"] + [
             rprefix + c for c in self.rsource.columns if c != "id"
         ]
         sal = T.saliency(rankings, attributes, n_triangles, n_flipped)
-        summary = T.cf_summary(explanation)
+        summary = T.cf_summary(explanation).repartition(1).localCheckpoint()
         cfs = T.counterfactuals(flipped, summary)
 
         pss_pdf = explanation.select("attr_set", "pss").toPandas()

@@ -110,47 +110,89 @@ def perturbations_at_depth(
     attribute columns (ids dropped) + alteredAttributes/droppedValues/
     copiedValues arrays + triangle string.
     """
+    resolved = resolve_triangle_records(
+        triangles, lsource, rsource, lprefix, rprefix
+    )
+    return perturbations_from_resolved(
+        resolved, lsource, rsource, depth, class_to_explain, lprefix, rprefix
+    )
+
+
+def resolve_triangle_records(
+    triangles: DataFrame,
+    lsource: DataFrame,
+    rsource: DataFrame,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> dict[str, DataFrame]:
+    """J4 — resolve triangle members (u=pivot, v=anchor, w=free) to full
+    records, once per side. Returns {'left': df, 'right': df}.
+
+    Join direction matters at scale: the triangle table is ≤ a few
+    hundred rows while sources can be arbitrarily large, so the
+    *triangle* side is broadcast into each source scan (3 broadcast
+    joins of a tiny dim per side) — never the reverse. Callers should
+    cache+coalesce the two outputs and reuse them across the depth loop
+    (perturb_predict does) instead of re-joining per depth.
+    """
+    l_attrs = [c for c in lsource.columns if c != "id"]
+    r_attrs = [c for c in rsource.columns if c != "id"]
+    out = {}
+    for side in ("left", "right"):
+        tri = triangles.filter(F.col("side") == side)
+        if side == "left":
+            pivot_src, anchor_src = lsource, rsource
+            pivot_attrs, anchor_attrs = l_attrs, r_attrs
+        else:
+            pivot_src, anchor_src = rsource, lsource
+            pivot_attrs, anchor_attrs = r_attrs, l_attrs
+
+        u = pivot_src.select(
+            F.col("id").alias("_uid"),
+            *[F.col(c).cast("string").alias("u_" + c) for c in pivot_attrs],
+        )
+        w = pivot_src.select(
+            F.col("id").alias("_wid"),
+            *[F.col(c).cast("string").alias("w_" + c) for c in pivot_attrs],
+        )
+        v = anchor_src.select(
+            F.col("id").alias("_vid"),
+            *[F.col(c).cast("string").alias("v_" + c) for c in anchor_attrs],
+        )
+        tri_keys = (
+            tri.withColumn("_uid", _member_id(F.col("pivot")))
+            .withColumn("_vid", _member_id(F.col("anchor")))
+            .withColumn("_wid", _member_id(F.col("free")))
+        )
+        j1 = u.join(F.broadcast(tri_keys), "_uid")
+        j2 = w.join(F.broadcast(j1), "_wid")
+        out[side] = v.join(F.broadcast(j2), "_vid")
+    return out
+
+
+def perturbations_from_resolved(
+    resolved: dict[str, DataFrame],
+    lsource: DataFrame,
+    rsource: DataFrame,
+    depth: int,
+    class_to_explain: int,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> DataFrame:
+    """Explode the depth-``depth`` attribute subsets over pre-resolved
+    triangle records (no joins — narrow stage only)."""
     l_attrs = [c for c in lsource.columns if c != "id"]
     r_attrs = [c for c in rsource.columns if c != "id"]
 
     out = []
     for side in ("left", "right"):
-        tri = triangles.filter(F.col("side") == side)
         if side == "left":
-            pivot_src, anchor_src = lsource, rsource
             pivot_pfx, anchor_pfx = lprefix, rprefix
             pivot_attrs, anchor_attrs = l_attrs, r_attrs
         else:
-            pivot_src, anchor_src = rsource, lsource
             pivot_pfx, anchor_pfx = rprefix, lprefix
             pivot_attrs, anchor_attrs = r_attrs, l_attrs
-
-        u = F.broadcast(
-            pivot_src.select(
-                F.col("id").alias("_uid"),
-                *[F.col(c).cast("string").alias("u_" + c) for c in pivot_attrs],
-            )
-        )
-        w = F.broadcast(
-            pivot_src.select(
-                F.col("id").alias("_wid"),
-                *[F.col(c).cast("string").alias("w_" + c) for c in pivot_attrs],
-            )
-        )
-        v = F.broadcast(
-            anchor_src.select(
-                F.col("id").alias("_vid"),
-                *[F.col(c).cast("string").alias("v_" + c) for c in anchor_attrs],
-            )
-        )
-        joined = (
-            tri.withColumn("_uid", _member_id(F.col("pivot")))
-            .withColumn("_vid", _member_id(F.col("anchor")))
-            .withColumn("_wid", _member_id(F.col("free")))
-            .join(u, "_uid")
-            .join(w, "_wid")
-            .join(v, "_vid")
-        )
+        joined = resolved[side]
         # subsets are over *prefixed* attr names (triangles_method.py:211-212)
         subsets = _subsets_literal([pivot_pfx + c for c in pivot_attrs], depth)
         exploded = joined.withColumn("alteredAttributes", F.explode(subsets))
@@ -241,30 +283,44 @@ def perturb_predict(
         the reference which only logs real predictions).
     """
     triangles = triangles.cache()
+    # resolve triangle-member records ONCE (3 broadcast joins per side),
+    # collapse to a few partitions (the frame is <= 3*num_triangles
+    # rows), and reuse across every depth — the per-depth work is then
+    # a narrow explode with no joins and no wide task fan-out.
+    resolved = {
+        side: df.repartition(2).localCheckpoint()  # truncate lineage; keep scan parallel
+        for side, df in resolve_triangle_records(
+            triangles, lsource, rsource, lprefix, rprefix
+        ).items()
+    }
     flipped_parts: list[DataFrame] = []
     ranking_parts: list[DataFrame] = []
     predicted_parts: list[DataFrame] = []
     all_good = False
 
     for depth in range(1, attr_length):
-        pert = perturbations_at_depth(
-            triangles, lsource, rsource, depth, class_to_explain, lprefix, rprefix
+        pert = perturbations_from_resolved(
+            resolved, lsource, rsource, depth, class_to_explain, lprefix, rprefix
         )
         if not all_good:
-            predicted = matcher.predict(pert).cache()
-            n_pert = predicted.count()
+            predicted = matcher.predict(pert).localCheckpoint()
+            stats = predicted.agg(
+                F.count("*").alias("n"),
+                F.sum(flip_condition(class_to_explain).cast("long")).alias("nf"),
+            ).collect()[0]
+            n_pert = stats["n"]
             if n_pert == 0:
                 continue
             flipped = predicted.filter(flip_condition(class_to_explain))
             predicted_parts.append(predicted.withColumn("depth", F.lit(depth)))
-            n_flipped = flipped.count()
+            n_flipped = stats["nf"]
         else:
             # synthesized scores: everything counts as flipped
             # (triangles_method.py:309-319)
             match_syn = 1.0 if class_to_explain == 0 else 0.0
             predicted = pert.withColumn(
                 "match_score", F.lit(match_syn)
-            ).withColumn("nomatch_score", F.lit(1.0 - match_syn))
+            ).withColumn("nomatch_score", F.lit(1.0 - match_syn)).cache()
             n_pert = predicted.count()
             if n_pert == 0:
                 continue
@@ -293,8 +349,8 @@ def perturb_predict(
     empty_rank = spark.createDataFrame(
         [], "alteredAttributes array<string>, flips long, depth int"
     )
-    pert0 = perturbations_at_depth(
-        triangles, lsource, rsource, 1, class_to_explain, lprefix, rprefix
+    pert0 = perturbations_from_resolved(
+        resolved, lsource, rsource, 1, class_to_explain, lprefix, rprefix
     )
     empty_pred = (
         pert0.withColumn("match_score", F.lit(0.0))

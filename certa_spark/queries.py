@@ -77,17 +77,27 @@ def _duck_dec_avg(expr: str, scale: int = 6) -> str:
 # --------------------------------------------------------------------------
 
 def _er_sources(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_name").alias("name"),
-        F.col("c_mktsegment").alias("mktsegment"),
+    """ER cast for the flagship explain: lsource = parts, rsource =
+    last-token-dropped variants of the same parts. This yields a real
+    near-match distribution for the deterministic cosine matcher —
+    same-part variants score ~0.8 (match), same-type other parts ~0.4
+    (non-match), unrelated ~0 — so support search finds both classes
+    and triangles actually form. (The earlier customer-vs-supplier cast
+    was degenerate: the two tables share no [a-z]+ tokens, the matcher
+    predicted non-match everywhere, and explain() returned 0 triangles.)
+    """
+    p = _t(spark, sf_dir, "part")
+    left = p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_type").alias("type"),
     )
-    supp = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("id"),
-        F.col("s_name").alias("name"),
-        F.col("s_nationkey").cast("string").alias("mktsegment"),
+    right = p.select(
+        F.col("p_partkey").alias("id"),
+        F.regexp_replace("p_name", r"\s+\S+\s*$", "").alias("name"),
+        F.col("p_type").alias("type"),
     )
-    return cust, supp
+    return left, right
 
 
 def _er_pairs(spark, sf_dir) -> DataFrame:
