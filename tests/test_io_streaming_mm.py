@@ -249,3 +249,50 @@ def test_knn_lsh_self_neighbor(spark):
     got = [(r["neighbor_id"], r["rank"]) for r in out]
     # vec 2 is in the opposite sign bucket -> excluded by LSH
     assert got == [(0, 1), (1, 2)]
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from certa_spark.streaming.events import run_to_memory, sessionized
+
+    src = str(tmp_path / "stream_src3")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),   # same session (gap 30m)
+        (1, "2024-01-01 12:00:00", 4.0),   # new session
+        (2, "2024-01-01 10:00:00", 8.0),
+    ]
+    batch = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    run_to_memory(sessionized(stream, "30 minutes"), "sess_test", output_mode="complete")
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] == (2, 3.0)
+    assert got[(1, "2024-01-01 12:00:00")] == (1, 4.0)
+    assert got[(2, "2024-01-01 10:00:00")] == (1, 8.0)
+
+
+def test_streaming_pair_dedup(spark, tmp_path):
+    from certa_spark.streaming.events import run_to_memory, streaming_pair_dedup
+
+    src = str(tmp_path / "stream_src4")
+    rows = [
+        (1, 10, "2024-01-01 10:00:00"),
+        (1, 10, "2024-01-01 10:05:00"),   # duplicate pair inside watermark
+        (2, 20, "2024-01-01 10:00:00"),
+    ]
+    batch = spark.createDataFrame(
+        rows, ["ltable_id", "rtable_id", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    run_to_memory(streaming_pair_dedup(stream), "pair_dedup_test")
+    pairs = sorted(
+        (r["ltable_id"], r["rtable_id"])
+        for r in spark.sql("SELECT * FROM pair_dedup_test").collect()
+    )
+    assert pairs == [(1, 10), (2, 20)]
