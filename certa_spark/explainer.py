@@ -31,6 +31,7 @@ class Explanation:
     counterfactuals: pd.DataFrame
     triangles: list[tuple[str, str, str]]
     cf_summary: pd.Series = field(default_factory=pd.Series)
+    lattices: list = field(default_factory=list)
     # Spark-side handles for further composition
     saliency_dict: dict[str, float] = field(default_factory=dict)
     counterfactuals_df: DataFrame | None = None
@@ -84,6 +85,7 @@ class CertaExplainer:
         lprefix: str = LPREFIX,
         rprefix: str = RPREFIX,
         max_predict: int = -1,
+        debug: bool = False,
     ) -> Explanation:
         spark = self.spark
         if matcher is None:
@@ -132,7 +134,7 @@ class CertaExplainer:
             return Explanation(pd.DataFrame(), pd.Series(dtype=float), pd.DataFrame(), [])
 
         # 5. depth loop + aggregations
-        flipped, rankings, _all_pred = T.perturb_predict(
+        flipped, rankings, all_pred = T.perturb_predict(
             spark, tri, ext_l, ext_r, matcher, pc, attr_length, lprefix, rprefix
         )
         flipped = flipped.repartition(2).localCheckpoint()
@@ -146,6 +148,17 @@ class CertaExplainer:
         sal = T.saliency(rankings, attributes, n_triangles, n_flipped)
         summary = T.cf_summary(explanation).repartition(1).localCheckpoint()
         cfs = T.counterfactuals(flipped, summary)
+
+        lattices: list = []
+        if debug:
+            # debug lattices (explain.py:79-153): regroup the prediction
+            # log per triangle driver-side; the reference's CSV round-trip
+            # (S3) is skipped — the log DataFrame is collected directly.
+            from certa_spark.lattice import lattices_from_predictions
+
+            lattices = lattices_from_predictions(
+                all_pred.collect(), attributes, float(scores["match_score"])
+            )
 
         pss_pdf = explanation.select("attr_set", "pss").toPandas()
         summary_pdf = summary.select("attr_set", "pss").toPandas()
@@ -167,6 +180,7 @@ class CertaExplainer:
             cf_summary=pd.Series(
                 data=summary_pdf["pss"].values, index=summary_pdf["attr_set"].values
             ),
+            lattices=lattices,
             saliency_dict=sal,
             counterfactuals_df=cfs,
             pss_df=explanation,

@@ -101,3 +101,27 @@ def test_empty_when_no_support(spark, er_tables):
     res = ex.explain(l, r, NativeCosineMatcher(), num_triangles=200)
     assert len(res.triangles) == 0
     assert len(res.saliency) == 0
+
+
+def test_explain_debug_lattices(spark, er_tables):
+    from certa_spark.explainer import CertaExplainer
+    from certa_spark.matching import NativeCosineMatcher
+    from tests.fixtures import COLS
+
+    rows_a, rows_b, A, B = er_tables
+    ex = CertaExplainer(spark, A, B, data_augmentation="no")
+    res = ex.explain(
+        dict(zip(COLS, rows_a[0])),
+        dict(zip(COLS, rows_b[0])),
+        NativeCosineMatcher(),
+        num_triangles=4,
+        debug=True,
+    )
+    assert len(res.lattices) == len(
+        {t for t in (lat.triangle for lat in res.lattices)}
+    )
+    if res.lattices:
+        lat = res.lattices[0]
+        dot = lat.hasse_dot()
+        assert dot.startswith("digraph G")
+        assert lat.bottom == frozenset()
