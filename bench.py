@@ -31,9 +31,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     timings: dict[str, float] = {}
-    # warm the JVM/catalyst once so per-query numbers measure the plan,
-    # not session startup
-    spark.range(1).count()
+    # warm the JVM + the codegen paths the headline queries share
+    # (broadcast join, window, explode, regexp) so the first timed query
+    # measures its plan rather than one-time session/compiler startup
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = spark.range(100).withColumnRenamed("id", "k")
+    (
+        w.join(F.broadcast(w.limit(10)), "k")
+        .withColumn("r", F.row_number().over(Window.orderBy("k")))
+        .withColumn("t", F.explode(F.split(F.lit("a b c"), " ")))
+        .withColumn("m", F.md5(F.col("k").cast("string")))
+        .count()
+    )
 
     for name, fn in QUERIES.items():
         t0 = time.time()

@@ -746,6 +746,34 @@ _Q_EMBEDDING_STATS_SQL = f"""
 """
 
 
+def q_tpch_q4(spark, sf_dir) -> DataFrame:
+    """TPC-H Q4 — EXISTS correlated subquery as a left-semi join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+_Q_TPCH_Q4_SQL = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------- LSH near-dup / ANN scale paths
 
 def q_minhash_lsh_neardup(spark, sf_dir) -> DataFrame:
@@ -1065,6 +1093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_flip_ranking": q_er_flip_ranking,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "top_orders_per_customer": q_top_orders_per_customer,
     "orders_except": q_orders_except,
@@ -1100,6 +1129,7 @@ ORACLES: dict[str, str] = {
     "er_flip_ranking": _Q_ER_FLIP_RANKING_SQL,
     "tpch_q1": _Q_TPCH_Q1_SQL,
     "tpch_q3": _Q_TPCH_Q3_SQL,
+    "tpch_q4": _Q_TPCH_Q4_SQL,
     "tpch_q5": _Q_TPCH_Q5_SQL,
     "top_orders_per_customer": _Q_TOP_ORDERS_SQL,
     "orders_except": _Q_ORDERS_EXCEPT_SQL,
