@@ -125,3 +125,27 @@ def test_explain_debug_lattices(spark, er_tables):
         dot = lat.hasse_dot()
         assert dot.startswith("digraph G")
         assert lat.bottom == frozenset()
+
+
+def test_explain_pandas_adapter_matches_native(spark, er_tables):
+    """UD1 — an arbitrary pandas predict_fn wrapped in mapInPandas must
+    yield the same explanation as the JVM-side Column matcher (the two
+    compute identical scores by construction)."""
+    from certa_spark.explainer import CertaExplainer
+    from certa_spark.matching import NativeCosineMatcher, PandasPredictAdapter
+    from tests.fixtures import COLS
+
+    rows_a, rows_b, A, B = er_tables
+    ex = CertaExplainer(spark, A, B, data_augmentation="no")
+    l_rec = dict(zip(COLS, rows_a[0]))
+    r_rec = dict(zip(COLS, rows_b[0]))
+
+    native = NativeCosineMatcher()
+    adapted = PandasPredictAdapter(predict_fn=native.predict_pandas)
+
+    res_n = ex.explain(l_rec, r_rec, native, num_triangles=4)
+    res_a = ex.explain(l_rec, r_rec, adapted, num_triangles=4)
+
+    assert res_n.saliency_dict == res_a.saliency_dict
+    assert sorted(res_n.triangles) == sorted(res_a.triangles)
+    assert dict(res_n.pss) == dict(res_a.pss)
