@@ -103,15 +103,14 @@ class CertaExplainer:
             lprefix=lprefix, rprefix=rprefix, use_w=left, use_q=right,
             max_predict=max_predict, use_all=self.use_all, seed=self.seed,
         )
-        # Tiny frames: repartition(1) (NOT coalesce — that would collapse
-        # the upstream scan stages' parallelism) and localCheckpoint to
-        # truncate lineage. The logical plan accumulated across support
-        # scan -> triangles -> depth loop -> aggregations grows so large
-        # that Catalyst re-analysis per action dominates wall-clock
-        # (28s of a 42s explain was driver-side plan analysis in
-        # toPandas); checkpointing each tiny intermediate resets the
-        # plan to a leaf. Data is <= a few hundred rows at every cut.
-        support_pairs = support_pairs.repartition(1).localCheckpoint()
+        # Tiny frames: plain cache() is enough here because lineage is
+        # already truncated at the scan output (scan_candidates_dual
+        # localCheckpoints its prediction frame) — without that leaf,
+        # per-action Catalyst re-analysis of the accumulated plan
+        # dominated wall-clock (28s of a 42s explain). Each extra
+        # localCheckpoint costs one materialization job (~0.3s), so only
+        # the cuts below the big scans keep one.
+        support_pairs = support_pairs.repartition(1).cache()
         if attr_length <= 0:
             attr_length = min(len(l_tuple) - 1, len(r_tuple) - 1)
         if support_pairs.count() == 0:
@@ -127,7 +126,7 @@ class CertaExplainer:
         ext_l, ext_r = ext_l.cache(), ext_r.cache()
 
         # 4. triangle enumeration (triangles_method.py:25-53)
-        tri = T.mixed_triangles(support_pairs).repartition(1).localCheckpoint()
+        tri = T.mixed_triangles(support_pairs).repartition(1).cache()
         tri_rows = tri.collect()
         n_triangles = len(tri_rows)
         if n_triangles == 0:
@@ -137,16 +136,16 @@ class CertaExplainer:
         flipped, rankings, all_pred = T.perturb_predict(
             spark, tri, ext_l, ext_r, matcher, pc, attr_length, lprefix, rprefix
         )
-        flipped = flipped.repartition(2).localCheckpoint()
-        rankings = rankings.repartition(1).localCheckpoint()
+        flipped = flipped.repartition(2).cache()
+        rankings = rankings.repartition(1).cache()
         n_flipped = flipped.count()
 
-        explanation = T.aggregate_rankings(rankings, n_triangles, attr_length).repartition(1).localCheckpoint()
+        explanation = T.aggregate_rankings(rankings, n_triangles, attr_length).repartition(1).cache()
         attributes = [lprefix + c for c in self.lsource.columns if c != "id"] + [
             rprefix + c for c in self.rsource.columns if c != "id"
         ]
         sal = T.saliency(rankings, attributes, n_triangles, n_flipped)
-        summary = T.cf_summary(explanation).repartition(1).localCheckpoint()
+        summary = T.cf_summary(explanation).repartition(1).cache()
         cfs = T.counterfactuals(flipped, summary)
 
         lattices: list = []

@@ -91,67 +91,120 @@ def scan_candidates(
 
     ``score_side_prefix`` is the prefix of the candidate (non-probe)
     side; ``probe_text`` the probe's concatenated attribute text.
+    Single-side convenience wrapper over :func:`scan_candidates_dual`.
     """
-    id_cols = [c for c in pairs.columns if c.endswith("_id") or c.endswith("id")]
-    side_cols = [
-        c
-        for c in pairs.columns
-        if c.startswith(score_side_prefix) and c != score_side_prefix + "id"
-    ]
-    if max_predict > 0:
-        # reference: random subsample before ranking (local_explain.py:103-104)
-        pairs = (
-            pairs.withColumn("_smp", hash32(_text_expr(pairs.columns), seed))
-            .orderBy("_smp")
-            .limit(max_predict)
-            .drop("_smp")
-        )
-    scored = pairs.withColumn(
-        "_score", bow_cosine(F.lit(probe_text), _text_expr(side_cols))
+    result, _ = scan_candidates_dual(
+        [(pairs, score_side_prefix, probe_text, seed, "only")],
+        matcher, find_positives, num_candidates, max_predict, batched,
     )
+    return result.drop("_side_tag")
+
+
+def scan_candidates_dual(
+    parts: list[tuple[DataFrame, str, str, int, str]],
+    matcher: Matcher,
+    find_positives: bool,
+    num_candidates: int,
+    max_predict: int = -1,
+    batched: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Both sides' T1+T3 scans fused into ONE Spark pass.
+
+    ``parts``: (pairs, score_side_prefix, probe_text, seed, side_tag)
+    per side. The sides are unioned under a ``_side_tag`` column so
+    ranking (window per side), the single model round, and the stop-rule
+    batch counts all run as one job chain instead of two — the per-side
+    semantics (batch = 4*num_candidates, <=20 batches, stop at
+    num_candidates qualifying, local_explain.py:112-128) are replayed
+    exactly from the per-(side, batch) counts, which also yield the
+    per-side qualifying totals for free (returned as the second value —
+    saves the two count() jobs the balancing step used to run).
+    Returns (qualifying rows with _side_tag, {side_tag: n_qualifying}).
+    """
     batch = num_candidates * 4
+    frames = []
+    for pairs, pfx, ptext, seed, tag in parts:
+        side_cols = [
+            c for c in pairs.columns if c.startswith(pfx) and c != pfx + "id"
+        ]
+        df = pairs
+        if max_predict > 0:
+            # reference: random subsample before ranking (local_explain.py:103-104)
+            df = (
+                df.withColumn("_smp", hash32(_text_expr(df.columns), seed))
+                .orderBy("_smp")
+                .limit(max_predict)
+                .drop("_smp")
+            )
+        frames.append(
+            df.withColumn(
+                "_score", bow_cosine(F.lit(ptext), _text_expr(side_cols))
+            ).withColumn("_side_tag", F.lit(tag))
+        )
+    allc = frames[0]
+    for f in frames[1:]:
+        allc = allc.unionByName(f)
+
+    id_cols = [c for c in parts[0][0].columns if c.endswith("_id") or c.endswith("id")]
     order = [F.col("_score").asc() if not find_positives else F.col("_score").desc()]
     # deterministic tiebreak (pandas sort ties are arbitrary; we pin them)
     order += [F.col(c).asc() for c in id_cols]
-
-    if not batched:
-        predicted = matcher.predict(scored.drop("_score"))
-        qual = (
-            F.col("match_score") > 0.5
-            if find_positives
-            else F.col("match_score") < 0.5
-        )
-        return predicted.filter(qual)
-
-    # rows beyond batch*MAX_BATCHES can never be scanned -> distributed TopK cap
-    capped = scored.orderBy(*order).limit(batch * MAX_BATCHES)
-    w = Window.orderBy(*order)
-    ranked = capped.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
-        "_batch", (F.col("_rn") / F.lit(batch)).cast("int")
-    )
-    predicted = matcher.predict(ranked.drop("_score"))
     qual = (
         F.col("match_score") > 0.5 if find_positives else F.col("match_score") < 0.5
     )
-    predicted = predicted.withColumn("_q", qual.cast("int")).cache()
-    # replay the stop rule on per-batch counts (<= MAX_BATCHES rows)
-    batch_counts = (
-        predicted.groupBy("_batch").agg(F.sum("_q").alias("nq"), F.count("*").alias("n"))
-        .orderBy("_batch")
+
+    if not batched:
+        predicted = matcher.predict(allc.drop("_score"))
+        result = predicted.filter(qual)
+        counts = {
+            r["_side_tag"]: r["n"]
+            for r in result.groupBy("_side_tag").agg(F.count("*").alias("n")).collect()
+        }
+        return result, {tag: counts.get(tag, 0) for *_, tag in parts}
+
+    # rows beyond batch*MAX_BATCHES can never be scanned; row_number<=k
+    # over the per-side window is executed as WindowGroupLimit (partial
+    # top-k per partition before the shuffle)
+    w = Window.partitionBy("_side_tag").orderBy(*order)
+    ranked = (
+        allc.withColumn("_rn", F.row_number().over(w) - 1)
+        .filter(F.col("_rn") < batch * MAX_BATCHES)
+        .withColumn("_batch", (F.col("_rn") / F.lit(batch)).cast("int"))
+    )
+    predicted = matcher.predict(ranked.drop("_score")).withColumn(
+        "_q", qual.cast("int")
+    )
+    # one narrow materialization; lineage truncated for the driver loop
+    predicted = predicted.repartition(4).localCheckpoint()
+    # replay the per-side stop rule on per-(side, batch) counts
+    rows = (
+        predicted.groupBy("_side_tag", "_batch")
+        .agg(F.sum("_q").alias("nq"), F.count("*").alias("n"))
         .collect()
     )
-    n_total = sum(r["n"] for r in batch_counts)
-    splits = min(MAX_BATCHES, n_total // batch)
-    stop, cum = -1, 0
-    for r in batch_counts:
-        if r["_batch"] >= splits:
-            break
-        stop = r["_batch"]
-        cum += r["nq"]
-        if cum >= num_candidates:
-            break
-    result = predicted.filter((F.col("_batch") <= stop) & (F.col("_q") == 1))
-    return result.drop("_q", "_rn", "_batch")
+    per_side: dict[str, list] = {}
+    for r in rows:
+        per_side.setdefault(r["_side_tag"], []).append(r)
+    stop_filter = F.lit(False)
+    n_qual: dict[str, int] = {}
+    for *_, tag in parts:
+        batch_counts = sorted(per_side.get(tag, []), key=lambda r: r["_batch"])
+        n_total = sum(r["n"] for r in batch_counts)
+        splits = min(MAX_BATCHES, n_total // batch)
+        stop, cum = -1, 0
+        for r in batch_counts:
+            if r["_batch"] >= splits:
+                break
+            stop = r["_batch"]
+            cum += r["nq"]
+            if cum >= num_candidates:
+                break
+        n_qual[tag] = cum
+        stop_filter = stop_filter | (
+            (F.col("_side_tag") == tag) & (F.col("_batch") <= stop)
+        )
+    result = predicted.filter(stop_filter & (F.col("_q") == 1))
+    return result.drop("_q", "_rn", "_batch"), n_qual
 
 
 def get_support(
@@ -180,51 +233,44 @@ def get_support(
     def probe_text(rec: dict) -> str:
         return " ".join(str(v) for k, v in rec.items() if k not in ("id", "label"))
 
-    found = []
+    parts = []
     if use_q:
         c1 = candidate_pairs(r1, rsource, "left", lprefix, rprefix)
-        found.append(
-            scan_candidates(
-                c1, matcher, find_positives, num_candidates, rprefix,
-                probe_text(r1), max_predict, batched=not use_all, seed=seed,
-            )
-        )
+        parts.append((c1, rprefix, probe_text(r1), seed, "q"))
     if use_w:
         c2 = candidate_pairs(r2, lsource, "right", lprefix, rprefix)
-        found.append(
-            scan_candidates(
-                c2, matcher, find_positives, num_candidates, lprefix,
-                probe_text(r2), max_predict, batched=not use_all, seed=seed + 1,
-            )
-        )
-    if not found:
+        parts.append((c2, lprefix, probe_text(r2), seed + 1, "w"))
+    if not parts:
         raise ValueError("at least one of use_w/use_q must be set")
 
-    counts = [df.count() for df in found]
-    if len(found) == 2:
+    # both sides' rank+predict+stop-rule in one fused pass; the per-side
+    # qualifying totals come from the same batch-count collect
+    scanned, n_qual = scan_candidates_dual(
+        parts, matcher, find_positives, num_candidates, max_predict,
+        batched=not use_all,
+    )
+    counts = [n_qual[tag] for *_, tag in parts]
+    if len(parts) == 2:
         max_len = min(*counts) or max(*counts)
-        balanced = []
-        for df, n in zip(found, counts):
-            if n > max_len:
-                # reference: random sample to max_len (local_explain.py:182-185)
-                df = (
-                    df.withColumn(
-                        "_h",
-                        hash32(
-                            composite_id(
-                                F.col(lprefix + "id"), F.col(rprefix + "id")
-                            ),
-                            seed,
-                        ),
-                    )
-                    .orderBy("_h")
-                    .limit(max_len)
-                    .drop("_h")
+        if max(*counts) > max_len:
+            # reference: random sample the larger side down to max_len
+            # (local_explain.py:182-185); per-side window, tiny input
+            wb = Window.partitionBy("_side_tag").orderBy(
+                "_h", lprefix + "id", rprefix + "id"
+            )
+            scanned = (
+                scanned.withColumn(
+                    "_h",
+                    hash32(
+                        composite_id(F.col(lprefix + "id"), F.col(rprefix + "id")),
+                        seed,
+                    ),
                 )
-            balanced.append(df)
-        candidates = balanced[0].unionByName(balanced[1])
-    else:
-        candidates = found[0]
+                .withColumn("_bn", F.row_number().over(wb))
+                .filter(F.col("_bn") <= max_len)
+                .drop("_h", "_bn")
+            )
+    candidates = scanned.drop("_side_tag")
 
     candidates = candidates.withColumn(
         "id", composite_id(F.col(lprefix + "id"), F.col(rprefix + "id"))

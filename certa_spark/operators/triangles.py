@@ -303,7 +303,7 @@ def perturb_predict(
             resolved, lsource, rsource, depth, class_to_explain, lprefix, rprefix
         )
         if not all_good:
-            predicted = matcher.predict(pert).localCheckpoint()
+            predicted = matcher.predict(pert).cache()
             stats = predicted.agg(
                 F.count("*").alias("n"),
                 F.sum(flip_condition(class_to_explain).cast("long")).alias("nf"),
