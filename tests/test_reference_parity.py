@@ -1,0 +1,152 @@
+"""Direct output parity vs the reference implementation.
+
+Runs the ACTUAL reference code (/root/reference, imported read-only)
+and this engine on the same fixture with the same deterministic pandas
+predict_fn, and compares saliency / PSS / triangle sets / CF attr-sets.
+
+The fixture is engineered so every stochastic reference code path is a
+no-op, making set-level outputs exactly deterministic:
+  * sources have 12 rows, num_triangles=6 -> scan batch = 12 = one
+    batch covering the whole source (order within a batch cannot change
+    the qualifying SET);
+  * exactly 3 qualifying (opposite-class) candidates per side ->
+    support = 6 == num_triangles: no DA fallback (< triggers it), no
+    head/tail truncation (> triggers it), no balancing subsample
+    (sides equal) — the only unseeded reference RNG calls
+    (sample(frac=1) permute) then permute a set we compare as a set.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+REF = "/root/reference"
+
+
+def _import_reference():
+    if "certa.explain" in sys.modules:
+        import certa.explain as ref_explain  # type: ignore
+
+        return ref_explain
+    # the reference imports tqdm (absent here) purely as a progress bar
+    if "tqdm" not in sys.modules:
+        stub = types.ModuleType("tqdm")
+
+        class _Tqdm:
+            def __init__(self, iterable=None, **kw):
+                self._it = iterable
+
+            def __iter__(self):
+                return iter(self._it)
+
+        stub.tqdm = _Tqdm
+        sys.modules["tqdm"] = stub
+    # the reference targets pandas 1.x; restore DataFrame.append (removed
+    # in pandas 2) with the old list-of-Series row semantics
+    if not hasattr(pd.DataFrame, "append"):
+
+        def _append(self, other, ignore_index=False, **kw):
+            if isinstance(other, (pd.DataFrame, pd.Series)):
+                frames = [self, pd.DataFrame(other).T if isinstance(other, pd.Series) else other]
+            else:
+                frames = [self, pd.DataFrame(other)]
+            return pd.concat(frames, ignore_index=ignore_index)
+
+        pd.DataFrame.append = _append  # type: ignore[attr-defined]
+    sys.dont_write_bytecode = True
+    sys.path.insert(0, REF)
+    import certa.explain as ref_explain  # type: ignore
+
+    return ref_explain
+
+
+# 12-row sources; probe pair (l0, r0) shares no tokens -> predicted
+# non-match (class 0) -> support hunts POSITIVES. Exactly rows 1-3 of
+# each source overlap heavily with the OPPOSITE probe; rows 4-11 are
+# disjoint filler.
+L0 = ("alpha beta gamma", "delta epsilon")
+R0 = ("omega sigma tau", "kappa lambda")
+
+
+def _sources():
+    l_rows = [(0, *L0)]
+    r_rows = [(0, *R0)]
+    # qualifying vs the opposite probe (share >= 4 of its 5 tokens)
+    l_rows += [
+        (1, "omega sigma tau", "kappa one"),
+        (2, "omega sigma tau extra", "kappa lambda"),
+        (3, "omega sigma", "kappa lambda"),
+    ]
+    r_rows += [
+        (1, "alpha beta gamma", "delta two"),
+        (2, "alpha beta gamma extra", "delta epsilon"),
+        (3, "alpha beta", "delta epsilon"),
+    ]
+    for i in range(4, 12):
+        l_rows.append((i, f"lfill{i} lnoise{i}", f"ldesc{i}"))
+        r_rows.append((i, f"rfill{i} rnoise{i}", f"rdesc{i}"))
+    cols = ["id", "name", "desc"]
+    return cols, l_rows, r_rows
+
+
+def test_explain_matches_reference(spark):
+    ref_explain = _import_reference()
+    from certa_spark.explainer import CertaExplainer
+    from certa_spark.matching import NativeCosineMatcher
+
+    cols, l_rows, r_rows = _sources()
+    matcher = NativeCosineMatcher()
+
+    # --- reference run (pure pandas) ---
+    l_pdf = pd.DataFrame(l_rows, columns=cols)
+    r_pdf = pd.DataFrame(r_rows, columns=cols)
+    ref = ref_explain.CertaExplainer(l_pdf, r_pdf, data_augmentation="no")
+    ref_sal, ref_pss, ref_cfs, ref_tris, _ = ref.explain(
+        l_pdf.iloc[0], r_pdf.iloc[0], matcher.predict_pandas, num_triangles=6
+    )
+
+    # --- this engine ---
+    A = spark.createDataFrame(l_rows, cols)
+    B = spark.createDataFrame(r_rows, cols)
+    ours = CertaExplainer(spark, A, B, data_augmentation="no")
+    res = ours.explain(
+        dict(zip(cols, l_rows[0])),
+        dict(zip(cols, r_rows[0])),
+        matcher,
+        num_triangles=6,
+    )
+
+    # triangles: same wedge set
+    assert sorted(tuple(t) for t in ref_tris) == sorted(res.triangles)
+
+    # saliency: same per-attribute values
+    ref_sal_d = {c: float(ref_sal.iloc[0][c]) for c in ref_sal.columns}
+    assert set(ref_sal_d) == set(res.saliency_dict)
+    for k, v in ref_sal_d.items():
+        assert abs(v - res.saliency_dict[k]) < 1e-9, (k, v, res.saliency_dict[k])
+
+    # probability of sufficiency: same attr-set -> value map
+    ref_pss_d = {k: float(v) for k, v in dict(ref_pss).items()}
+    ours_pss_d = {k: float(v) for k, v in dict(res.pss).items()}
+    assert ref_pss_d == pytest.approx(ours_pss_d)
+
+    # counterfactuals: same altered attr-sets (reference stringifies
+    # python tuples; normalize both to frozensets)
+    def ref_attrs(v) -> frozenset:
+        if isinstance(v, tuple):
+            return frozenset(v)
+        return frozenset(
+            t for t in str(v).replace("(", "").replace(")", "").replace("'", "").replace(",", " ").split()
+        )
+
+    ref_sets = sorted(
+        tuple(sorted(ref_attrs(v))) for v in ref_cfs["alteredAttributes"]
+    ) if len(ref_cfs) else []
+    ours_sets = sorted(
+        tuple(sorted(v.split("/"))) for v in res.counterfactuals["alteredAttributes"]
+    ) if len(res.counterfactuals) else []
+    assert ref_sets == ours_sets
