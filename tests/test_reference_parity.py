@@ -93,23 +93,20 @@ def _sources():
     return cols, l_rows, r_rows
 
 
-def test_explain_matches_reference(spark):
+def _run_both(spark, cols, l_rows, r_rows, num_triangles=6):
     ref_explain = _import_reference()
     from certa_spark.explainer import CertaExplainer
     from certa_spark.matching import NativeCosineMatcher
 
-    cols, l_rows, r_rows = _sources()
     matcher = NativeCosineMatcher()
-
-    # --- reference run (pure pandas) ---
     l_pdf = pd.DataFrame(l_rows, columns=cols)
     r_pdf = pd.DataFrame(r_rows, columns=cols)
     ref = ref_explain.CertaExplainer(l_pdf, r_pdf, data_augmentation="no")
-    ref_sal, ref_pss, ref_cfs, ref_tris, _ = ref.explain(
-        l_pdf.iloc[0], r_pdf.iloc[0], matcher.predict_pandas, num_triangles=6
+    ref_out = ref.explain(
+        l_pdf.iloc[0], r_pdf.iloc[0], matcher.predict_pandas,
+        num_triangles=num_triangles,
     )
 
-    # --- this engine ---
     A = spark.createDataFrame(l_rows, cols)
     B = spark.createDataFrame(r_rows, cols)
     ours = CertaExplainer(spark, A, B, data_augmentation="no")
@@ -117,8 +114,13 @@ def test_explain_matches_reference(spark):
         dict(zip(cols, l_rows[0])),
         dict(zip(cols, r_rows[0])),
         matcher,
-        num_triangles=6,
+        num_triangles=num_triangles,
     )
+    return ref_out, res
+
+
+def _assert_match(ref_out, res):
+    ref_sal, ref_pss, ref_cfs, ref_tris, _ = ref_out
 
     # triangles: same wedge set
     assert sorted(tuple(t) for t in ref_tris) == sorted(res.triangles)
@@ -150,3 +152,38 @@ def test_explain_matches_reference(spark):
         tuple(sorted(v.split("/"))) for v in res.counterfactuals["alteredAttributes"]
     ) if len(res.counterfactuals) else []
     assert ref_sets == ours_sets
+
+
+def test_explain_matches_reference_nonmatch_class(spark):
+    cols, l_rows, r_rows = _sources()
+    ref_out, res = _run_both(spark, cols, l_rows, r_rows)
+    _assert_match(ref_out, res)
+
+
+def test_explain_matches_reference_match_class(spark):
+    """pc=1 path: probe pair predicted MATCH; support hunts negatives;
+    perturbations run base=pivot / donor=free. Rows 1-3 per side are
+    disjoint from the opposite probe (the 3 qualifying negatives); rows
+    4-11 share >=4/5 tokens with it (non-qualifying matches)."""
+    l0 = (0, "core token set one two", "shared desc words")
+    r0 = (0, "core token set one three", "shared desc words")
+    l_rows = [l0]
+    r_rows = [r0]
+    l_rows += [
+        (1, "xeno yotta", "zulu one"),
+        (2, "xeno yotta quux", "zulu two"),
+        (3, "xeno quux", "zulu three"),
+    ]
+    r_rows += [
+        (1, "nadir oblong", "pylon one"),
+        (2, "nadir oblong quill", "pylon two"),
+        (3, "nadir quill", "pylon three"),
+    ]
+    for i in range(4, 12):
+        # shares most tokens with the OPPOSITE probe -> predicted match
+        l_rows.append((i, "core token set one three", f"shared desc l{i}"))
+        r_rows.append((i, "core token set one two", f"shared desc r{i}"))
+    cols = ["id", "name", "desc"]
+    ref_out, res = _run_both(spark, cols, l_rows, r_rows)
+    assert len(res.triangles) > 0
+    _assert_match(ref_out, res)
