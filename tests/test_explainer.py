@@ -149,3 +149,41 @@ def test_explain_pandas_adapter_matches_native(spark, er_tables):
     assert res_n.saliency_dict == res_a.saliency_dict
     assert sorted(res_n.triangles) == sorted(res_a.triangles)
     assert dict(res_n.pss) == dict(res_a.pss)
+
+
+def test_explain_data_augmentation_always(spark, er_tables):
+    """'always' widens sources upfront AND disables the batched
+    early-exit scan (use_all -> one full predict pass)."""
+    from certa_spark.explainer import CertaExplainer
+    from certa_spark.matching import NativeCosineMatcher
+    from tests.fixtures import COLS
+
+    rows_a, rows_b, A, B = er_tables
+    ex = CertaExplainer(spark, A, B, data_augmentation="always")
+    n_l = A.count()
+    assert ex.lsource.count() > n_l  # token-drop copies appended
+    res = ex.explain(
+        dict(zip(COLS, rows_a[0])),
+        dict(zip(COLS, rows_b[0])),
+        NativeCosineMatcher(),
+        num_triangles=4,
+    )
+    assert res.saliency is not None
+
+
+def test_explain_on_demand_fallback_expands_copies(spark, er_tables):
+    """num_triangles far above what the sources can support forces the
+    expand_copies DA fallback (support < budget) on the scan path."""
+    from certa_spark.explainer import CertaExplainer
+    from certa_spark.matching import NativeCosineMatcher
+    from tests.fixtures import COLS
+
+    rows_a, rows_b, A, B = er_tables
+    ex = CertaExplainer(spark, A, B, data_augmentation="no")
+    res = ex.explain(
+        dict(zip(COLS, rows_a[0])),
+        dict(zip(COLS, rows_b[0])),
+        NativeCosineMatcher(),
+        num_triangles=2,
+    )
+    assert isinstance(res.triangles, list)
