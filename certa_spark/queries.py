@@ -1032,6 +1032,79 @@ _Q_SESSION_SQL = """
 """
 
 
+# ----------------------------------------------- LENS interventions
+
+_LENS_ATTRS = ["p_name", "p_brand", "p_type"]
+
+
+def q_lens_degrees(spark, sf_dir) -> DataFrame:
+    """§2.11 LENS — exhaustive 2^k interventions between an input record
+    and reference records, sufficiency degree per intervention set.
+    Deterministic 'model': token-Jaccard(record text, input text) >= 0.35."""
+    from certa_spark.operators.interventions import degrees, intervention_frame
+
+    p = _t(spark, sf_dir, "part")
+    inp_row = p.filter(F.col("p_partkey") == 1).select(*_LENS_ATTRS).first()
+    inp = {a: inp_row[a] for a in _LENS_ATTRS}
+    refs = p.filter(F.col("p_partkey") % 100 == 7).select(
+        F.col("p_partkey").alias("id"), *_LENS_ATTRS
+    )
+    cf = intervention_frame(inp, refs, _LENS_ATTRS, r2i=True)
+
+    def toks(c):
+        return F.array_distinct(
+            F.regexp_extract_all(F.lower(c), F.lit(TS.WORD_RE), 0)
+        )
+
+    cf_text = F.concat_ws(" ", *[F.col(a) for a in _LENS_ATTRS])
+    inp_text = F.lit(" ".join(str(inp[a]) for a in _LENS_ATTRS))
+    scored = cf.withColumn(
+        "pred",
+        (F.round(DD.jaccard(toks(cf_text), toks(inp_text)), 6) >= 0.35).cast("int"),
+    )
+    return degrees(scored, f_inp=1, r2i=True)
+
+
+def _lens_sql() -> str:
+    from itertools import combinations
+
+    subs = [
+        sorted(c)
+        for k in range(len(_LENS_ATTRS) + 1)
+        for c in combinations(_LENS_ATTRS, k)
+    ]
+    values = ", ".join(f"('{'/'.join(s)}', {len(s)})" for s in subs)
+    val_cases = ", ".join(
+        f"CASE WHEN list_contains(string_split(s.iset, '/'), '{a}') "
+        f"THEN i.{a} ELSE r.{a} END AS v_{a}"
+        for a in _LENS_ATTRS
+    )
+    cf_text = " || ' ' || ".join(f"v_{a}" for a in _LENS_ATTRS)
+    inp_text = " || ' ' || ".join(f"i2.{a}" for a in _LENS_ATTRS)
+    t = "list_distinct(regexp_extract_all(lower({}), '[a-z]+'))"
+    jac = DD.duck_jaccard(t.format(cf_text), t.format(f"({inp_text})"))
+    return f"""
+    WITH inp AS (SELECT p_name, p_brand, p_type FROM part WHERE p_partkey = 1),
+    refs AS (
+        SELECT p_partkey AS ref_id, p_name, p_brand, p_type
+        FROM part WHERE p_partkey % 100 = 7
+    ),
+    subsets AS (SELECT * FROM (VALUES {values}) s(iset, card)),
+    cf AS (
+        SELECT r.ref_id, s.iset, s.card, {val_cases}
+        FROM refs r CROSS JOIN subsets s CROSS JOIN inp i
+    ),
+    scored AS (
+        SELECT cf.iset, cf.card,
+               CASE WHEN round({jac}, 6) >= 0.35 THEN 1.0 ELSE 0.0 END AS agree
+        FROM cf CROSS JOIN inp i2
+    )
+    SELECT iset AS intervention_set, CAST(card AS INT) AS cardinality,
+           round(avg(agree), 6) AS degree, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY iset, card
+    """
+
+
 # ------------------------------------------------- multimodal plumbing
 
 def _doc_media(spark, sf_dir, kind: str, modulo: int = 25) -> DataFrame:
@@ -1118,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ditto_serialize": q_ditto_serialize,
     "marked_tokens": q_marked_tokens,
     "events_sessionized": q_events_sessionized,
+    "lens_degrees": q_lens_degrees,
     "media_frame_grid": q_media_frame_grid,
     "media_features": q_media_features,
 }
@@ -1154,6 +1228,7 @@ ORACLES: dict[str, str] = {
     "ditto_serialize": _Q_DITTO_SQL,
     "marked_tokens": _Q_MARKED_SQL,
     "events_sessionized": _Q_SESSION_SQL,
+    "lens_degrees": _lens_sql(),
     "media_frame_grid": _Q_FRAME_GRID_SQL,
     # media_features: intentionally no oracle (mapInPandas encoder stub
     # is not SQL-expressible; driver records the weaker rows-only check)

@@ -189,3 +189,40 @@ def test_monotonicity_early_exit(spark):
     assert rankings.agg(F.sum("flips")).collect()[0][0] == 6
     # prediction log only contains genuinely predicted rows
     assert all_pred.count() == 3
+
+
+def test_lens_interventions_and_degrees(spark):
+    from certa_spark.operators.interventions import degrees, intervention_frame
+    from pyspark.sql import functions as F
+
+    inp = {"a": "x", "b": "y"}
+    refs = spark.createDataFrame([(1, "p", "q"), (2, "x", "q")], ["id", "a", "b"])
+    cf = intervention_frame(inp, refs, ["a", "b"], r2i=True)
+    rows = {
+        (r["ref_id"], "/".join(r["intervention_set"])): (r["a"], r["b"])
+        for r in cf.collect()
+    }
+    # 2 refs x 4 subsets
+    assert len(rows) == 8
+    assert rows[(1, "")] == ("p", "q")          # no intervention -> ref
+    assert rows[(1, "a")] == ("x", "q")         # a takes input value
+    assert rows[(1, "a/b")] == ("x", "y")       # full input
+    # i2r flips the roles
+    cf2 = intervention_frame(inp, refs, ["a", "b"], r2i=False)
+    rows2 = {
+        (r["ref_id"], "/".join(r["intervention_set"])): (r["a"], r["b"])
+        for r in cf2.collect()
+    }
+    assert rows2[(1, "")] == ("x", "y")
+    assert rows2[(1, "a")] == ("p", "y")
+
+    scored = cf.withColumn("pred", (F.col("a") == "x").cast("int"))
+    deg = {
+        r["intervention_set"]: (r["degree"], r["n"])
+        for r in degrees(scored, f_inp=1, r2i=True).collect()
+    }
+    # subsets containing 'a' force a == input -> sufficiency 1.0
+    assert deg["a"] == (1.0, 2)
+    assert deg["a/b"] == (1.0, 2)
+    # empty set: only ref 2 already has a == 'x' -> 0.5
+    assert deg[""] == (0.5, 2)
