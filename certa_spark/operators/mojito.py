@@ -1,0 +1,157 @@
+"""Mojito — LIME-style token-masking explanation, natively
+(SURVEY.md §2.11; reference baselines/mojito.py:12-213).
+
+The reference delegates to the `lime` package (absent here). LIME over
+text is, concretely: (1) draw N random token masks of the record pair,
+(2) score each masked copy with the model, (3) fit a locally-weighted
+ridge regression of score on mask bits; the coefficients are the
+token saliencies. All three steps are re-expressed without the
+library:
+
+  * mask generation + masked-text construction run Spark-side as one
+    `spark.range(n_samples)` + deterministic md5-derived Bernoulli bits
+    per (sample, token) — fully reproducible, no RNG state;
+  * scoring is the engine's Matcher (one distributed pass);
+  * the (N x T) regression solve is driver-side numpy on the collected
+    mask/score matrix — N and T are LIME-sized (hundreds), never data-
+    sized, per SURVEY §2.11's "LIME itself stays driver-side".
+
+Token->attribute attribution uses the F18 side+attr markup convention
+(functions/serialize.py) instead of string prefixes in cell values.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from certa_spark.functions.hashing import hash32
+from certa_spark.matching import Matcher
+from certa_spark.schema import LPREFIX, RPREFIX
+
+
+def _tokens(record: dict, prefix: str) -> list[tuple[str, str, str]]:
+    """(marked_name, attr, token) per token, F18-style ordering."""
+    out = []
+    for i, (attr, val) in enumerate(
+        (k, v) for k, v in record.items() if k not in ("id", "label")
+    ):
+        for tok in str(val).split():
+            out.append((f"{prefix}{i}_{len(out)}", attr, tok))
+    return out
+
+
+def token_mask_samples(
+    spark: SparkSession,
+    l_record: dict,
+    r_record: dict,
+    n_samples: int = 256,
+    seed: int = 42,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> tuple[DataFrame, list[tuple[str, str, str]]]:
+    """N masked copies of the pair as one distributed select.
+
+    Returns (samples, token_index): ``samples`` has the pair's attribute
+    columns rebuilt from kept tokens plus ``_mask`` (array<int> of keep
+    bits, one per token across both sides) and ``_sample_id``; row 0 is
+    the unmasked original (LIME convention). Bits are md5-derived from
+    (seed, sample, token) — deterministic, executor-side, no RNG state.
+    """
+    l_toks = _tokens(l_record, "L")
+    r_toks = _tokens(r_record, "R")
+    all_toks = [("l", *t) for t in l_toks] + [("r", *t) for t in r_toks]
+
+    base = spark.range(n_samples).select(F.col("id").alias("_sample_id"))
+    keep_bits = [
+        F.when(
+            (F.col("_sample_id") == 0)
+            | (hash32(F.concat_ws(":", F.lit(seed), F.col("_sample_id"), F.lit(j))) % 2 == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for j in range(len(all_toks))
+    ]
+    masked = base.select(
+        "_sample_id", F.array(*keep_bits).alias("_mask")
+    )
+
+    def side_cols(record: dict, prefix: str, offset: int, toks):
+        cols = []
+        j = offset
+        grouped: dict[str, list[int]] = {}
+        tok_vals: dict[int, str] = {}
+        for _, attr, tok in toks:
+            grouped.setdefault(attr, []).append(j)
+            tok_vals[j] = tok
+            j += 1
+        for attr, val in ((k, v) for k, v in record.items() if k not in ("id", "label")):
+            idxs = grouped.get(attr, [])
+            pieces = [
+                F.when(F.element_at("_mask", i + 1) == 1, F.lit(tok_vals[i])).otherwise(
+                    F.lit(None)
+                )
+                for i in idxs
+            ]
+            col = (
+                F.concat_ws(" ", *pieces) if pieces else F.lit(str(val))
+            )
+            cols.append(col.alias(prefix + attr))
+        cols.append(F.lit(str(record.get("id", 0))).alias(prefix + "id"))
+        return cols
+
+    return (
+        masked.select(
+            "_sample_id",
+            "_mask",
+            *side_cols(l_record, lprefix, 0, l_toks),
+            *side_cols(r_record, rprefix, len(l_toks), r_toks),
+        ),
+        all_toks,
+    )
+
+
+def explain_pair(
+    spark: SparkSession,
+    l_record: dict,
+    r_record: dict,
+    matcher: Matcher,
+    n_samples: int = 256,
+    seed: int = 42,
+    ridge_lambda: float = 1.0,
+    kernel_width: float | None = None,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> list[dict]:
+    """Token saliencies for one pair: Spark-side mask+score, driver-side
+    weighted ridge solve. Returns one dict per token:
+    (side, attr, token, weight), sorted by |weight| descending."""
+    import numpy as np
+
+    samples, all_toks = token_mask_samples(
+        spark, l_record, r_record, n_samples, seed, lprefix, rprefix
+    )
+    scored = matcher.predict(samples).select("_sample_id", "_mask", "match_score")
+    rows = scored.collect()
+    rows.sort(key=lambda r: r["_sample_id"])
+    X = np.array([r["_mask"] for r in rows], dtype=float)
+    y = np.array([r["match_score"] for r in rows], dtype=float)
+
+    t = X.shape[1]
+    if kernel_width is None:
+        kernel_width = math.sqrt(t) * 0.75  # lime's default
+    # cosine-ish distance from the all-ones original, exponential kernel
+    d = 1.0 - X.sum(axis=1) / t
+    w = np.exp(-(d**2) / kernel_width**2)
+    Xw = X * w[:, None]
+    A = X.T @ Xw + ridge_lambda * np.eye(t)
+    b = X.T @ (w * y)
+    coef = np.linalg.solve(A, b)
+
+    out = [
+        {"side": side, "attr": attr, "token": tok, "weight": float(c)}
+        for (side, _, attr, tok), c in zip(all_toks, coef)
+    ]
+    out.sort(key=lambda r: -abs(r["weight"]))
+    return out

@@ -1105,6 +1105,25 @@ def _lens_sql() -> str:
     """
 
 
+def q_mojito_token_saliency(spark, sf_dir) -> DataFrame:
+    """§2.11 Mojito — LIME-style token saliency for one part pair
+    (Spark-side mask perturbations + driver-side ridge solve; the
+    regression is genuinely non-SQL — weak rows-only driver check)."""
+    from certa_spark.operators.mojito import explain_pair
+    from certa_spark.matching import NativeCosineMatcher
+
+    left, right = _er_sources(spark, sf_dir)
+    l_rec = {k: v for k, v in zip(left.columns, left.orderBy("id").first())}
+    r_rec = {k: v for k, v in zip(right.columns, right.orderBy("id").first())}
+    out = explain_pair(
+        spark, l_rec, r_rec, NativeCosineMatcher(), n_samples=128
+    )
+    return spark.createDataFrame(
+        [(r["side"], r["attr"], r["token"], round(r["weight"], 6)) for r in out],
+        "side string, attr string, token string, weight double",
+    )
+
+
 # ------------------------------------------------- multimodal plumbing
 
 def _doc_media(spark, sf_dir, kind: str, modulo: int = 25) -> DataFrame:
@@ -1192,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "marked_tokens": q_marked_tokens,
     "events_sessionized": q_events_sessionized,
     "lens_degrees": q_lens_degrees,
+    "mojito_token_saliency": q_mojito_token_saliency,
     "media_frame_grid": q_media_frame_grid,
     "media_features": q_media_features,
 }

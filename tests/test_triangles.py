@@ -226,3 +226,19 @@ def test_lens_interventions_and_degrees(spark):
     assert deg["a/b"] == (1.0, 2)
     # empty set: only ref 2 already has a == 'x' -> 0.5
     assert deg[""] == (0.5, 2)
+
+
+def test_mojito_shared_tokens_rank_top(spark):
+    from certa_spark.matching import NativeCosineMatcher
+    from certa_spark.operators.mojito import explain_pair
+
+    l = {"id": 0, "name": "apple iphone pro", "desc": "oled smartphone"}
+    r = {"id": 0, "name": "apple iphone max", "desc": "great phone"}
+    out = explain_pair(spark, l, r, NativeCosineMatcher(), n_samples=128)
+    top4 = {(row["side"], row["token"]) for row in out[:4]}
+    # the cross-side shared tokens drive the match score
+    assert top4 == {("l", "apple"), ("l", "iphone"), ("r", "apple"), ("r", "iphone")}
+    assert all(row["weight"] > 0 for row in out[:4])
+    # deterministic: same seed -> same weights
+    again = explain_pair(spark, l, r, NativeCosineMatcher(), n_samples=128)
+    assert [r_["weight"] for r_ in again] == [r_["weight"] for r_ in out]
