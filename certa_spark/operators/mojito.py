@@ -51,6 +51,7 @@ def token_mask_samples(
     seed: int = 42,
     lprefix: str = LPREFIX,
     rprefix: str = RPREFIX,
+    mask_sides: tuple[str, ...] = ("l", "r"),
 ) -> tuple[DataFrame, list[tuple[str, str, str]]]:
     """N masked copies of the pair as one distributed select.
 
@@ -60,8 +61,8 @@ def token_mask_samples(
     the unmasked original (LIME convention). Bits are md5-derived from
     (seed, sample, token) — deterministic, executor-side, no RNG state.
     """
-    l_toks = _tokens(l_record, "L")
-    r_toks = _tokens(r_record, "R")
+    l_toks = _tokens(l_record, "L") if "l" in mask_sides else []
+    r_toks = _tokens(r_record, "R") if "r" in mask_sides else []
     all_toks = [("l", *t) for t in l_toks] + [("r", *t) for t in r_toks]
 
     base = spark.range(n_samples).select(F.col("id").alias("_sample_id"))
@@ -123,14 +124,25 @@ def explain_pair(
     kernel_width: float | None = None,
     lprefix: str = LPREFIX,
     rprefix: str = RPREFIX,
+    landmark: str | None = None,
 ) -> list[dict]:
     """Token saliencies for one pair: Spark-side mask+score, driver-side
     weighted ridge solve. Returns one dict per token:
-    (side, attr, token, weight), sorted by |weight| descending."""
+    (side, attr, token, weight), sorted by |weight| descending.
+
+    ``landmark='left'|'right'`` pins that side unperturbed and explains
+    only the other side's tokens — the Landmark baseline
+    (baselines/landmark.py:11-293) as a mask-subset of the same
+    operator."""
     import numpy as np
 
+    mask_sides = ("l", "r")
+    if landmark == "left":
+        mask_sides = ("r",)
+    elif landmark == "right":
+        mask_sides = ("l",)
     samples, all_toks = token_mask_samples(
-        spark, l_record, r_record, n_samples, seed, lprefix, rprefix
+        spark, l_record, r_record, n_samples, seed, lprefix, rprefix, mask_sides
     )
     scored = matcher.predict(samples).select("_sample_id", "_mask", "match_score")
     rows = scored.collect()
@@ -155,3 +167,86 @@ def explain_pair(
     ]
     out.sort(key=lambda r: -abs(r["weight"]))
     return out
+
+
+def greedy_counterfactual(
+    spark: SparkSession,
+    l_record: dict,
+    r_record: dict,
+    matcher: Matcher,
+    ranking: list[dict],
+    predicted_class: int = 1,
+    threshold: float = 0.5,
+    max_tokens: int = -1,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> dict | None:
+    """SHAP-C/LIME-C-style greedy counterfactual search
+    (baselines/shap_c.py:100-197, lime_c.py): drop the top-L
+    class-supporting tokens (by the given saliency ranking) for
+    L = 1, 2, … until the prediction crosses the threshold.
+
+    The reference re-predicts per L sequentially; here every nested
+    prefix-mask variant is one row of a single DataFrame and ONE model
+    round scores them all — the smallest flipped L wins (identical
+    result: the variants are exactly the prefixes the sequential loop
+    would try). ``ranking`` is `explain_pair` output (any saliency
+    source works — SHAP/LIME/CERTA). Returns
+    {n_dropped, dropped, match_score} or None when no prefix flips.
+    """
+    supporting = [
+        r for r in ranking
+        if (r["weight"] > 0) == (predicted_class == 1)
+    ]
+    if max_tokens > 0:
+        supporting = supporting[:max_tokens]
+    if not supporting:
+        return None
+
+    base = spark.range(1, len(supporting) + 1).select(F.col("id").alias("_L"))
+
+    def side_cols(record: dict, prefix: str, side: str):
+        cols = []
+        for attr, val in ((k, v) for k, v in record.items() if k not in ("id", "label")):
+            toks = str(val).split()
+            pieces = []
+            for pos, tok in enumerate(toks):
+                # rank of this token in the supporting list, if present
+                rank = next(
+                    (
+                        i
+                        for i, s in enumerate(supporting)
+                        if s["side"] == side and s["attr"] == attr and s["token"] == tok
+                    ),
+                    None,
+                )
+                if rank is None:
+                    pieces.append(F.lit(tok))
+                else:
+                    pieces.append(
+                        F.when(F.col("_L") > rank, F.lit(None)).otherwise(F.lit(tok))
+                    )
+            cols.append(F.concat_ws(" ", *pieces).alias(prefix + attr))
+        cols.append(F.lit(str(record.get("id", 0))).alias(prefix + "id"))
+        return cols
+
+    variants = base.select(
+        "_L", *side_cols(l_record, lprefix, "l"), *side_cols(r_record, rprefix, "r")
+    )
+    scored = matcher.predict(variants).select("_L", "match_score").collect()
+    flipped_when = (
+        (lambda s: s < threshold) if predicted_class == 1 else (lambda s: s >= threshold)
+    )
+    flips = sorted(
+        (r["_L"], r["match_score"]) for r in scored if flipped_when(r["match_score"])
+    )
+    if not flips:
+        return None
+    n, score = flips[0]
+    return {
+        "n_dropped": int(n),
+        "dropped": [
+            (s["side"], s["attr"], s["token"]) for s in supporting[: int(n)]
+        ],
+        "match_score": float(score),
+    }

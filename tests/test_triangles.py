@@ -242,3 +242,28 @@ def test_mojito_shared_tokens_rank_top(spark):
     # deterministic: same seed -> same weights
     again = explain_pair(spark, l, r, NativeCosineMatcher(), n_samples=128)
     assert [r_["weight"] for r_ in again] == [r_["weight"] for r_ in out]
+
+
+def test_landmark_and_greedy_cf(spark):
+    from certa_spark.matching import NativeCosineMatcher
+    from certa_spark.operators.mojito import explain_pair, greedy_counterfactual
+
+    l = {"id": 0, "name": "apple iphone pro", "desc": "oled smartphone"}
+    r = {"id": 0, "name": "apple iphone max", "desc": "great phone"}
+    m = NativeCosineMatcher()
+
+    lk = explain_pair(spark, l, r, m, n_samples=128, landmark="right")
+    assert {x["side"] for x in lk} == {"l"}  # right side pinned
+
+    rank = explain_pair(spark, l, r, m, n_samples=128)
+    cf = greedy_counterfactual(spark, l, r, m, rank, predicted_class=1)
+    assert cf is not None
+    assert cf["match_score"] < 0.5
+    # minimality: dropping one fewer token must NOT flip
+    assert cf["n_dropped"] >= 1
+    if cf["n_dropped"] > 1:
+        shorter = greedy_counterfactual(
+            spark, l, r, m, rank, predicted_class=1,
+            max_tokens=cf["n_dropped"] - 1,
+        )
+        assert shorter is None
