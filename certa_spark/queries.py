@@ -854,9 +854,9 @@ def q_knn_lsh_ann(spark, sf_dir) -> DataFrame:
     return SIM.knn_lsh(e, probes, _ANN_PLANES, k=3)
 
 
-def _duck_ann_bucket(emb: str) -> str:
+def _duck_ann_bucket(emb: str, planes=None) -> str:
     cases = []
-    for i, plane in enumerate(_ANN_PLANES):
+    for i, plane in enumerate(planes if planes is not None else _ANN_PLANES):
         lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
         d = (
             f"list_aggregate(list_transform(range(1, {_ANN_DIM} + 1), "
@@ -884,6 +884,129 @@ _Q_KNN_LSH_SQL = f"""
            sim
     FROM scored
     QUALIFY rank <= 3
+"""
+
+
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
+def q_knn_ivf_ann(spark, sf_dir) -> DataFrame:
+    """IVF ANN: argmax-cosine cell assignment against a deterministic
+    coarse quantizer (the 8 lowest-vec_id vectors; `kmeans_centroids`
+    is the production trainer — any centroid source yields the same
+    plan), then search each probe's 2 nearest cells only."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < _IVF_CELLS).orderBy("vec_id").collect()
+    ]
+    probes = e.filter(F.col("vec_id") % 101 == 0)
+    return SIM.knn_ivf(e, probes, cent, nprobe=_IVF_NPROBE, k=3)
+
+
+_Q_KNN_IVF_SQL = f"""
+    WITH cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
+               embedding AS cvec
+        FROM embeddings WHERE vec_id < {_IVF_CELLS}
+    ),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    asg AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT e.vec_id, e.embedding, cent.cell_id,
+                   {SIM.duck_cosine('e.embedding', 'cent.cvec')} AS s
+            FROM e CROSS JOIN cent)
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) = 1
+    ),
+    pc AS (
+        SELECT probe_id, pv, cell_id FROM (
+            SELECT e.vec_id AS probe_id, e.embedding AS pv, cent.cell_id,
+                   {SIM.duck_cosine('e.embedding', 'cent.cvec')} AS s
+            FROM e CROSS JOIN cent WHERE e.vec_id % 101 = 0)
+        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, cell_id)
+                <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT probe_id, asg.vec_id AS neighbor_id,
+               round({SIM.duck_cosine('pv', 'asg.embedding')}, 6) AS sim
+        FROM pc JOIN asg USING (cell_id)
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+           sim
+    FROM scored
+    QUALIFY rank <= 3
+"""
+
+
+_NEARDUP_BANDS = 3
+_NEARDUP_TAU = 0.4
+# 12 planes -> 3 bands x 4 planes for the exact JVM path (selective
+# buckets keep the interpreted per-pair fold off the critical path);
+# the BLAS variant affords coarser 3x2 banding (higher recall) because
+# per-bucket matmul scoring is nearly free.
+_NEARDUP_PLANES = [
+    [float(((i * 7 + j * 13) % 11) - 5) for j in range(_ANN_DIM)] for i in range(12)
+]
+
+
+def q_embedding_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH
+    (OR-amplification over 3 bands x 4 planes), sim >= 0.4."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return SIM.cosine_neardup_pairs(e, _NEARDUP_PLANES, _NEARDUP_BANDS, _NEARDUP_TAU)
+
+
+def q_embedding_neardup_blas(spark, sf_dir) -> DataFrame:
+    """Same near-dup semantics on coarser 3x2 banding (higher recall),
+    scored per bucket as one numpy matmul inside applyInPandas — the
+    100TB path. Sims rounded to 4 decimals so BLAS fold order is
+    engine-portable (see operator docstring)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return SIM.cosine_neardup_pairs_blas(
+        e, _ANN_PLANES, _NEARDUP_BANDS, _NEARDUP_TAU, round_to=4
+    )
+
+
+def _neardup_banded_sql(planes, bands) -> str:
+    per = len(planes) // bands
+    parts = [
+        f"SELECT vec_id, embedding, {b} AS band, "
+        f"{_duck_ann_bucket('embedding', planes[b * per:(b + 1) * per])} AS bkt "
+        f"FROM embeddings"
+        for b in range(bands)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_Q_EMBEDDING_NEARDUP_SQL = f"""
+    WITH banded AS ({_neardup_banded_sql(_NEARDUP_PLANES, _NEARDUP_BANDS)}),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({SIM.duck_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    )
+    SELECT DISTINCT a_id, b_id, sim FROM pairs WHERE sim >= {_NEARDUP_TAU}
+"""
+
+_Q_EMBEDDING_NEARDUP_BLAS_SQL = f"""
+    WITH banded AS ({_neardup_banded_sql(_ANN_PLANES, _NEARDUP_BANDS)}),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({SIM.duck_cosine('a.embedding', 'b.embedding')}, 4) AS sim
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    )
+    SELECT DISTINCT a_id, b_id, sim FROM pairs WHERE sim >= {_NEARDUP_TAU}
 """
 
 
@@ -1206,6 +1329,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "knn_lsh_ann": q_knn_lsh_ann,
+    "knn_ivf_ann": q_knn_ivf_ann,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_blas": q_embedding_neardup_blas,
     "augment_variants": q_augment_variants,
     "ditto_serialize": q_ditto_serialize,
     "marked_tokens": q_marked_tokens,
@@ -1244,6 +1370,9 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": _q_tfidf_sql(),
     "minhash_lsh_neardup": _Q_MINHASH_LSH_SQL,
     "knn_lsh_ann": _Q_KNN_LSH_SQL,
+    "knn_ivf_ann": _Q_KNN_IVF_SQL,
+    "embedding_neardup": _Q_EMBEDDING_NEARDUP_SQL,
+    "embedding_neardup_blas": _Q_EMBEDDING_NEARDUP_BLAS_SQL,
     "augment_variants": _Q_AUGMENT_SQL,
     "ditto_serialize": _Q_DITTO_SQL,
     "marked_tokens": _Q_MARKED_SQL,

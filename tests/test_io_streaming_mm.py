@@ -296,3 +296,85 @@ def test_streaming_pair_dedup(spark, tmp_path):
         for r in spark.sql("SELECT * FROM pair_dedup_test").collect()
     )
     assert pairs == [(1, 10), (2, 20)]
+
+
+def test_knn_ivf_cells_and_recall(spark):
+    from certa_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    # two tight clusters around orthogonal axes; centroids = the axes
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.95, -0.05, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.1, 0.9, 0.0, 0.0]),
+        (5, [-0.05, 0.95, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    probe = e.filter("vec_id = 1")
+    # nprobe=1: only the probe's own cluster is searched
+    out = knn_ivf(e, probe, cents, nprobe=1, k=10).collect()
+    assert sorted(r["neighbor_id"] for r in out) == [0, 1, 2]
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+    # nprobe = #cells: exact — matches brute force
+    ivf_all = knn_ivf(e, probe, cents, nprobe=2, k=3).collect()
+    bf = knn_bruteforce(e, probe, k=3).collect()
+    assert [(r["neighbor_id"], r["sim"]) for r in ivf_all] == [
+        (r["neighbor_id"], r["sim"]) for r in bf
+    ]
+
+
+def test_kmeans_centroids_shape(spark):
+    from certa_spark.operators.similarity import kmeans_centroids
+
+    vecs = [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(30)]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(e, k=3, seed=7)
+    assert len(cents) == 3 and all(len(c) == 3 for c in cents)
+    # deterministic with the same seed
+    assert kmeans_centroids(e, k=3, seed=7) == cents
+
+
+def test_cosine_neardup_pairs(spark):
+    from certa_spark.operators.similarity import cosine_neardup_pairs
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, -0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+        (3, [0.0, 0.0, 1.0, 0.0]),     # orthogonal
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+              [0.0, 0.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0]]
+    out = cosine_neardup_pairs(e, planes, bands=2, threshold=0.9).collect()
+    assert [(r["a_id"], r["b_id"]) for r in out] == [(0, 1)]
+    assert out[0]["sim"] > 0.99
+
+
+def test_cosine_neardup_blas_matches_exact(spark):
+    from certa_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blas,
+    )
+
+    vecs = [
+        (i, [float(((i * 3 + j) % 7) - 3) / 3.0 + (0.001 * i if j == 0 else 0.0)
+             for j in range(8)])
+        for i in range(40)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    planes = [[1.0 if j == p else 0.0 for j in range(8)] for p in range(4)]
+    exact = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in cosine_neardup_pairs(e, planes, bands=2, threshold=0.8).collect()
+    }
+    blas = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in cosine_neardup_pairs_blas(e, planes, bands=2, threshold=0.8).collect()
+    }
+    assert exact, "fixture must produce near-dup pairs"
+    assert set(exact) == set(blas)
+    for k in exact:
+        assert abs(exact[k] - blas[k]) < 1e-4
