@@ -1155,6 +1155,40 @@ _Q_SESSION_SQL = """
 """
 
 
+def q_events_running_zscore(spark, sf_dir) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running z-score stream
+    (streaming/stateful.py): each event scored against the running
+    mean/variance of the user's PRIOR events via an
+    UNBOUNDED PRECEDING .. 1 PRECEDING frame. z rounded to 4 decimals —
+    engine window-variance algorithms differ in fold order by ~1e-12,
+    far below the rounding grain."""
+    from certa_spark.streaming.stateful import running_zscore_batch
+
+    # micros on both sides: DuckDB timestamps are micro-precision, so
+    # nanos would mismatch in the output (ordering ties then break on
+    # event_id identically).
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_ns"), "value"
+    )
+    return running_zscore_batch(e)
+
+
+_Q_RUNNING_ZSCORE_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_ns, value FROM events
+    )
+    SELECT user_id, event_id, ts_ns, value,
+           count(value) OVER w AS n_prior,
+           CASE WHEN count(value) OVER w >= 2
+                     AND var_samp(value) OVER w > 1e-9
+                THEN round((value - avg(value) OVER w)
+                           / sqrt(var_samp(value) OVER w), 4) END AS z
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
 # ----------------------------------------------- LENS interventions
 
 _LENS_ATTRS = ["p_name", "p_brand", "p_type"]
@@ -1336,6 +1370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ditto_serialize": q_ditto_serialize,
     "marked_tokens": q_marked_tokens,
     "events_sessionized": q_events_sessionized,
+    "events_running_zscore": q_events_running_zscore,
     "lens_degrees": q_lens_degrees,
     "mojito_token_saliency": q_mojito_token_saliency,
     "media_frame_grid": q_media_frame_grid,
@@ -1377,6 +1412,7 @@ ORACLES: dict[str, str] = {
     "ditto_serialize": _Q_DITTO_SQL,
     "marked_tokens": _Q_MARKED_SQL,
     "events_sessionized": _Q_SESSION_SQL,
+    "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "lens_degrees": _lens_sql(),
     "media_frame_grid": _Q_FRAME_GRID_SQL,
     # media_features: intentionally no oracle (mapInPandas encoder stub

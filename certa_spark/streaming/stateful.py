@@ -1,0 +1,133 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.10 green-field; the reference has no streaming).
+
+Per-key running z-score: for every event, score its ``value`` against
+the running mean/variance of all PRIOR events of the same user
+(Welford accumulation in group state), then fold the event in. This is
+the canonical "needs custom state" shape — per-key evolving moments
+can't be expressed with watermarked built-in aggregations because each
+row's output depends on the state BEFORE it.
+
+Scale notes: state is 3 doubles per key (bounded, no event history);
+keys shard across executors by the groupBy hash, so a 100TB stream
+parallelizes per-user. Per-key processing is inherently sequential —
+that's the semantics, not an implementation artifact. Use the timeout
+to reap idle users' state.
+
+The batch twin (:func:`running_zscore_batch`) expresses the same thing
+with an UNBOUNDED PRECEDING .. 1 PRECEDING window frame and is
+oracle-checked against DuckDB (queries.events_running_zscore).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# z is emitted only when at least MIN_PRIOR prior events exist and the
+# prior variance clears a conditioning floor (identical prior values
+# would otherwise divide by a float-noise sigma).
+MIN_PRIOR = 2
+VAR_FLOOR = 1e-9
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_ns", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n_prior", LongType()),
+        StructField("z", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+
+def _score_group(
+    key: Tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    cnt, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_ns", "event_id"])
+        for r in pdf.itertuples(index=False):
+            var = m2 / (cnt - 1) if cnt >= 2 else 0.0
+            z = (
+                round((r.value - mean) / var**0.5, 4)
+                if cnt >= MIN_PRIOR and var > VAR_FLOOR
+                else None
+            )
+            out_rows.append((key[0], r.event_id, r.ts_ns, r.value, cnt, z))
+            cnt += 1
+            delta = r.value - mean
+            mean += delta / cnt
+            m2 += delta * (r.value - mean)
+    state.update((cnt, mean, m2))
+    yield pd.DataFrame(
+        out_rows, columns=["user_id", "event_id", "ts_ns", "value", "n_prior", "z"]
+    )
+
+
+def running_zscore_stream(
+    stream: DataFrame,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Stateful per-user running z-score over an event stream.
+
+    Expects columns (user_id, event_id, ts_ns, value). Within a
+    micro-batch, rows are folded in (ts_ns, event_id) order; across
+    micro-batches, state carries the moments forward. Note streaming
+    gives per-BATCH ordering, not total ordering — late rows score
+    against the state at arrival time (the batch twin is the total-order
+    spec).
+    """
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _score_group,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def running_zscore_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: prior-frame window aggregates, one shuffle on
+    user_id shared by all four window functions (same frame spec).
+    Emits the same schema as the stream variant, totally ordered."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_prior = F.count("value").over(w)
+    mean_p = F.avg("value").over(w)
+    var_p = F.var_samp("value").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        "value",
+        n_prior.alias("n_prior"),
+        F.when(
+            (n_prior >= MIN_PRIOR) & (var_p > VAR_FLOOR),
+            F.round((F.col("value") - mean_p) / F.sqrt(var_p), 4),
+        ).alias("z"),
+    )

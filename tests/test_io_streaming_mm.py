@@ -378,3 +378,57 @@ def test_cosine_neardup_blas_matches_exact(spark):
     assert set(exact) == set(blas)
     for k in exact:
         assert abs(exact[k] - blas[k]) < 1e-4
+
+
+def test_stateful_running_zscore_stream_matches_batch(spark, tmp_path):
+    import math
+
+    from certa_spark.streaming.stateful import (
+        running_zscore_batch,
+        running_zscore_stream,
+    )
+
+    rows = [
+        # (user_id, event_id, ts_ns, value) — user 1 has a late outlier
+        (1, 1, 1_000_000_000, 10.0),
+        (1, 2, 2_000_000_000, 12.0),
+        (1, 3, 3_000_000_000, 11.0),
+        (1, 4, 4_000_000_000, 50.0),
+        (2, 5, 1_500_000_000, 5.0),
+        (2, 6, 2_500_000_000, 5.0),
+        (2, 7, 3_500_000_000, 5.0),  # zero variance -> z stays null
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ns long, value double"
+    )
+    expected = {
+        r["event_id"]: (r["n_prior"], r["z"])
+        for r in running_zscore_batch(batch).collect()
+    }
+    # outlier event 4 scores against prior mean 11, sd 1 -> z = 39
+    assert expected[4][1] == 39.0
+    assert expected[7] == (2, None)
+
+    src = str(tmp_path / "zsrc")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        running_zscore_stream(stream)
+        .writeStream.format("memory")
+        .queryName("zs_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["n_prior"], r["z"])
+        for r in spark.sql("SELECT * FROM zs_test").collect()
+    }
+    assert set(got) == set(expected)
+    for eid in expected:
+        assert got[eid][0] == expected[eid][0]
+        ze, zg = expected[eid][1], got[eid][1]
+        assert (ze is None) == (zg is None)
+        if ze is not None:
+            assert math.isclose(ze, zg, abs_tol=1e-3)
