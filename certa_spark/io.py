@@ -98,3 +98,28 @@ def skip_if_exists(path: str) -> bool:
             os.listdir(path)
         )
     return os.path.exists(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table (hash-partitioned files on ``bucket_col``).
+
+    The 100TB co-location primitive: two tables bucketed on the same
+    key with the same bucket count join WITHOUT a shuffle (no Exchange
+    in the plan — asserted in tests/test_io_streaming_mm.py), and a
+    ``sort_col`` pre-sort turns the join's Sort into a no-op. Bucketing
+    in Spark requires the table catalog (``saveAsTable``); pass
+    ``path`` for an external table location.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

@@ -383,6 +383,139 @@ _Q_TPCH_Q5_SQL = f"""
 """
 
 
+def q_tpch_q6(spark, sf_dir) -> DataFrame:
+    """TPC-H Q6 forecast-revenue: pure scan + filter + scalar agg.
+    All three predicates push to the parquet scan (PushedFilters);
+    only (l_extendedprice, l_discount) survive column pruning."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+_Q_TPCH_Q6_SQL = f"""
+    SELECT {_duck_dec_sum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark, sf_dir) -> DataFrame:
+    """TPC-H Q10 returned-item top customers: join + agg + deterministic
+    top-20 (revenue DESC, custkey ASC — DECIMAL-exact revenue makes the
+    cross-engine order total)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"), F.col("n_name").alias("nation")
+        )
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+_Q_TPCH_Q10_SQL = f"""
+    SELECT c_custkey AS custkey, n_name AS nation,
+           {_duck_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, n_name
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+"""
+
+
+def q_tpch_q14(spark, sf_dir) -> DataFrame:
+    """TPC-H Q14 promo-revenue share, adapted to this testdata's p_type
+    domain (share of ECONOMY parts): broadcast dim join + conditional
+    aggregation; both sums go through DECIMAL before the final ratio."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", revenue).otherwise(F.lit(0.0))
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    num = F.sum(promo.cast("decimal(30,6)")).cast("double")
+    den = F.sum(revenue.cast("decimal(30,6)")).cast("double")
+    return joined.agg(F.round(100.0 * num / den, 6).alias("promo_share"))
+
+
+_Q_TPCH_Q14_SQL = """
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'ECONOMY'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(30,6))) AS DOUBLE), 6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_tpch_q18(spark, sf_dir) -> DataFrame:
+    """TPC-H Q18 large-volume orders: HAVING on a partial+final hash
+    agg, then the small qualifying set joins orders/customer."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+_Q_TPCH_Q18_SQL = f"""
+    WITH big AS (
+        SELECT l_orderkey, {_duck_dec_sum('l_quantity', 2)} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {_duck_dec_sum('l_quantity', 2)} > 150
+    )
+    SELECT c_custkey AS custkey, o_orderkey AS orderkey,
+           o_totalprice AS totalprice, sum_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_top_orders_per_customer(spark, sf_dir) -> DataFrame:
     """Window coverage: top-3 orders per customer by total price."""
     o = _t(spark, sf_dir, "orders")
@@ -596,6 +729,50 @@ def q_doc_fingerprint(spark, sf_dir) -> DataFrame:
 _Q_DOC_FINGERPRINT_SQL = f"""
     SELECT doc_id, {TS.duck_fingerprint('text')} AS fp FROM documents
 """
+
+
+def q_doc_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction (functions/scrub.py): the synthetic corpus has no
+    PII, so deterministic email/ip/phone strings are appended per doc,
+    then counted and scrubbed — all JVM-side regexp, no UDFs."""
+    from certa_spark.functions import scrub as SC
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1555"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+    )
+    base = d.select("doc_id", raw.alias("raw"))
+    return base.select(
+        "doc_id",
+        SC.count_pii(F.col("raw")).alias("n_pii"),
+        SC.scrub_pii(F.col("raw")).alias("scrubbed"),
+    )
+
+
+def _pii_sql() -> str:
+    from certa_spark.functions import scrub as SC
+
+    raw = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com from 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')"
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {raw} AS raw FROM documents)
+    SELECT doc_id, {SC.duck_count_pii('raw')} AS n_pii,
+           {SC.duck_scrub_pii('raw')} AS scrubbed
+    FROM base
+"""
+
+
+_Q_DOC_PII_SQL = _pii_sql()
 
 
 def q_dedup_exact(spark, sf_dir) -> DataFrame:
@@ -1344,6 +1521,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
     "top_orders_per_customer": q_top_orders_per_customer,
     "orders_except": q_orders_except,
     "part_token_diff": q_part_token_diff,
@@ -1354,6 +1535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_pii_scrub": q_doc_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
@@ -1386,6 +1568,10 @@ ORACLES: dict[str, str] = {
     "tpch_q3": _Q_TPCH_Q3_SQL,
     "tpch_q4": _Q_TPCH_Q4_SQL,
     "tpch_q5": _Q_TPCH_Q5_SQL,
+    "tpch_q6": _Q_TPCH_Q6_SQL,
+    "tpch_q10": _Q_TPCH_Q10_SQL,
+    "tpch_q14": _Q_TPCH_Q14_SQL,
+    "tpch_q18": _Q_TPCH_Q18_SQL,
     "top_orders_per_customer": _Q_TOP_ORDERS_SQL,
     "orders_except": _Q_ORDERS_EXCEPT_SQL,
     "part_token_diff": _Q_PART_TOKEN_DIFF_SQL,
@@ -1396,6 +1582,7 @@ ORACLES: dict[str, str] = {
     "doc_quality": _Q_DOC_QUALITY_SQL,
     "doc_langid": _Q_DOC_LANGID_SQL,
     "doc_fingerprint": _Q_DOC_FINGERPRINT_SQL,
+    "doc_pii_scrub": _Q_DOC_PII_SQL,
     "dedup_exact": _Q_DEDUP_EXACT_SQL,
     "minhash_signatures": _Q_MINHASH_SQL,
     "simhash": _Q_SIMHASH_SQL,

@@ -95,3 +95,23 @@ def test_textstats_cross_engine(spark):
         assert row["lang"] == lg, row["text"]
         assert abs(row["q"] - q) < 1e-9, row["text"]
         assert row["fp"] == fp, row["text"]
+
+
+def test_pii_scrub_and_count(spark):
+    from certa_spark.functions.scrub import count_pii, scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@x-y.co.uk ip 192.168.0.1 tel +12345678 done"),
+        (2, "no pii here, just 1.5 and 12. dots"),
+        (3, "two mails a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: (r["n"], r["s"])
+        for r in df.select(
+            "id", count_pii(F.col("t")).alias("n"), scrub_pii(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert out[1] == (3, "mail [PII] ip [PII] tel [PII] done")
+    assert out[2] == (0, "no pii here, just 1.5 and 12. dots")
+    assert out[3] == (2, "two mails [PII] [PII]")

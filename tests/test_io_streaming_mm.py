@@ -432,3 +432,35 @@ def test_stateful_running_zscore_stream_matches_batch(spark, tmp_path):
         assert (ze is None) == (zg is None)
         if ze is not None:
             assert math.isclose(ze, zg, abs_tol=1e-3)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(200)],
+        "o_key long, cust long, total double",
+    )
+    items = spark.createDataFrame(
+        [(i % 150, i, float(i) / 2) for i in range(400)],
+        "o_key long, item long, price double",
+    )
+    IO.write_bucketed(orders, "t_orders_b", "o_key", 4,
+                      sort_col="o_key", path=str(tmp_path / "ob"))
+    IO.write_bucketed(items, "t_items_b", "o_key", 4,
+                      sort_col="o_key", path=str(tmp_path / "ib"))
+    # tiny fixtures would broadcast (which bypasses bucketed scans);
+    # force the sort-merge shape these tables would take at scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(spark.table("t_items_b"), "o_key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # same join unbucketed DOES shuffle — the bucketing is what saves it
+        plain = orders.join(items, "o_key")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+        assert joined.count() == 400  # every item's o_key < 200 exists
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
