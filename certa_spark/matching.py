@@ -37,6 +37,12 @@ SCORE_COLS = ("nomatch_score", "match_score")
 class Matcher(Protocol):
     def predict(self, pairs: DataFrame) -> DataFrame: ...
 
+    # cheap=True lets the triangle engine fuse all perturbation depths
+    # into ONE predict round (it may evaluate perturbations the
+    # reference's early-exit would skip — free for JVM-side matchers,
+    # wasteful for real model inference).
+    cheap: bool
+
 
 def _side_text(df: DataFrame, prefix: str) -> F.Column:
     cols = [
@@ -51,6 +57,8 @@ class NativeCosineMatcher:
     """Deterministic matcher: match_score = BoW cosine of the two sides'
     concatenated attribute text (FIXTURES.md §2; same formula as
     certa/local_explain.py:221-234)."""
+
+    cheap = True
 
     def __init__(self, lprefix: str = LPREFIX, rprefix: str = RPREFIX):
         self.lprefix = lprefix
@@ -109,6 +117,8 @@ class PandasPredictAdapter:
     plugs in unchanged. Use ``factory`` for heavyweight models so each
     executor constructs/loads the model once (cached per process).
     """
+
+    cheap = False  # arbitrary user model — honor the early-exit budget
 
     def __init__(
         self,

@@ -57,6 +57,8 @@ class MLlibMatcher:
     """ERModel-contract matcher backed by an MLlib LogisticRegression
     pipeline over the similarity feature block."""
 
+    cheap = True  # JVM-side scoring; extra fused-depth rows are free
+
     def __init__(self, lprefix: str = LPREFIX, rprefix: str = RPREFIX):
         self.lprefix = lprefix
         self.rprefix = rprefix

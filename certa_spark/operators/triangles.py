@@ -266,6 +266,7 @@ def perturb_predict(
     attr_length: int,
     lprefix: str = LPREFIX,
     rprefix: str = RPREFIX,
+    fused: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Depth-stratified perturb+predict loop with monotonicity early
     exit (triangles_method.py:266-334).
@@ -273,6 +274,15 @@ def perturb_predict(
     Depths run 1..attr_length-1 (reference ``range(1, attr_length)``).
     Once an entire depth flips, deeper depths synthesize flipped scores
     without calling the model (``all_good``, lines 309-327).
+
+    ``fused`` (default: ``matcher.cheap``) predicts EVERY depth in one
+    model round and reconstructs the early-exit semantics from per-depth
+    flip stats afterwards — identical outputs (depths past the first
+    fully-flipped one are re-synthesized and their real predictions
+    discarded, matching the reference's prediction log), one Spark
+    action instead of one per depth. Only worth it when extra matcher
+    evaluations are free (JVM-side matchers); a real model keeps the
+    per-depth loop so the early exit saves actual inference.
 
     Returns (flipped_predictions, rankings, all_predictions):
       * flipped_predictions — perturbation rows + scores that flipped;
@@ -293,6 +303,14 @@ def perturb_predict(
             triangles, lsource, rsource, lprefix, rprefix
         ).items()
     }
+    if fused is None:
+        fused = getattr(matcher, "cheap", False)
+    if fused and attr_length > 1:
+        return _perturb_predict_fused(
+            resolved, lsource, rsource, matcher, class_to_explain,
+            attr_length, lprefix, rprefix,
+        )
+
     flipped_parts: list[DataFrame] = []
     ranking_parts: list[DataFrame] = []
     predicted_parts: list[DataFrame] = []
@@ -362,6 +380,78 @@ def perturb_predict(
         _union(flipped_parts, empty_pred),
         _union(ranking_parts, empty_rank),
         _union(predicted_parts, empty_pred),
+    )
+
+
+def _perturb_predict_fused(
+    resolved: dict,
+    lsource: DataFrame,
+    rsource: DataFrame,
+    matcher: Matcher,
+    class_to_explain: int,
+    attr_length: int,
+    lprefix: str,
+    rprefix: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One-round variant of the depth loop (see perturb_predict): union
+    all depths' perturbations, predict once, then apply the reference's
+    all_good rule post-hoc — the first fully-flipped depth ``d*`` keeps
+    its real predictions, deeper depths are re-synthesized exactly as
+    triangles_method.py:309-327 would have (and dropped from the
+    prediction log, which only records real model calls)."""
+    parts = [
+        perturbations_from_resolved(
+            resolved, lsource, rsource, d, class_to_explain, lprefix, rprefix
+        ).withColumn("depth", F.lit(d))
+        for d in range(1, attr_length)
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    predicted = matcher.predict(allp).cache()
+    flip = flip_condition(class_to_explain)
+    stats = {
+        r["depth"]: (r["n"], r["nf"])
+        for r in predicted.groupBy("depth")
+        .agg(F.count("*").alias("n"), F.sum(flip.cast("long")).alias("nf"))
+        .collect()
+    }
+    d_star = None
+    for d in sorted(stats):
+        n, nf = stats[d]
+        if n > 0 and nf == n:
+            d_star = d
+            break
+
+    pert_cols = [c for c in allp.columns if c != "depth"]
+    order = [*pert_cols, "match_score", "nomatch_score", "depth"]
+    if d_star is None or d_star >= attr_length - 1:
+        real, syn = predicted.select(*order), None
+    else:
+        real = predicted.filter(F.col("depth") <= d_star).select(*order)
+        match_syn = 1.0 if class_to_explain == 0 else 0.0
+        syn = (
+            allp.filter(F.col("depth") > d_star)
+            .withColumn("match_score", F.lit(match_syn))
+            .withColumn("nomatch_score", F.lit(1.0 - match_syn))
+            .select(*order)
+        )
+
+    flipped = real.filter(flip)
+    rankings = real.groupBy("alteredAttributes", "depth").agg(
+        F.sum(flip.cast("long")).alias("flips")
+    )
+    if syn is not None:
+        flipped = flipped.unionByName(syn)
+        rankings = rankings.unionByName(
+            syn.groupBy("alteredAttributes", "depth").agg(
+                F.count("*").cast("long").alias("flips")
+            )
+        )
+    return (
+        flipped,
+        rankings.select("alteredAttributes", "flips", "depth"),
+        real,
     )
 
 

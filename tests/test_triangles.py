@@ -267,3 +267,58 @@ def test_landmark_and_greedy_cf(spark):
             max_tokens=cf["n_dropped"] - 1,
         )
         assert shorter is None
+
+
+def test_fused_depth_loop_equivalence(spark):
+    """fused=True must reproduce the loop's outputs exactly — including
+    the post-hoc early-exit reconstruction when a depth fully flips."""
+
+    class AlwaysFlipMatcher:
+        cheap = True
+
+        def predict(self, pairs):
+            return pairs.withColumn("match_score", F.lit(0.0)).withColumn(
+                "nomatch_score", F.lit(1.0)
+            )
+
+    ls = spark.createDataFrame(
+        [(1, "a", "b", "c"), (2, "d", "e", "f")],
+        ["id", "name", "description", "price"],
+    )
+    rs = spark.createDataFrame(
+        [(10, "p", "q", "r")], ["id", "name", "description", "price"]
+    )
+    tri = spark.createDataFrame(
+        [("0@1", "1@10", "0@2", "left")], ["pivot", "anchor", "free", "side"]
+    )
+
+    def snapshot(fused):
+        f, r, a = T.perturb_predict(
+            spark, tri, ls, rs, AlwaysFlipMatcher(), 1, attr_length=3, fused=fused
+        )
+        key = lambda df: sorted(
+            (tuple(row["alteredAttributes"]), row["depth"], row["match_score"])
+            for row in df.collect()
+        )
+        rank = sorted(
+            (tuple(row["alteredAttributes"]), row["depth"], row["flips"])
+            for row in r.collect()
+        )
+        return key(f), rank, key(a)
+
+    assert snapshot(fused=False) == snapshot(fused=True)
+
+    # and with a non-flipping matcher (no early exit at all)
+    from certa_spark.matching import NativeCosineMatcher
+
+    def snap2(fused):
+        f, r, a = T.perturb_predict(
+            spark, tri, ls, rs, NativeCosineMatcher(), 1, attr_length=3, fused=fused
+        )
+        return (
+            sorted(map(tuple, f.drop("match_score", "nomatch_score").collect())),
+            sorted(map(tuple, r.collect())),
+            sorted(map(tuple, a.drop("match_score", "nomatch_score").collect())),
+        )
+
+    assert snap2(False) == snap2(True)
