@@ -123,3 +123,19 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet (one directory per partition
+    value). The 100TB pruning primitive: a filter on a partition column
+    skips whole directories at planning time — the scan's
+    PartitionFilters (asserted in tests) never touches excluded files.
+    Keep partition cardinality bounded (date/hour/source, never a
+    high-cardinality id) or the file listing itself becomes the
+    bottleneck."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

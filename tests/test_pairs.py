@@ -61,3 +61,38 @@ def test_robust_augment_counts(spark, er_tables):
         & (F.col("ltable_name") == F.col("rtable_name"))
     )
     assert ident.filter(F.col("label") != 1).count() == 0
+
+
+def test_salted_join_matches_plain(spark):
+    from certa_spark.operators.skew import salted_join
+
+    # key 0 is pathologically hot
+    big = spark.createDataFrame(
+        [(0 if i % 3 else i % 5, i) for i in range(300)], "k long, payload long"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(5)], "k long, name string")
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    salted = sorted(map(tuple, salted_join(big, small, "k", salt=4).collect()))
+    assert salted == plain
+    # left join keeps unmatched big rows exactly once
+    big2 = big.union(spark.createDataFrame([(99, 1)], "k long, payload long"))
+    left_plain = sorted(map(tuple, big2.join(small, "k", "left").collect()))
+    left_salted = sorted(
+        map(tuple, salted_join(big2, small, "k", salt=4, how="left").collect())
+    )
+    assert left_salted == left_plain
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from certa_spark import io as IO
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(90)],
+        "id long, source string, v double",
+    )
+    p = str(tmp_path / "part")
+    IO.write_partitioned(df, p, ["source"])
+    back = spark.read.parquet(p).filter(F.col("source") == "b")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan and "= b)" in plan, plan
+    assert back.count() == 30
