@@ -1510,6 +1510,440 @@ def q_media_features(spark, sf_dir) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# TPC-H widening (adapted to this testdata's schema — no partsupp /
+# commitdate / phone columns; predicates rewritten onto the columns
+# that exist, operator shapes preserved). Each covers a plan shape not
+# exercised elsewhere in the registry.
+# ------------------------------------------------------------------
+
+
+def q_tpch_q7(spark, sf_dir) -> DataFrame:
+    """TPC-H Q7 volume shipping: the dual-aliased dim join (nation read
+    twice — supplier side and customer side) with the symmetric
+    two-nation OR predicate, grouped by nation pair and ship year."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_dec_sum(revenue).alias("revenue"))
+    )
+
+
+_Q_TPCH_Q7_SQL = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {_duck_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark, sf_dir) -> DataFrame:
+    """TPC-H Q8 market share: per-year ratio of two conditional DECIMAL
+    sums over a 6-table join (NATION_3 suppliers' share of ECONOMY-part
+    revenue sold into ASIA)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(
+        F.lit(0.0)
+    )
+    num = F.sum(national.cast("decimal(30,6)")).cast("double")
+    den = F.sum(revenue.cast("decimal(30,6)")).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("c_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(num / den, 6).alias("mkt_share"))
+    )
+
+
+_Q_TPCH_Q8_SQL = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                       AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    GROUP BY 1
+"""
+
+
+def q_tpch_q9(spark, sf_dir) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: no partsupp, so supply
+    cost is modeled as 10% of p_retailprice per unit): multi-fact join
+    with a compound profit expression, grouped by supplier nation and
+    order year."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dec_sum(profit).alias("sum_profit"))
+    )
+
+
+_Q_TPCH_Q9_SQL = f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {_duck_dec_sum(
+               'l_extendedprice * (1 - l_discount)'
+               ' - 0.1 * p_retailprice * l_quantity')} AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+"""
+
+
+def q_tpch_q12(spark, sf_dir) -> DataFrame:
+    """TPC-H Q12 shipmode priority counts (adapted: no l_shipmode /
+    l_receiptdate — buckets come from ship delay vs order date):
+    date-diff bucketing + dual conditional counts."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff("l_shipdate", "o_orderdate") <= 60, "FAST"
+    ).otherwise("SLOW")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+_Q_TPCH_Q12_SQL = """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60
+                THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+
+def q_tpch_q13(spark, sf_dir) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join
+    (customers with zero orders must appear) followed by a second-level
+    count-of-counts aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+_Q_TPCH_Q13_SQL = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                         AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+"""
+
+
+def q_tpch_q15(spark, sf_dir) -> DataFrame:
+    """TPC-H Q15 top supplier: revenue-per-supplier CTE, then keep the
+    argmax WITH ties — the scalar max comes from a broadcast cross join
+    (no single-partition window, so the pattern survives a wide
+    supplier table). DECIMAL-rounded revenue makes the max comparison
+    exact cross-engine."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = l.groupBy("l_suppkey").agg(_dec_sum(revenue).alias("total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue",
+        )
+    )
+
+
+_Q_TPCH_Q15_SQL = f"""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               {_duck_dec_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey AS suppkey, s_name AS name, total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q16(spark, sf_dir) -> DataFrame:
+    """TPC-H Q16 supplier-count per part descriptor (adapted: supplier
+    relationships come from lineitem, not partsupp): COUNT DISTINCT
+    after a NOT-IN / not-equal dim filter."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+    )
+
+
+_Q_TPCH_Q16_SQL = """
+    SELECT p_brand AS brand, p_type AS type, p_size AS size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q17(spark, sf_dir) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated scalar
+    subquery (per-part avg quantity) decorrelated into an aggregate
+    self-join — the per-part threshold is tiny after the dim filter, so
+    it broadcasts back onto the fact scan. Threshold avg is rounded to
+    6 decimals on both engines before the 0.2× comparison."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)
+    )
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        _dec_avg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        l.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q_TPCH_Q17_SQL = f"""
+    WITH parts AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#2' AND p_size < 10
+    ), th AS (
+        SELECT l_partkey AS t_partkey,
+               {_duck_dec_avg('l_quantity')} AS avg_qty
+        FROM lineitem JOIN parts ON l_partkey = p_partkey
+        GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN parts ON l_partkey = p_partkey
+    JOIN th ON l_partkey = t_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_tpch_q19(spark, sf_dir) -> DataFrame:
+    """TPC-H Q19 discounted revenue: OR-of-conjunctions join predicate
+    (brand × size-range × quantity-range disjuncts). Catalyst extracts
+    the common l_partkey = p_partkey equi-condition so this stays a
+    hash join with the disjunction as a post-join filter."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    def _arm(brand, smin, smax, qmin, qmax):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(
+            _arm("Brand#1", 1, 15, 1, 11)
+            | _arm("Brand#2", 10, 30, 10, 20)
+            | _arm("Brand#3", 20, 50, 20, 30)
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+_Q_TPCH_Q19_SQL = f"""
+    SELECT {_duck_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22(spark, sf_dir) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: nation-key set
+    stands in for the missing phone prefixes): scalar-subquery average
+    via broadcast cross join + LEFT ANTI join against recent orders
+    (every customer has SOME order in this testdata, so the dormancy
+    cutoff keeps the anti-join non-vacuous), then per-nation counts."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7)
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(_dec_avg(F.col("c_acctbal")).alias("_avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+_Q_TPCH_Q22_SQL = f"""
+    WITH cust AS (
+        SELECT * FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           {_duck_dec_sum('c_acctbal')} AS totacctbal
+    FROM cust
+    WHERE c_acctbal > (SELECT {_duck_dec_avg('c_acctbal')}
+                       FROM cust WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1522,9 +1956,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
     "top_orders_per_customer": q_top_orders_per_customer,
     "orders_except": q_orders_except,
     "part_token_diff": q_part_token_diff,
@@ -1569,9 +2013,19 @@ ORACLES: dict[str, str] = {
     "tpch_q4": _Q_TPCH_Q4_SQL,
     "tpch_q5": _Q_TPCH_Q5_SQL,
     "tpch_q6": _Q_TPCH_Q6_SQL,
+    "tpch_q7": _Q_TPCH_Q7_SQL,
+    "tpch_q8": _Q_TPCH_Q8_SQL,
+    "tpch_q9": _Q_TPCH_Q9_SQL,
     "tpch_q10": _Q_TPCH_Q10_SQL,
+    "tpch_q12": _Q_TPCH_Q12_SQL,
+    "tpch_q13": _Q_TPCH_Q13_SQL,
     "tpch_q14": _Q_TPCH_Q14_SQL,
+    "tpch_q15": _Q_TPCH_Q15_SQL,
+    "tpch_q16": _Q_TPCH_Q16_SQL,
+    "tpch_q17": _Q_TPCH_Q17_SQL,
     "tpch_q18": _Q_TPCH_Q18_SQL,
+    "tpch_q19": _Q_TPCH_Q19_SQL,
+    "tpch_q22": _Q_TPCH_Q22_SQL,
     "top_orders_per_customer": _Q_TOP_ORDERS_SQL,
     "orders_except": _Q_ORDERS_EXCEPT_SQL,
     "part_token_diff": _Q_PART_TOKEN_DIFF_SQL,
