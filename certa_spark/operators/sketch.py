@@ -1,0 +1,141 @@
+"""Mergeable cardinality sketches (HyperLogLog) — the 100TB COUNT
+DISTINCT primitive.
+
+An exact ``count_distinct`` over 100TB shuffles every distinct key; an
+HLL register table is 2^p longs per partition/day/source, merges with a
+``max`` per bucket, and answers within ~1.04/sqrt(2^p) relative error.
+The implementation below is fully relational (no UDF, whole-stage
+codegen end-to-end) and — unlike the engine-native ``approx_count_
+distinct`` whose HLL++ internals differ per engine — is reproducible
+bit-for-bit by the DuckDB oracle, because:
+
+  * the 60-bit row hash is the shared md5-derived ``hash64`` from
+    ``functions/hashing.py`` (identical in Spark and DuckDB);
+  * the register value is computed from ``length(bin(w))`` (both
+    engines render minimal binary strings — no leading zeros);
+  * the estimator's register sum is the INTEGER ``sum(2^(51-M_j))``
+    (a BIGINT left-shift, exact and order-independent — no
+    floating-point partial-aggregation drift), with the float math
+    confined to one final scalar expression written in the same
+    operation order on both sides.
+
+Spark's built-in ``approx_count_distinct`` remains the zero-effort
+alternative when cross-run reproducibility of the estimate does not
+matter; this module exists for when it does (incremental daily
+sketches, auditable pipelines) and as the mergeable-sketch pattern
+(see ``hll_merge``: union → max — associative, so partial sketches
+from any partitioning combine losslessly).
+
+Reference parity note: tteofili/certa has no sketch operators — this is
+part of the training-data-pipeline extension surface (SURVEY §2
+extensions), built green-field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from certa_spark.functions.hashing import duck_hash64, hash64
+
+# hash64 yields 60-bit values: top ``p`` bits pick the register, the
+# remaining (60 - p) bits feed the leading-zero rank, whose maximum
+# rank is (60 - p) + 1.
+_HASH_BITS = 60
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 10) -> DataFrame:
+    """Sketch one column into 2^p HLL registers: ``(bucket, m)`` with
+    ``m`` = max leading-zero rank seen in the bucket. Map-side partial
+    aggregation does most of the work — at most 2^p rows per partition
+    reach the shuffle regardless of input size."""
+    wbits = _HASH_BITS - p
+    h = hash64(F.col(col))
+    bucket = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # rank = leading zeros within the wbits window + 1;
+    # length(bin(w)) is w's bit length (minimal binary string).
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketches: union the register tables, keep the max per
+    bucket. Associative/commutative — partial sketches built per
+    partition, per day, or per source combine into the global sketch
+    without touching the raw data again."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("m").alias("m"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """One-row DataFrame ``(hll_estimate: double)`` from a register
+    table, with the standard small-range linear-counting correction.
+    All aggregation is integer-exact; rounding to 4 decimals at the end
+    absorbs any cross-engine libm difference in ln()."""
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    top = 1 << (wbits + 1)  # contribution 2^(wbits+1-rho) for rho=0 (empty)
+    # pyspark's shiftleft() helper only takes a literal shift count;
+    # the SQL form accepts a column expression
+    agg = registers.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({wbits + 1} - m as int))"))
+        .cast("long")
+        .alias("sum_present"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    v = F.lit(m) - F.col("n_buckets")  # empty registers
+    sum_total = (F.col("sum_present") + v * F.lit(top)).cast("double")
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(top)) / sum_total
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("hll_estimate"))
+
+
+def duck_hll_sql(table: str, expr: str, p: int = 10) -> str:
+    """DuckDB oracle computing the identical estimate."""
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    top = 1 << (wbits + 1)
+    h = duck_hash64(expr)
+    return f"""
+    WITH regs AS (
+        SELECT ({h} >> {wbits}) AS bucket,
+               max(CASE WHEN ({h} & {(1 << wbits) - 1}) = 0 THEN {wbits + 1}
+                        ELSE {wbits + 1}
+                             - length(bin(({h} & {(1 << wbits) - 1})::BIGINT))
+                   END) AS m
+        FROM {table} GROUP BY 1
+    ), agg AS (
+        SELECT CAST(sum(1::BIGINT << ({wbits + 1} - m)) AS BIGINT)
+                   AS sum_present,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM regs
+    )
+    SELECT round(CASE WHEN (0.7213/(1.0 + 1.079/{float(m)})) * {float(m)}
+                          * {float(m)} * {float(top)}
+                          / CAST(sum_present + ({m} - n_buckets)
+                                 * {top} AS DOUBLE) <= 2.5 * {m}
+                      AND ({m} - n_buckets) > 0
+                 THEN {float(m)} * ln({float(m)}
+                          / CAST({m} - n_buckets AS DOUBLE))
+                 ELSE (0.7213/(1.0 + 1.079/{float(m)})) * {float(m)}
+                          * {float(m)} * {float(top)}
+                          / CAST(sum_present + ({m} - n_buckets)
+                                 * {top} AS DOUBLE)
+                 END, 4) AS hll_estimate
+    FROM agg
+    """

@@ -1944,6 +1944,66 @@ _Q_TPCH_Q22_SQL = f"""
 """
 
 
+def q_hll_distinct(spark, sf_dir) -> DataFrame:
+    """Mergeable HLL cardinality sketch (operators/sketch.py) next to
+    the exact COUNT DISTINCT it approximates — integer-exact register
+    aggregation makes the estimate reproducible cross-engine."""
+    from certa_spark.operators import sketch as SK
+
+    l = _t(spark, sf_dir, "lineitem")
+    est = SK.hll_estimate(SK.hll_registers(l, "l_orderkey", p=10), p=10)
+    exact = l.agg(
+        F.count_distinct(F.col("l_orderkey")).cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def _hll_sql() -> str:
+    from certa_spark.operators.sketch import duck_hll_sql
+
+    return f"""
+    WITH est AS ({duck_hll_sql('lineitem', 'CAST(l_orderkey AS VARCHAR)', p=10)}),
+    ex AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+        FROM lineitem
+    )
+    SELECT hll_estimate, exact_distinct FROM est, ex
+    """
+
+
+def q_events_rollup(spark, sf_dir) -> DataFrame:
+    """OLAP rollup (hypertable-style day/type hierarchy): subtotal rows
+    per day and a grand total in one pass — Spark expands grouping sets
+    in a single shuffle rather than one job per level."""
+    e = _events(spark, sf_dir)
+    return (
+        e.rollup(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type").alias("etype"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _dec_sum(F.col("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            F.coalesce("etype", F.lit("(all)")).alias("etype"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+_Q_EVENTS_ROLLUP_SQL = f"""
+    SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+           COALESCE(event_type, '(all)') AS etype,
+           CAST(count(*) AS BIGINT) AS n,
+           {_duck_dec_sum('value', 2)} AS value_sum
+    FROM events
+    GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1997,6 +2057,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "marked_tokens": q_marked_tokens,
     "events_sessionized": q_events_sessionized,
     "events_running_zscore": q_events_running_zscore,
+    "events_rollup": q_events_rollup,
+    "hll_distinct": q_hll_distinct,
     "lens_degrees": q_lens_degrees,
     "mojito_token_saliency": q_mojito_token_saliency,
     "media_frame_grid": q_media_frame_grid,
@@ -2054,6 +2116,8 @@ ORACLES: dict[str, str] = {
     "marked_tokens": _Q_MARKED_SQL,
     "events_sessionized": _Q_SESSION_SQL,
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
+    "events_rollup": _Q_EVENTS_ROLLUP_SQL,
+    "hll_distinct": _hll_sql(),
     "lens_degrees": _lens_sql(),
     "media_frame_grid": _Q_FRAME_GRID_SQL,
     # media_features: intentionally no oracle (mapInPandas encoder stub
