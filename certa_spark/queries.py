@@ -2004,6 +2004,148 @@ _Q_EVENTS_ROLLUP_SQL = f"""
 """
 
 
+def q_events_window_suite(spark, sf_dir) -> DataFrame:
+    """Analytic-window suite over the event stream: lag delta,
+    cumulative DECIMAL sum, 3-row moving average, rank, ntile — one
+    shuffle on user_id serves every frame. Ordering is (event-time
+    micros, event_id): micros (not nanos) because the oracle engine
+    reads this nanos parquet at micros precision, and event_id breaks
+    any remaining ties deterministically."""
+    e = _events(spark, sf_dir)
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    cum_w = w.rowsBetween(Window.unboundedPreceding, 0)
+    mov_w = w.rowsBetween(-2, 0)
+    vdec = F.col("value").cast("decimal(30,6)")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.round(F.sum(vdec).over(cum_w), 2).cast("double").alias("cum_sum"),
+        F.round(
+            F.sum(vdec).over(mov_w).cast("double") / F.count("*").over(mov_w), 6
+        ).alias("mov_avg3"),
+        F.rank()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("value").desc(), F.col("event_id")
+            )
+        )
+        .cast("long")
+        .alias("rnk"),
+        F.ntile(4).over(w).cast("long").alias("tile"),
+    )
+
+
+_Q_EVENTS_WINDOW_SQL = """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 6) AS delta,
+           CAST(round(sum(CAST(value AS DECIMAL(30,6)))
+                      OVER (w ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+               AS cum_sum,
+           round(CAST(sum(CAST(value AS DECIMAL(30,6)))
+                      OVER (w ROWS 2 PRECEDING) AS DOUBLE)
+                 / count(*) OVER (w ROWS 2 PRECEDING), 6) AS mov_avg3,
+           CAST(rank() OVER (PARTITION BY user_id
+                             ORDER BY value DESC, event_id) AS BIGINT) AS rnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+def q_events_pivot(spark, sf_dir) -> DataFrame:
+    """Pivot: day × event-type count matrix. The value list is pinned
+    so the output schema is static (no extra distinct-values job — at
+    100TB an unpinned pivot scans the data twice)."""
+    e = _events(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+    )
+
+
+_Q_EVENTS_PIVOT_SQL = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+"""
+
+
+def q_doc_split_assign(spark, sf_dir) -> DataFrame:
+    """Deterministic train/valid/test split assignment — the
+    reproducible alternative to randomSplit for dataset curation: the
+    split is a pure function of the stable doc_id hash, so it is
+    identical across runs, engines, and re-partitionings."""
+    from certa_spark.functions.hashing import hash32
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(hash32(F.col("doc_id")), F.lit(100))
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars")).cast("long").alias("chars_total"),
+        )
+    )
+
+
+def _doc_split_sql() -> str:
+    from certa_spark.functions.hashing import duck_hash32
+
+    h = f"({duck_hash32('CAST(doc_id AS VARCHAR)')} % 100)"
+    return f"""
+    SELECT CASE WHEN {h} < 80 THEN 'train'
+                WHEN {h} < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    GROUP BY 1
+    """
+
+
+def q_orders_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact linear-interpolation percentiles per order priority —
+    Spark's exact `percentile` and the oracle's `quantile_cont` share
+    interpolation semantics. (At 100TB the drop-in scale path is
+    `approx_percentile`, which trades the exact sort for a KLL-style
+    mergeable sketch; exact is used here so the oracle can agree.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(0.95)), 4).alias("p95"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+_Q_ORDERS_PCTL_SQL = """
+    SELECT o_orderpriority AS priority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2058,6 +2200,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionized": q_events_sessionized,
     "events_running_zscore": q_events_running_zscore,
     "events_rollup": q_events_rollup,
+    "events_window_suite": q_events_window_suite,
+    "events_pivot": q_events_pivot,
+    "doc_split_assign": q_doc_split_assign,
+    "orders_percentiles": q_orders_percentiles,
     "hll_distinct": q_hll_distinct,
     "lens_degrees": q_lens_degrees,
     "mojito_token_saliency": q_mojito_token_saliency,
@@ -2117,6 +2263,10 @@ ORACLES: dict[str, str] = {
     "events_sessionized": _Q_SESSION_SQL,
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
+    "events_window_suite": _Q_EVENTS_WINDOW_SQL,
+    "events_pivot": _Q_EVENTS_PIVOT_SQL,
+    "doc_split_assign": _doc_split_sql(),
+    "orders_percentiles": _Q_ORDERS_PCTL_SQL,
     "hll_distinct": _hll_sql(),
     "lens_degrees": _lens_sql(),
     "media_frame_grid": _Q_FRAME_GRID_SQL,
