@@ -2004,6 +2004,53 @@ _Q_EVENTS_ROLLUP_SQL = f"""
 """
 
 
+def q_neardup_clusters(spark, sf_dir) -> DataFrame:
+    """Dedup cluster assignment: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation, operators/graph.py)
+    -> one cluster id per doc. The step that turns near-dup PAIRS into
+    the keep-one-per-cluster decision a curation pipeline acts on.
+    Oracle is a recursive CTE computing min-reachable-id."""
+    from certa_spark.operators.graph import assign_clusters
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    variant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    corpus = d.unionByName(variant)
+    pairs = DD.minhash_lsh_pairs(corpus, threshold=0.5)
+    return assign_clusters(
+        corpus, pairs, "doc_id", src="doc_id_a", dst="doc_id_b"
+    ).select("doc_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def _neardup_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_Q_MINHASH_LSH_SQL}),
+    corpus_ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000 FROM documents WHERE doc_id % 5 = 0
+    ),
+    edges AS (
+        SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION
+        SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM corpus_ids
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+    FROM reach GROUP BY node
+    """
+
+
 def q_events_window_suite(spark, sf_dir) -> DataFrame:
     """Analytic-window suite over the event stream: lag delta,
     cumulative DECIMAL sum, 3-row moving average, rank, ntile — one
@@ -2200,6 +2247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionized": q_events_sessionized,
     "events_running_zscore": q_events_running_zscore,
     "events_rollup": q_events_rollup,
+    "neardup_clusters": q_neardup_clusters,
     "events_window_suite": q_events_window_suite,
     "events_pivot": q_events_pivot,
     "doc_split_assign": q_doc_split_assign,
@@ -2263,6 +2311,7 @@ ORACLES: dict[str, str] = {
     "events_sessionized": _Q_SESSION_SQL,
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
+    "neardup_clusters": _neardup_clusters_sql(),
     "events_window_suite": _Q_EVENTS_WINDOW_SQL,
     "events_pivot": _Q_EVENTS_PIVOT_SQL,
     "doc_split_assign": _doc_split_sql(),
