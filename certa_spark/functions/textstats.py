@@ -105,6 +105,18 @@ def fingerprint(text: Column) -> Column:
     return hash64(F.array_join(words(text), " "))
 
 
+def word_bigrams(words_col: str) -> Column:
+    """Adjacent word pairs of an array<string> column (by NAME) as
+    ``"a b"`` strings — Gopher-style repetition scoring input.
+    JVM-side ``transform`` over an index sequence; caller must guard
+    ``size >= 2`` (Spark's ``sequence(0,-1)`` counts DOWN, it is not
+    empty)."""
+    w = words_col
+    return F.expr(
+        f"transform(sequence(0, size({w}) - 2), i -> {w}[i] || ' ' || {w}[i+1])"
+    )
+
+
 # ---------------------------------------------------------------- DuckDB twins
 
 def duck_words(expr: str) -> str:

@@ -1,0 +1,72 @@
+"""Deterministic sampling / data mixing.
+
+``df.sample`` draws from a per-partition RNG stream: the selected rows
+change whenever partitioning, task scheduling, or Spark version
+changes — useless for reproducible training-data curation, where the
+sample must be re-derivable months later from the raw corpus. These
+operators sample by CONTENT: a row is kept iff
+``hash(key) mod 1e6 < rate * 1e6``, so the decision is a pure function
+of the row's key.
+
+Properties that matter at 100TB:
+  * map-side only — NO shuffle, no driver coordination, no RNG state;
+    composes with any partitioning and survives AQE re-planning;
+  * engine-reproducible — the hash is the md5-derived
+    ``functions/hashing.hash64`` that DuckDB (and any engine with md5)
+    computes bit-identically, so the oracle/audit side can re-derive
+    exactly which rows were kept;
+  * nested samples: a seed change gives an independent sample; the
+    same seed at a lower rate gives a strict SUBSET (rate monotonicity)
+    — handy for scaling-law subsets (1%, 10%, 100% of the same mix).
+
+Reference parity note: the reference's only sampling is pandas
+``DataFrame.sample`` during support search (certa/local_explain.py:104,
+183-186) — driver-side RNG, not content-hashed. This module is the
+scale-correct replacement plus data-mixing extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from certa_spark.functions.hashing import duck_hash64, hash64
+
+_GRAIN = 1_000_000
+
+
+def _keep(key: Column, rate: Column, seed: int) -> Column:
+    return (hash64(key, seed=seed) % _GRAIN) < (rate * _GRAIN).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Uniform deterministic sample: keep ~``rate`` of rows, chosen by
+    content hash of ``key_col`` (reproducible across runs/partitions/
+    engines; same-seed lower-rate samples are subsets)."""
+    return df.filter(_keep(F.col(key_col), F.lit(float(rate)), seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum rates — the data-mixing primitive (e.g. upweight
+    curated sources, downsample crawl): ``rates[stratum]`` of each
+    stratum is kept, ``default_rate`` for strata not listed."""
+    rate = F.lit(float(default_rate))
+    for value, r in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(_keep(F.col(key_col), rate, seed))
+
+
+def duck_keep_sql(key_expr: str, rate_expr: str, seed: int = 0) -> str:
+    """DuckDB predicate matching :func:`_keep` bit-for-bit."""
+    h = duck_hash64(key_expr, seed=seed)
+    # floor, not CAST-rounding: Spark's double->long cast truncates
+    return f"({h} % {_GRAIN}) < CAST(floor(({rate_expr}) * {_GRAIN}) AS BIGINT)"

@@ -2051,6 +2051,229 @@ def _neardup_clusters_sql() -> str:
     """
 
 
+def q_events_asof_join(spark, sf_dir) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase event
+    picks up the same user's latest at-or-before click. One shuffle on
+    user_id via union+window — no inequality-join pair explosion. The
+    oracle is DuckDB's native ASOF JOIN, i.e. an independent algorithm
+    on both sides."""
+    from certa_spark.operators.asof import asof_join
+
+    # the whole query runs in the MICROS domain: DuckDB loads
+    # TIMESTAMP(NANOS) parquet at micro precision, so matching on raw
+    # nanos would order/subtract differently than the oracle by 1us
+    e = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts_us",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_ts").alias("click_ts_us"),
+        F.col("asof_value").alias("click_value"),
+        (F.col("ts_us") - F.col("asof_ts")).alias("gap_us"),
+    )
+
+
+_Q_ASOF_SQL = """
+    WITH p AS (
+        SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           c.ts_us AS click_ts_us,
+           c.value AS click_value,
+           p.ts_us - c.ts_us AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+
+def q_events_session_range_join(spark, sf_dir) -> DataFrame:
+    """Point-in-interval range join (operators/rangejoin.py): error
+    events attributed to the enclosing activity session (sessions built
+    from NON-error events; errors outside any session drop out).
+    Bucketized equi-join — hash-partitionable at 100TB where a
+    broadcast nested-loop over the interval side would not fit."""
+    from certa_spark.operators.rangejoin import point_in_interval_join
+    from certa_spark.streaming.events import sessionize_bounds
+
+    # micros domain throughout (oracle parity — see q_events_asof_join);
+    # 24h gap: testdata density is ~1 event/user/11h, so a 30-minute
+    # gap would make every session a single point and the join empty
+    e = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    gap_us = 24 * 3600 * 1_000_000
+    sessions = sessionize_bounds(
+        e.filter(F.col("event_type") != "error"),
+        gap_ns=gap_us,
+        ts_ns_col="ts_us",
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    j = point_in_interval_join(
+        errors,
+        sessions,
+        on=["user_id"],
+        point_col="ts_us",
+        lo_col="lo_ns",
+        hi_col="hi_ns",
+        bucket_width=gap_us,
+    )
+    return j.select("event_id", "user_id", "session_id", "ts_us")
+
+
+_Q_SESSION_RANGE_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts_us, event_id,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 86400000000
+                    THEN 1 ELSE 0 END AS b
+        FROM e WHERE event_type <> 'error'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    t AS (
+        SELECT user_id, ts_us,
+               CAST(sum(b) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+        FROM s
+    ),
+    bounds AS (
+        SELECT user_id, session_id, min(ts_us) AS lo, max(ts_us) AS hi
+        FROM t GROUP BY user_id, session_id
+    )
+    SELECT err.event_id, err.user_id, bounds.session_id, err.ts_us
+    FROM (
+        SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'error'
+    ) err
+    JOIN bounds ON err.user_id = bounds.user_id
+               AND err.ts_us BETWEEN bounds.lo AND bounds.hi
+"""
+
+
+def q_doc_sample_mix(spark, sf_dir) -> DataFrame:
+    """Deterministic data mixing (operators/sampling.py): per-source
+    keep rates applied by content hash — map-side only, no shuffle, no
+    RNG state, bit-reproducible by any md5-capable engine (the audit
+    requirement for training-data curation). Output is the per-source
+    composition of the mixed sample."""
+    from certa_spark.operators.sampling import stratified_sample
+
+    rates = {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)}
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, "source", rates, key_col="doc_id", default_rate=0.125, seed=7
+    )
+    return sampled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def _doc_sample_mix_sql() -> str:
+    from certa_spark.operators.sampling import duck_keep_sql
+
+    cases = " ".join(
+        f"WHEN 'src{i}' THEN {[1.0, 0.5, 0.25, 0.125][i % 4]}" for i in range(20)
+    )
+    rate = f"CASE source {cases} ELSE 0.125 END"
+    return f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE {duck_keep_sql("doc_id", rate, seed=7)}
+    GROUP BY source
+    """
+
+
+def q_doc_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition scoring: per-document fraction of words
+    taken by the most frequent word / adjacent bigram — the classic
+    filter for boilerplate and degenerate repetition. Bigrams are built
+    JVM-side (``transform`` over the word array, no UDF); two
+    partial-aggregated shuffles on (doc_id, gram) then doc_id."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", TS.words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    wf = (
+        d.select("doc_id", F.explode("w").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count").cast("double") / F.sum("count"), 6).alias(
+                "top_word_frac"
+            )
+        )
+    )
+    bf = (
+        d.select("doc_id", F.explode(TS.word_bigrams("w")).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count").cast("double") / F.sum("count"), 6).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    return wf.join(bf, "doc_id")
+
+
+def _doc_repetition_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id, {TS.duck_words("text")} AS w FROM documents
+    ),
+    dd AS (SELECT * FROM d WHERE len(w) >= 2),
+    wc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS g FROM dd) GROUP BY doc_id, g
+    ),
+    wf AS (
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac
+        FROM wc GROUP BY doc_id
+    ),
+    bc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM dd
+        ) GROUP BY doc_id, g
+    ),
+    bf AS (
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+        FROM bc GROUP BY doc_id
+    )
+    SELECT wf.doc_id, wf.top_word_frac, bf.top_bigram_frac
+    FROM wf JOIN bf USING (doc_id)
+    """
+
+
 def q_events_window_suite(spark, sf_dir) -> DataFrame:
     """Analytic-window suite over the event stream: lag delta,
     cumulative DECIMAL sum, 3-row moving average, rank, ntile — one
@@ -2248,6 +2471,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_running_zscore": q_events_running_zscore,
     "events_rollup": q_events_rollup,
     "neardup_clusters": q_neardup_clusters,
+    "events_asof_join": q_events_asof_join,
+    "events_session_range_join": q_events_session_range_join,
+    "doc_sample_mix": q_doc_sample_mix,
+    "doc_repetition": q_doc_repetition,
     "events_window_suite": q_events_window_suite,
     "events_pivot": q_events_pivot,
     "doc_split_assign": q_doc_split_assign,
@@ -2312,6 +2539,10 @@ ORACLES: dict[str, str] = {
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "neardup_clusters": _neardup_clusters_sql(),
+    "events_asof_join": _Q_ASOF_SQL,
+    "events_session_range_join": _Q_SESSION_RANGE_SQL,
+    "doc_sample_mix": _doc_sample_mix_sql(),
+    "doc_repetition": _doc_repetition_sql(),
     "events_window_suite": _Q_EVENTS_WINDOW_SQL,
     "events_pivot": _Q_EVENTS_PIVOT_SQL,
     "doc_split_assign": _doc_split_sql(),

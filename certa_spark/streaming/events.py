@@ -144,3 +144,27 @@ def sessionize_batch(
             .alias("sum_value"),
         )
     )
+
+
+def sessionize_bounds(
+    events: DataFrame,
+    gap_ns: int = 30 * 60 * 1_000_000_000,
+    user_col: str = "user_id",
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """Like :func:`sessionize_batch` but returns the session INTERVALS
+    — (user_id, session_id, lo_ns, hi_ns) — for downstream range joins
+    (see ``operators/rangejoin.py``). Same single-shuffle plan."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_ns_col, "event_id")
+    prev = F.lag(ts_ns_col).over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col(ts_ns_col) - prev > gap_ns), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = events.withColumn(
+        "session_id", F.sum(boundary).over(w).cast("long")
+    )
+    return with_sess.groupBy(user_col, "session_id").agg(
+        F.min(ts_ns_col).alias("lo_ns"), F.max(ts_ns_col).alias("hi_ns")
+    )
