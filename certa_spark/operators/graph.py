@@ -44,37 +44,47 @@ def connected_components(
     where ``cluster`` is the minimum node id reachable from ``node``.
     Nodes appearing only as edge endpoints are included; isolated nodes
     (no edges) are not — union them in as self-clusters if needed."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct().repartition(partitions, "b").localCheckpoint()
+    # no distinct() on the symmetrized edges: the min-aggregate below is
+    # duplicate-insensitive and the dedup shuffle costs more than the
+    # duplicates do
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition(partitions, "b")
+        .localCheckpoint()
+    )
 
+    # initial labels stay LAZY: round 1's shuffle computes them in the
+    # same job, saving one materialization; from round 1 on, `labels`
+    # is always a checkpointed leaf
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("cluster"))
-        .repartition(partitions, "node")
-        .localCheckpoint()
     )
 
+    null_long = F.lit(None).cast(labels.schema["cluster"].dataType)
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym.b == labels.node, "inner"
-        ).select(F.col("a").alias("node"), "cluster")
+        ).select(F.col("a").alias("node"), "cluster", null_long.alias("old"))
+        # carry each node's previous label through the same aggregate
+        # (exactly one labels-side row per node => max(old) = old label),
+        # so convergence detection needs no extra join: it's a
+        # shuffle-free filter+count over the checkpointed result
+        merged = labels.select(
+            "node", "cluster", F.col("cluster").alias("old")
+        ).unionByName(neighbor_labels)
+        # no repartition after the agg: groupBy already leaves the frame
+        # hash-partitioned by node, and an extra exchange per round
+        # doubles the shuffle count
         new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("cluster").alias("cluster"))
-            .repartition(partitions, "node")
+            merged.groupBy("node")
+            .agg(F.min("cluster").alias("cluster"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("cluster") != F.col("old")).count()
+        labels = new_labels.select("node", "cluster")
         if changed == 0:
             break
     return labels

@@ -2274,6 +2274,35 @@ def _doc_repetition_sql() -> str:
     """
 
 
+def q_doc_surprisal(spark, sf_dir) -> DataFrame:
+    """Unigram-LM surprisal quality scoring (operators/langmodel.py):
+    fit a corpus unigram model (one aggregate), broadcast it, score
+    every doc by mean per-token -ln p(w). The KenLM-filter stage of a
+    C4/Gopher pipeline, expressed as two DataFrame phases."""
+    from certa_spark.operators.langmodel import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+_Q_SURPRISAL_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TS.duck_words("text")}) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    total AS (
+        SELECT ln(CAST(count(*) AS DOUBLE)) AS ln_total FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(ln_total - ln(CAST(c AS DOUBLE)) AS DECIMAL(30,6)) AS term
+        FROM toks JOIN vocab USING (w) CROSS JOIN total
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+"""
+
+
 def q_events_window_suite(spark, sf_dir) -> DataFrame:
     """Analytic-window suite over the event stream: lag delta,
     cumulative DECIMAL sum, 3-row moving average, rank, ntile — one
@@ -2475,6 +2504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_range_join": q_events_session_range_join,
     "doc_sample_mix": q_doc_sample_mix,
     "doc_repetition": q_doc_repetition,
+    "doc_surprisal": q_doc_surprisal,
     "events_window_suite": q_events_window_suite,
     "events_pivot": q_events_pivot,
     "doc_split_assign": q_doc_split_assign,
@@ -2543,6 +2573,7 @@ ORACLES: dict[str, str] = {
     "events_session_range_join": _Q_SESSION_RANGE_SQL,
     "doc_sample_mix": _doc_sample_mix_sql(),
     "doc_repetition": _doc_repetition_sql(),
+    "doc_surprisal": _Q_SURPRISAL_SQL,
     "events_window_suite": _Q_EVENTS_WINDOW_SQL,
     "events_pivot": _Q_EVENTS_PIVOT_SQL,
     "doc_split_assign": _doc_split_sql(),
