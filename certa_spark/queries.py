@@ -2303,6 +2303,100 @@ _Q_SURPRISAL_SQL = f"""
 """
 
 
+def q_split_contamination(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: which train-split docs share word
+    5-grams with test-split docs (the leak check every eval pipeline
+    needs before training). Same inverted-index shape as
+    ngram_jaccard_pairs — explode shingles, equi-join train x test on
+    the shingle, count shared per pair — so only actually-overlapping
+    pairs materialize. Corpus = documents + tail-dropped variants so
+    leakage provably exists; splits are the deterministic hash splits
+    of doc_split_assign."""
+    from certa_spark.functions.hashing import hash32
+    from certa_spark.operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    variant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(variant)
+    h = F.pmod(hash32(F.col("doc_id")), F.lit(100))
+    split = F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    # join key = 32-bit hash of the shingle, not the ~5-word string:
+    # the train x test shuffle carries longs instead of text (the
+    # hash is the cross-engine md5 hash32, so the oracle counts the
+    # same collisions — semantics identical on both sides)
+    sh = corpus.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(shingles(F.col("text"), 5)).alias("g"),
+    ).select("doc_id", "split", hash32(F.col("g")).alias("sh"))
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "sh"
+    )
+    test = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "sh"
+    )
+    test_sizes = test.groupBy("test_doc").agg(
+        F.count("*").cast("long").alias("test_ngrams")
+    )
+    return (
+        train.join(test, "sh")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count("*").cast("long").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= 10)
+        .join(test_sizes, "test_doc")
+        .select(
+            "train_doc",
+            "test_doc",
+            "shared_ngrams",
+            F.round(
+                F.col("shared_ngrams").cast("double") / F.col("test_ngrams"), 6
+            ).alias("leak_frac"),
+        )
+    )
+
+
+def _split_contamination_sql() -> str:
+    from certa_spark.functions.hashing import duck_hash32
+    from certa_spark.operators.dedup import duck_shingles
+
+    h = f"({duck_hash32('CAST(doc_id AS VARCHAR)')} % 100)"
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000,
+               regexp_replace(text, '\\s+\\S+\\s*$', '')
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               CASE WHEN {h} < 80 THEN 'train'
+                    WHEN {h} < 90 THEN 'valid' ELSE 'test' END AS split,
+               unnest({duck_shingles("text", 5)}) AS g
+        FROM corpus
+    ),
+    sh AS (SELECT doc_id, split, {duck_hash32('g')} AS sh FROM sh0),
+    tr AS (SELECT doc_id AS train_doc, sh FROM sh WHERE split = 'train'),
+    te AS (SELECT doc_id AS test_doc, sh FROM sh WHERE split = 'test'),
+    tsz AS (
+        SELECT test_doc, CAST(count(*) AS BIGINT) AS test_ngrams
+        FROM te GROUP BY test_doc
+    ),
+    pairs AS (
+        SELECT train_doc, test_doc, CAST(count(*) AS BIGINT) AS shared_ngrams
+        FROM tr JOIN te USING (sh)
+        GROUP BY train_doc, test_doc
+        HAVING count(*) >= 10
+    )
+    SELECT train_doc, test_doc, shared_ngrams,
+           round(CAST(shared_ngrams AS DOUBLE) / test_ngrams, 6) AS leak_frac
+    FROM pairs JOIN tsz USING (test_doc)
+    """
+
+
 def q_events_window_suite(spark, sf_dir) -> DataFrame:
     """Analytic-window suite over the event stream: lag delta,
     cumulative DECIMAL sum, 3-row moving average, rank, ntile — one
@@ -2505,6 +2599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample_mix": q_doc_sample_mix,
     "doc_repetition": q_doc_repetition,
     "doc_surprisal": q_doc_surprisal,
+    "split_contamination": q_split_contamination,
     "events_window_suite": q_events_window_suite,
     "events_pivot": q_events_pivot,
     "doc_split_assign": q_doc_split_assign,
@@ -2574,6 +2669,7 @@ ORACLES: dict[str, str] = {
     "doc_sample_mix": _doc_sample_mix_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_surprisal": _Q_SURPRISAL_SQL,
+    "split_contamination": _split_contamination_sql(),
     "events_window_suite": _Q_EVENTS_WINDOW_SQL,
     "events_pivot": _Q_EVENTS_PIVOT_SQL,
     "doc_split_assign": _doc_split_sql(),

@@ -1,0 +1,23 @@
+"""Driver-contract registry invariants (no Spark session needed)."""
+
+from certa_spark.queries import ORACLES, QUERIES
+
+# rows-only by design: not SQL-expressible (driver records weaker check)
+WEAK = {"mojito_token_saliency", "media_features"}
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_weak_queries_are_exactly_the_documented_ones():
+    assert set(QUERIES) - set(ORACLES) == WEAK
+
+
+def test_entry_module_exposes_registries():
+    import __spark_entry__ as entry
+
+    assert set(entry.queries()) == set(QUERIES)
+    assert set(entry.oracle_sql()) == set(ORACLES)
+    assert all(callable(f) for f in entry.queries().values())
+    assert all(isinstance(s, str) and s.strip() for s in entry.oracle_sql().values())
