@@ -113,8 +113,11 @@ class CertaExplainer:
         support_pairs = support_pairs.repartition(1).cache()
         if attr_length <= 0:
             attr_length = min(len(l_tuple) - 1, len(r_tuple) - 1)
-        if support_pairs.count() == 0:
-            return Explanation(pd.DataFrame(), pd.Series(dtype=float), pd.DataFrame(), [])
+        # no support_pairs.count()==0 early exit: empty support implies
+        # empty triangles, and the tri_rows check below returns the same
+        # empty Explanation — counting here would only add an action
+        # (support derives from a checkpointed leaf, so letting the
+        # triangle plan materialize the cache costs no recompute)
 
         # 3. extended sources (explain.py:67): DA copies of r2 extend the
         # left source, copies of r1 extend the right source.
@@ -136,9 +139,10 @@ class CertaExplainer:
         flipped, rankings, all_pred = T.perturb_predict(
             spark, tri, ext_l, ext_r, matcher, pc, attr_length, lprefix, rprefix
         )
+        pre_nf = getattr(flipped, "_precomputed_n_flipped", None)
         flipped = flipped.repartition(2).cache()
         rankings = rankings.repartition(1).cache()
-        n_flipped = flipped.count()
+        n_flipped = pre_nf if pre_nf is not None else flipped.count()
 
         explanation = T.aggregate_rankings(rankings, n_triangles, attr_length).repartition(1).cache()
         attributes = [lprefix + c for c in self.lsource.columns if c != "id"] + [

@@ -332,7 +332,15 @@ def support_predictions(
         n_support = support.count()
 
     if n_support == 0:
-        return support.limit(0), copies_left, copies_right
+        # same schema as the non-empty path (label/_ord, no raw scores)
+        # so downstream triangle plans analyze without a row-count probe
+        empty = (
+            support.limit(0)
+            .withColumn("label", F.lit(int(class_to_explain)))
+            .drop("match_score", "nomatch_score")
+            .withColumn("_ord", F.lit(0))
+        )
+        return empty, copies_left, copies_right
 
     # deterministic permutation stands in for pandas sample(frac=1)
     # (local_explain.py:186); head n/2 + tail n/2 cap (line 63-64).

@@ -315,6 +315,7 @@ def perturb_predict(
     ranking_parts: list[DataFrame] = []
     predicted_parts: list[DataFrame] = []
     all_good = False
+    n_flipped_total = 0
 
     for depth in range(1, attr_length):
         pert = perturbations_from_resolved(
@@ -345,6 +346,7 @@ def perturb_predict(
             flipped = predicted
             n_flipped = n_pert
 
+        n_flipped_total += n_flipped
         flipped_parts.append(flipped.withColumn("depth", F.lit(depth)))
         ranking_parts.append(
             predicted.groupBy("alteredAttributes")
@@ -376,8 +378,12 @@ def perturb_predict(
         .withColumn("depth", F.lit(0))
         .limit(0)
     )
+    out_flipped = _union(flipped_parts, empty_pred)
+    # per-depth flip counts were already collected by the stats agg —
+    # expose the total so callers can skip a count() action
+    out_flipped._precomputed_n_flipped = n_flipped_total
     return (
-        _union(flipped_parts, empty_pred),
+        out_flipped,
         _union(ranking_parts, empty_rank),
         _union(predicted_parts, empty_pred),
     )
@@ -448,6 +454,13 @@ def _perturb_predict_fused(
                 F.count("*").cast("long").alias("flips")
             )
         )
+    # n_flipped is fully determined by the stats already collected —
+    # real depths contribute their flip count, synthesized depths count
+    # whole — so the caller can skip a flipped.count() action
+    flipped._precomputed_n_flipped = sum(
+        (nf if d_star is None or d <= d_star else n)
+        for d, (n, nf) in stats.items()
+    )
     return (
         flipped,
         rankings.select("alteredAttributes", "flips", "depth"),

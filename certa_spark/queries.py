@@ -2397,6 +2397,36 @@ def _split_contamination_sql() -> str:
     """
 
 
+def q_doc_pack_assign(spark, sf_dir) -> DataFrame:
+    """Sequence packing (operators/packing.py): deterministic
+    concat-then-chunk assignment of docs into 512-token training bins,
+    one stream per source — a window cumsum, one shuffle, no driver
+    loop. Token counts from the whitespace tokenizer (textstats)."""
+    from certa_spark.operators.packing import pack_assign
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TS.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_assign(
+        d, token_col="n_tokens", seq_len=512, key_col="source", order_col="doc_id"
+    ).select("doc_id", "source", "n_tokens", "token_start", "pack_id", "offset_in_pack")
+
+
+_Q_PACK_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, source, {TS.duck_token_count("text")} AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start,
+           CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS pack_id,
+           CAST((sum(n_tokens) OVER w - n_tokens) % 512 AS BIGINT) AS offset_in_pack
+    FROM d
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_window_suite(spark, sf_dir) -> DataFrame:
     """Analytic-window suite over the event stream: lag delta,
     cumulative DECIMAL sum, 3-row moving average, rank, ntile — one
@@ -2600,6 +2630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "doc_surprisal": q_doc_surprisal,
     "split_contamination": q_split_contamination,
+    "doc_pack_assign": q_doc_pack_assign,
     "events_window_suite": q_events_window_suite,
     "events_pivot": q_events_pivot,
     "doc_split_assign": q_doc_split_assign,
@@ -2670,6 +2701,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": _doc_repetition_sql(),
     "doc_surprisal": _Q_SURPRISAL_SQL,
     "split_contamination": _split_contamination_sql(),
+    "doc_pack_assign": _Q_PACK_SQL,
     "events_window_suite": _Q_EVENTS_WINDOW_SQL,
     "events_pivot": _Q_EVENTS_PIVOT_SQL,
     "doc_split_assign": _doc_split_sql(),
