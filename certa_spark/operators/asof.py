@@ -47,18 +47,22 @@ def asof_join(
     tiebreak_col: str | None = None,
     tolerance: int | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach ``payload_cols`` from the right row
     with the greatest ``ts_col`` <= the left row's ``ts_col`` within
-    the same ``on`` group (backward as-of, ties match). Left rows with
-    no predecessor get nulls (left-join semantics).
+    the same ``on`` group (``direction="backward"``, ties match), or
+    the smallest ``ts_col`` >= it (``direction="forward"``). Left rows
+    with no match get nulls (left-join semantics).
 
-    ``tolerance`` (same unit as ``ts_col``) drops matches older than
-    ``left.ts - tolerance``. ``tiebreak_col`` makes the pick
-    deterministic when right rows share a timestamp (largest wins).
+    ``tolerance`` (same unit as ``ts_col``) bounds the match distance.
+    ``tiebreak_col`` makes the pick deterministic when right rows share
+    a timestamp (the row nearest the probe in tiebreak order wins).
     Output = every left column, plus ``{prefix}{c}`` for each payload
     column and ``{prefix}ts`` (the matched right timestamp).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(
         F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in payload_cols]
     )
@@ -86,19 +90,26 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l.unionByName(r.select(*l.columns))
 
+    # backward: ascending traversal, last reference seen <= probe ts;
+    # forward: descending traversal, last reference seen >= probe ts.
+    # Either way references sort before probes at equal ts (ties match)
+    # and the largest tiebreak among equal-ts references wins.
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .orderBy(ts_order, F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__payload", ignorenulls=True).over(w)
     out = unioned.withColumn("__m", matched).filter(F.col("__side") == 1)
     if tolerance is not None:
+        gap = (
+            F.col(ts_col) - F.col("__m.__ts")
+            if direction == "backward"
+            else F.col("__m.__ts") - F.col(ts_col)
+        )
         out = out.withColumn(
-            "__m",
-            F.when(
-                F.col(ts_col) - F.col("__m.__ts") <= F.lit(tolerance), F.col("__m")
-            ),
+            "__m", F.when(gap <= F.lit(tolerance), F.col("__m"))
         )
     return out.select(
         *left_cols,

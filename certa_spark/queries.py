@@ -2427,6 +2427,91 @@ _Q_PACK_SQL = f"""
 """
 
 
+def q_curation_pipeline(spark, sf_dir) -> DataFrame:
+    """End-to-end curation DAG — the composition the individual
+    operators exist for: content-hash sample (map-side) → quality +
+    length filters (scan-stage expressions) → exact dedup on the
+    normalized fingerprint (keep lowest id) → sequence packing (window
+    cumsum) → per-source composition report. One Catalyst plan: the
+    sample/filter fuse into the scan, dedup and packing are one
+    shuffle each. Corpus adds exact copies (ids +200000) so the dedup
+    stage provably removes rows."""
+    from certa_spark.operators.packing import pack_assign
+    from certa_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    copies = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "source", "text"
+    )
+    corpus = d.unionByName(copies)
+    sampled = hash_sample(corpus, "doc_id", 0.5, seed=11)
+    scored = sampled.select(
+        "doc_id",
+        "source",
+        TS.quality_score(F.col("text")).alias("q"),
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.fingerprint(F.col("text")).alias("fp"),
+    ).filter((F.col("q") >= 0.62) & (F.col("n_tokens") >= 30))
+    keep = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("_rn", F.row_number().over(keep))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    packed = pack_assign(
+        deduped, token_col="n_tokens", seq_len=256, key_col="source",
+        order_col="doc_id",
+    )
+    return packed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    from certa_spark.operators.sampling import duck_keep_sql
+
+    q = TS.duck_quality_score("text")
+    nt = TS.duck_token_count("text")
+    fp = TS.duck_fingerprint("text")
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, source, text FROM documents
+        WHERE doc_id % 7 = 0
+    ),
+    sampled AS (
+        SELECT * FROM corpus WHERE {duck_keep_sql("doc_id", "0.5", seed=11)}
+    ),
+    scored AS (
+        SELECT doc_id, source, {q} AS q, {nt} AS n_tokens, {fp} AS fp
+        FROM sampled
+    ),
+    filtered AS (
+        SELECT * FROM scored WHERE q >= 0.62 AND n_tokens >= 30
+    ),
+    deduped AS (
+        SELECT doc_id, source, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               (sum(n_tokens) OVER w - n_tokens) // 256 AS pack_id
+        FROM deduped
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(pack_id) + 1 AS BIGINT) AS n_packs
+    FROM packed GROUP BY source
+    """
+
+
 def q_events_window_suite(spark, sf_dir) -> DataFrame:
     """Analytic-window suite over the event stream: lag delta,
     cumulative DECIMAL sum, 3-row moving average, rank, ntile — one
@@ -2631,6 +2716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_surprisal": q_doc_surprisal,
     "split_contamination": q_split_contamination,
     "doc_pack_assign": q_doc_pack_assign,
+    "curation_pipeline": q_curation_pipeline,
     "events_window_suite": q_events_window_suite,
     "events_pivot": q_events_pivot,
     "doc_split_assign": q_doc_split_assign,
@@ -2702,6 +2788,7 @@ ORACLES: dict[str, str] = {
     "doc_surprisal": _Q_SURPRISAL_SQL,
     "split_contamination": _split_contamination_sql(),
     "doc_pack_assign": _Q_PACK_SQL,
+    "curation_pipeline": _curation_pipeline_sql(),
     "events_window_suite": _Q_EVENTS_WINDOW_SQL,
     "events_pivot": _Q_EVENTS_PIVOT_SQL,
     "doc_split_assign": _doc_split_sql(),

@@ -45,6 +45,29 @@ def test_asof_tiebreak_largest_wins(spark):
     assert got == {1: (90, 2.0)}
 
 
+def test_asof_forward_direction(spark):
+    got = _asof(
+        spark,
+        [(1, 100, 1), (1, 300, 2)],
+        [(1, 100, 10, 1.0), (1, 250, 11, 2.5), (1, 50, 12, 0.5)],
+        direction="forward",
+    )
+    # probe 100 matches the equal-ts reference; probe 300 has no later
+    # reference
+    assert got == {1: (100, 1.0), 2: (None, None)}
+
+
+def test_asof_forward_tolerance(spark):
+    got = _asof(
+        spark,
+        [(1, 100, 1), (1, 200, 2)],
+        [(1, 140, 10, 1.0), (1, 260, 11, 2.0)],
+        direction="forward",
+        tolerance=50,
+    )
+    assert got == {1: (140, 1.0), 2: (None, None)}
+
+
 def _rj(spark, points, intervals, width):
     p = spark.createDataFrame(points, "k long, p long, pid long")
     i = spark.createDataFrame(intervals, "k long, lo long, hi long, iid long")
