@@ -2512,6 +2512,49 @@ def _curation_pipeline_sql() -> str:
     """
 
 
+def q_nation_full_outer(spark, sf_dir) -> DataFrame:
+    """FULL OUTER join coverage (§2.3): per-nation customer presence vs
+    supplier presence, with sparse filters so both null sides actually
+    occur. Aggregate-then-join keeps the outer join on pre-shrunk
+    inputs (two tiny grouped frames), not the raw tables."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("long").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 13 == 0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("long").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+_Q_NATION_FULL_OUTER_SQL = """
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_cust
+        FROM customer WHERE c_custkey % 97 = 0 GROUP BY c_nationkey
+    ),
+    s AS (
+        SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_supp
+        FROM supplier WHERE s_suppkey % 13 = 0 GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
 def q_events_window_suite(spark, sf_dir) -> DataFrame:
     """Analytic-window suite over the event stream: lag delta,
     cumulative DECIMAL sum, 3-row moving average, rank, ntile — one
@@ -2717,6 +2760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_contamination": q_split_contamination,
     "doc_pack_assign": q_doc_pack_assign,
     "curation_pipeline": q_curation_pipeline,
+    "nation_full_outer": q_nation_full_outer,
     "events_window_suite": q_events_window_suite,
     "events_pivot": q_events_pivot,
     "doc_split_assign": q_doc_split_assign,
@@ -2789,6 +2833,7 @@ ORACLES: dict[str, str] = {
     "split_contamination": _split_contamination_sql(),
     "doc_pack_assign": _Q_PACK_SQL,
     "curation_pipeline": _curation_pipeline_sql(),
+    "nation_full_outer": _Q_NATION_FULL_OUTER_SQL,
     "events_window_suite": _Q_EVENTS_WINDOW_SQL,
     "events_pivot": _Q_EVENTS_PIVOT_SQL,
     "doc_split_assign": _doc_split_sql(),
