@@ -218,29 +218,40 @@ def cosine_neardup_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.select(
-        "_id",
-        "_v",
-        l2_norm(F.col("_v")).alias("_n"),
-        F.posexplode(buckets).alias("_band", "_bkt"),
+    # candidate generation ships IDS ONLY: the bucket self-join would
+    # otherwise carry two dim-sized vectors per candidate row through
+    # the exchange. Vectors are re-attached by id afterwards — the
+    # vector table is |rows| * dim, which broadcasts far longer than
+    # the candidate stream stays small.
+    banded = base.select("_id", F.posexplode(buckets).alias("_band", "_bkt"))
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["_band", "_bkt"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
     )
-    left = banded.select(
-        F.col("_id").alias("a_id"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-        "_band",
-        "_bkt",
-    )
-    right = banded.select(
-        F.col("_id").alias("b_id"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-        "_band",
-        "_bkt",
-    )
+    # no broadcast hint: under the 64MB threshold Catalyst broadcasts
+    # the vector table on its own; past it (100TB) the same plan
+    # becomes two shuffled joins on the id — never a forced-OOM hint
+    vecs = base.select("_id", "_v", l2_norm(F.col("_v")).alias("_n"))
     scored = (
-        left.join(right, ["_band", "_bkt"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        pairs.join(
+            vecs.select(
+                F.col("_id").alias("a_id"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "a_id",
+        )
+        .join(
+            vecs.select(
+                F.col("_id").alias("b_id"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "b_id",
+        )
         .select(
             "a_id",
             "b_id",
@@ -250,7 +261,7 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
-    return scored.distinct()
+    return scored
 
 
 def cosine_neardup_pairs_blas(
