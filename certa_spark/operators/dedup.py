@@ -216,6 +216,12 @@ def minhash_lsh_pairs(
             *[F.array_min(F.transform("_sh", seeded(seed))) for seed in range(k)]
         ).alias("_sig"),
     )
+    # materialize signatures ONCE: the self-join has no ReusedExchange
+    # (one side broadcasts), so without this leaf both sides recompute
+    # the k*|shingles| md5 chain from raw text — the dominant cost of
+    # the whole query. |docs| x k longs is a tiny frame; at 100TB this
+    # is the persisted signature table every dedup pipeline keeps.
+    sigs = sigs.localCheckpoint()
     rows = k // bands
     band_start = F.col("_band") * rows + 1
     banded = sigs.select(
