@@ -1944,6 +1944,266 @@ _Q_TPCH_Q22_SQL = f"""
 """
 
 
+def _supply(spark, sf_dir) -> DataFrame:
+    """The testdata has no partsupp table; the observed distinct
+    (l_partkey, l_suppkey) pairs in lineitem serve as the supply
+    relation for the partsupp-centric queries (q2, q11, q20)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+
+_SUPPLY_SQL = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+
+
+def q_tpch_q2(spark, sf_dir) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: supply relation derived
+    from lineitem, s_acctbal stands in for ps_supplycost): correlated
+    per-part MIN subquery decorrelated into an aggregate + equi-join
+    back as a per-part window MIN over the (dim-filtered, tiny) offers
+    frame — ONE l_partkey shuffle that both deduplicates the supply
+    pairs and feeds the window, with no duplicated fact subtree (the
+    naive agg + join-back plans the offers scan twice). The part filter
+    joins BELOW the distinct so the dedup shuffle carries only matching
+    pairs. The min comparison is on the raw double column (no
+    arithmetic), so cross-engine equality is exact."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eligible), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name"
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+        )
+    )
+
+
+_Q_TPCH_Q2_SQL = f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    eligible AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    offers AS (
+        SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+               p_partkey, p_name
+        FROM supply
+        JOIN part ON l_partkey = p_partkey
+        JOIN eligible ON l_suppkey = s_suppkey
+        WHERE p_type = 'LARGE' AND p_size < 10
+    )
+    SELECT s_acctbal AS acctbal, s_name AS supp_name, n_name AS nation,
+           p_partkey AS partkey, p_name AS part_name
+    FROM offers o
+    WHERE s_acctbal = (SELECT min(s_acctbal) FROM offers i
+                       WHERE i.l_partkey = o.l_partkey)
+"""
+
+
+def q_tpch_q11(spark, sf_dir) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: supply value = lineitem
+    revenue per part for suppliers of a nation set): per-part value agg
+    with a HAVING threshold against a scalar subquery (2x the average
+    per-part value — scale-free, unlike the spec's absolute fraction,
+    so the query stays non-vacuous at any SF) — the scalar comes back
+    as a broadcast cross join, and both sides route sums through
+    DECIMAL so the > comparison is bit-identical cross-engine."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey").isin(1, 2, 3))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(s.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = l.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        _dec_sum(revenue).alias("value")
+    )
+    avg_val = per_part.agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(avg_val))
+        .filter(F.col("value") > F.col("_avg") * 2.0)
+        .select("partkey", "value")
+    )
+
+
+_Q_TPCH_Q11_SQL = f"""
+    WITH per_part AS (
+        SELECT l_partkey AS partkey,
+               {_duck_dec_sum('l_extendedprice * (1 - l_discount)')} AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey IN (1, 2, 3)
+        GROUP BY l_partkey
+    )
+    SELECT partkey, value
+    FROM per_part
+    WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                          / count(*) * 2.0
+                   FROM per_part)
+"""
+
+
+def q_tpch_q20(spark, sf_dir) -> DataFrame:
+    """TPC-H Q20 excess-supply suppliers (adapted: a supplier has
+    "excess" supply of a part when its shipped quantity exceeds 10% of
+    the part's total shipped quantity — scale-free because lines and
+    suppliers per part are constant across SF): two-level quantity
+    aggregation, the per-part threshold decorrelated and broadcast
+    back, then a LEFT SEMI join to project the distinct qualifying
+    suppliers of the target nations. The 0.1x threshold multiplies a
+    DECIMAL-rounded total on both engines in the same order."""
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(
+            _t(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_sp = l.groupBy("l_partkey", "l_suppkey").agg(
+        _dec_sum(F.col("l_quantity")).alias("qty_supplied")
+    )
+    per_part = per_sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(F.sum(F.col("qty_supplied").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("part_total")
+    )
+    dominant = (
+        per_sp.join(
+            F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("qty_supplied") > F.col("part_total") * 0.1)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(1, 2, 3, 4, 5)
+    )
+    return (
+        s.join(
+            F.broadcast(dominant),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+    )
+
+
+_Q_TPCH_Q20_SQL = f"""
+    WITH per_sp AS (
+        SELECT l_partkey, l_suppkey,
+               {_duck_dec_sum('l_quantity')} AS qty_supplied
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red %'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+        SELECT l_partkey AS t_partkey,
+               CAST(round(sum(CAST(qty_supplied AS DECIMAL(30,6))), 2)
+                    AS DOUBLE) AS part_total
+        FROM per_sp GROUP BY l_partkey
+    )
+    SELECT s_suppkey AS suppkey, s_name AS supp_name, s_acctbal AS acctbal
+    FROM supplier
+    WHERE s_nationkey IN (1, 2, 3, 4, 5)
+      AND EXISTS (
+          SELECT 1 FROM per_sp JOIN per_part ON l_partkey = t_partkey
+          WHERE l_suppkey = s_suppkey
+            AND qty_supplied > part_total * 0.1)
+"""
+
+
+def q_tpch_q21(spark, sf_dir) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: "late" =
+    shipped more than 60 days after the order date, since the testdata
+    lacks commit/receipt dates): the EXISTS / NOT-EXISTS pair over
+    sibling lineitems is decorrelated into one per-order aggregate —
+    supplier count, late-supplier count, the sole late supplier, and
+    its late-line count — in a single l_orderkey shuffle, instead of
+    two extra self-joins of the fact table. numwait counts late LINES
+    (matching the reference semantics where l1 is a lineitem row). The
+    oracle keeps the textbook EXISTS formulation, so the two engines
+    compute the same answer by different algorithms."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"),
+    )
+    waits = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(0, 1, 2))
+    return (
+        waits.groupBy("late_supp")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select(F.col("s_name").alias("supp_name"), "numwait")
+    )
+
+
+_Q_TPCH_Q21_SQL = """
+    SELECT s_name AS supp_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND s_nationkey IN (0, 1, 2)
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+"""
+
+
 def q_hll_distinct(spark, sf_dir) -> DataFrame:
     """Mergeable HLL cardinality sketch (operators/sketch.py) next to
     the exact COUNT DISTINCT it approximates — integer-exact register
@@ -2705,6 +2965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_support_topk": q_er_support_topk,
     "er_flip_ranking": q_er_flip_ranking,
     "tpch_q1": q_tpch_q1,
+    "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -2713,6 +2974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
     "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
@@ -2721,6 +2983,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
     "top_orders_per_customer": q_top_orders_per_customer,
     "orders_except": q_orders_except,
@@ -2778,6 +3042,7 @@ ORACLES: dict[str, str] = {
     "er_support_topk": _Q_ER_SUPPORT_TOPK_SQL,
     "er_flip_ranking": _Q_ER_FLIP_RANKING_SQL,
     "tpch_q1": _Q_TPCH_Q1_SQL,
+    "tpch_q2": _Q_TPCH_Q2_SQL,
     "tpch_q3": _Q_TPCH_Q3_SQL,
     "tpch_q4": _Q_TPCH_Q4_SQL,
     "tpch_q5": _Q_TPCH_Q5_SQL,
@@ -2786,6 +3051,7 @@ ORACLES: dict[str, str] = {
     "tpch_q8": _Q_TPCH_Q8_SQL,
     "tpch_q9": _Q_TPCH_Q9_SQL,
     "tpch_q10": _Q_TPCH_Q10_SQL,
+    "tpch_q11": _Q_TPCH_Q11_SQL,
     "tpch_q12": _Q_TPCH_Q12_SQL,
     "tpch_q13": _Q_TPCH_Q13_SQL,
     "tpch_q14": _Q_TPCH_Q14_SQL,
@@ -2794,6 +3060,8 @@ ORACLES: dict[str, str] = {
     "tpch_q17": _Q_TPCH_Q17_SQL,
     "tpch_q18": _Q_TPCH_Q18_SQL,
     "tpch_q19": _Q_TPCH_Q19_SQL,
+    "tpch_q20": _Q_TPCH_Q20_SQL,
+    "tpch_q21": _Q_TPCH_Q21_SQL,
     "tpch_q22": _Q_TPCH_Q22_SQL,
     "top_orders_per_customer": _Q_TOP_ORDERS_SQL,
     "orders_except": _Q_ORDERS_EXCEPT_SQL,
