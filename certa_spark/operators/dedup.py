@@ -20,8 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from certa_spark.functions.hashing import duck_hash32, hash32
+from certa_spark.functions.hashing import duck_hash32, duck_hash64, hash32, hash64
 from certa_spark.functions.textstats import WORD_RE, duck_words, words
 
 N_MINHASH = 16
@@ -263,6 +264,92 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "est_jaccard")
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 3,
+) -> DataFrame:
+    """C4-style cross-corpus exact span dedup: split every document
+    into consecutive ``chunk_tokens``-token chunks (the "lines" —
+    this corpus has no newlines), keep only the FIRST occurrence of
+    each chunk corpus-wide (ordered by doc_id, position), and
+    reassemble the surviving chunks in document order.
+
+    Physical shape: tokenize → posexplode chunks → ONE shuffle
+    partitioned by the chunk's 60-bit content hash (longs on the wire,
+    not strings — the C4 dedup shuffle) for the first-occurrence
+    window → ONE shuffle back on doc_id to reassemble. Returns
+    (doc_id, clean_text, n_kept, n_dropped).
+    """
+    c = chunk_tokens
+    # _w is projected in its own select so the chunk-builder lambda
+    # references a column, not an inlined regexp (HOF re-evaluates
+    # inlined args per element — see `shingles`).
+    toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    n_chunks = F.ceil(F.size("_w") / F.lit(float(c))).cast("int")
+    # empty docs explode to zero rows (dropped — matches the oracle's
+    # empty range); the guard stops sequence(0, -1) going descending.
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice("_w", i * c + 1, c), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = toks.select(
+        id_col,
+        F.posexplode(chunk_arr).alias("chunk_idx", "line"),
+    ).withColumn("_h", hash64(F.col("line")))
+    w = Window.partitionBy("_h").orderBy(id_col, "chunk_idx")
+    flagged = chunks.withColumn(
+        "_keep", F.row_number().over(w) == 1
+    )
+    kept_struct = F.when(
+        F.col("_keep"), F.struct("chunk_idx", "line")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+    )
+
+
+def duck_chunk_dedup(table: str = "documents", chunk_tokens: int = 3) -> str:
+    """DuckDB oracle for :func:`chunk_dedup` (independent formulation:
+    lateral unnest + window, string_agg reassembly)."""
+    c = chunk_tokens
+    w = duck_words("text")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {w} AS w FROM {table}
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+               array_to_string(w[(CAST(u.i AS INT) * {c} + 1):(CAST(u.i AS INT) * {c} + {c})], ' ') AS line
+        FROM toks, UNNEST(range(0, CAST(ceil(len(w) / {float(c)}) AS BIGINT))) AS u(i)
+    ),
+    flagged AS (
+        SELECT doc_id, chunk_idx, line,
+               row_number() OVER (PARTITION BY {duck_hash64('line')}
+                                  ORDER BY doc_id, chunk_idx) = 1 AS keep
+        FROM chunks
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                               ORDER BY chunk_idx), '') AS clean_text,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM flagged
+    GROUP BY doc_id
+    """
 
 
 def simhash(text: Column, bits: int = 16) -> Column:

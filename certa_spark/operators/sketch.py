@@ -139,3 +139,99 @@ def duck_hll_sql(table: str, expr: str, p: int = 10) -> str:
                  END, 4) AS hll_estimate
     FROM agg
     """
+
+
+# ------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter / frequency primitive.
+# ------------------------------------------------------------------
+
+def cm_registers(
+    df: DataFrame, col: str, width: int = 64, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch registers over one column: ``(seed, bucket,
+    cnt)`` with ``depth`` seeded hash rows of ``width`` buckets each.
+
+    Relational shape: explode each value into its ``depth`` (row,
+    bucket) cells with ONE select (no UDF, no per-row loop), then one
+    counting aggregate — map-side partial combine means at most
+    ``depth * width`` rows per partition reach the shuffle regardless
+    of input size. Registers merge across partitions / days / sources
+    by summing per cell (``cm_merge``) — the additive twin of the HLL
+    max-merge above.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(seed).alias("seed"),
+                (hash64(F.col(col), seed) % width).alias("bucket"),
+            )
+            for seed in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cm_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge count-min sketches: union + per-cell sum (additive, so
+    partial sketches from any partitioning combine losslessly)."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("seed", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cm_lookup(
+    registers: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate counts for each row of ``items``: the count-min
+    estimate is the MIN over the ``depth`` rows of the addressed
+    register (over-counts only — collisions inflate, never deflate).
+
+    The register table is at most ``depth * width`` rows, so it
+    broadcasts; the lookup is ``depth`` broadcast joins collapsed into
+    one explode + join + min-agg, keeping ``items`` partition-local.
+    """
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(seed).alias("seed"),
+                        (hash64(F.col(col), seed) % width).alias("bucket"),
+                    )
+                    for seed in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(registers), on=["seed", "bucket"], how="left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_est"))
+    )
+
+
+def duck_cm_est(expr: str, source_expr: str, width: int = 64, depth: int = 4) -> str:
+    """DuckDB scalar fragment: count-min estimate of ``expr`` against a
+    sketch built over ``source_expr`` (a FROM-able subquery returning
+    column ``v``). Returns SQL for a correlated LEAST(...) over the
+    depth rows."""
+    ests = []
+    for seed in range(depth):
+        h = duck_hash64("v", seed)
+        hq = duck_hash64(expr, seed)
+        ests.append(
+            f"(SELECT count(*) FROM ({source_expr}) WHERE ({h} % {width}) = ({hq} % {width}))"
+        )
+    return "LEAST(" + ", ".join(f"CAST({e} AS BIGINT)" for e in ests) + ")"

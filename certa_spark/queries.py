@@ -796,6 +796,60 @@ _Q_DEDUP_EXACT_SQL = """
 """
 
 
+def q_doc_chunk_dedup(spark, sf_dir) -> DataFrame:
+    """C4-style cross-corpus span dedup (operators/dedup.chunk_dedup):
+    keep the first occurrence of every 3-token chunk corpus-wide,
+    reassemble documents from the survivors. One content-hash shuffle +
+    one doc_id shuffle; oracle is an independent lateral-unnest +
+    window + string_agg formulation."""
+    return DD.chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_doc_chunk_dedup_sql() -> str:
+    return DD.duck_chunk_dedup("documents")
+
+
+def q_cm_heavy_hitters(spark, sf_dir) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketch.cm_registers /
+    cm_lookup): build an additive-mergeable 3x16 sketch over all
+    document tokens, then point-estimate every distinct token against
+    it next to the exact count (est >= exact; the deliberately tiny
+    width forces real collisions so the over-count property is
+    visible). Sketch build = one explode + counting agg (<= depth*width
+    rows reach the shuffle); lookup = broadcast join + min-agg."""
+    from certa_spark.operators import sketch as SK
+
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(TS.words(F.col("text"))).alias("v")
+    )
+    exact = tok.groupBy(F.col("v").alias("token")).agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    regs = SK.cm_registers(tok, "v", width=16, depth=3)
+    est = SK.cm_lookup(
+        regs, exact.select(F.col("token").alias("v")), "v", width=16, depth=3
+    )
+    return exact.join(
+        F.broadcast(est), F.col("token") == F.col("v")
+    ).select("token", "exact_cnt", F.col("cm_est"))
+
+
+def _q_cm_heavy_hitters_sql() -> str:
+    from certa_spark.operators.sketch import duck_cm_est
+
+    src = "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS v FROM documents"
+    return f"""
+    WITH tok AS ({src}),
+    exact AS (
+        SELECT v AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM tok GROUP BY v
+    )
+    SELECT token, exact_cnt,
+           {duck_cm_est('token', 'SELECT v FROM tok', width=16, depth=3)} AS cm_est
+    FROM exact
+    """
+
+
 def q_minhash_signatures(spark, sf_dir) -> DataFrame:
     """MinHash signatures (16 seeded md5-derived hashes over 3-gram
     shingles) for a deterministic doc sample."""
@@ -2998,6 +3052,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_pii_scrub": q_doc_pii_scrub,
     "dedup_exact": q_dedup_exact,
+    "doc_chunk_dedup": q_doc_chunk_dedup,
+    "cm_heavy_hitters": q_cm_heavy_hitters,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3075,6 +3131,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": _Q_DOC_FINGERPRINT_SQL,
     "doc_pii_scrub": _Q_DOC_PII_SQL,
     "dedup_exact": _Q_DEDUP_EXACT_SQL,
+    "doc_chunk_dedup": _q_doc_chunk_dedup_sql(),
+    "cm_heavy_hitters": _q_cm_heavy_hitters_sql(),
     "minhash_signatures": _Q_MINHASH_SQL,
     "simhash": _Q_SIMHASH_SQL,
     "ngram_jaccard_pairs": _Q_NGRAM_JACCARD_SQL,

@@ -43,3 +43,47 @@ def test_hll_merge_equals_whole(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+# ---------------------------------------------------------------- count-min
+
+from certa_spark.operators.sketch import cm_lookup, cm_merge, cm_registers
+
+
+def _cm_ests(df, items, w=32, d=3):
+    regs = cm_registers(df, "v", width=w, depth=d)
+    out = cm_lookup(regs, items, "v", width=w, depth=d)
+    return {r["v"]: r["cm_est"] for r in out.collect()}
+
+
+def test_cm_never_underestimates(spark):
+    # skewed stream: value k appears k+1 times, k in 0..99
+    df = spark.range(100).select(
+        F.explode(F.sequence(F.lit(0), F.col("id"))).alias("_")
+        , F.col("id").alias("v")
+    ).select("v")
+    items = spark.range(100).select(F.col("id").alias("v"))
+    ests = _cm_ests(df, items)
+    for k, est in ests.items():
+        assert est >= k + 1
+
+
+def test_cm_exact_when_wide(spark):
+    # width >> distinct values -> no collisions -> estimates exact
+    df = spark.range(20).select(F.col("id").alias("v"))
+    items = spark.range(20).select(F.col("id").alias("v"))
+    ests = _cm_ests(df.union(df), items, w=4096, d=4)
+    assert all(est == 2 for est in ests.values())
+
+
+def test_cm_merge_equals_whole(spark):
+    a = spark.range(0, 500).select((F.col("id") % 37).alias("v"))
+    b = spark.range(0, 300).select((F.col("id") % 23).alias("v"))
+    merged = cm_merge(
+        cm_registers(a, "v", width=32, depth=3),
+        cm_registers(b, "v", width=32, depth=3),
+    )
+    whole = cm_registers(a.union(b), "v", width=32, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
