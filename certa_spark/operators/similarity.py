@@ -365,3 +365,69 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "sim")
     )
+
+
+def quantize_uint8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension uint8 quantization of an embedding column — the
+    4x storage/shuffle shrink every 100TB vector pipeline applies
+    before indexing (IVF/LSH recall is insensitive to 8-bit rounding).
+
+    Plan: posexplode dims -> per-dimension min/max aggregate (exact —
+    min/max have no float-order sensitivity) -> broadcast the 1-row-
+    per-dim stats back -> quantize -> reassemble in dimension order.
+    Quantized value = floor((x - mn) * 255 / (mx - mn) + 0.5), written
+    with floor(+0.5) instead of round() so both engines break .5 ties
+    identically. Returns (id, qvec array<int>).
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "x"),
+    )
+    stats = ex.groupBy("idx").agg(
+        F.min("x").alias("_mn"), F.max("x").alias("_mx")
+    )
+    q = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.floor(
+            (F.col("x") - F.col("_mn")) * 255.0 / (F.col("_mx") - F.col("_mn"))
+            + 0.5
+        ).cast("int")
+    )
+    return (
+        ex.join(F.broadcast(stats), "idx")
+        .select(id_col, F.struct("idx", q.alias("q")).alias("_s"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("_s")), lambda s: s["q"]
+            ).alias("qvec")
+        )
+    )
+
+
+def duck_quantize_uint8_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for :func:`quantize_uint8` (lateral unnest +
+    ordered list() reassembly; 0-based idx matches posexplode)."""
+    return f"""
+    WITH ex AS (
+        SELECT {id_col}, CAST(u.i AS INT) AS idx,
+               CAST({vec_col}[CAST(u.i AS INT) + 1] AS DOUBLE) AS x
+        FROM {table}, UNNEST(range(0, len({vec_col}))) AS u(i)
+    ),
+    stats AS (
+        SELECT idx, min(x) AS mn, max(x) AS mx FROM ex GROUP BY idx
+    )
+    SELECT {id_col},
+           list(CASE WHEN mx = mn THEN 0
+                     ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT)
+                END ORDER BY idx) AS qvec
+    FROM ex JOIN stats USING (idx)
+    GROUP BY {id_col}
+    """

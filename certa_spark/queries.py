@@ -977,6 +977,34 @@ _Q_EMBEDDING_STATS_SQL = f"""
 """
 
 
+def q_doc_bm25(spark, sf_dir) -> DataFrame:
+    """BM25 retrieval (operators/retrieval.py): relational inverted
+    index + term-at-a-time scorer, no UDFs. The postings shuffle
+    carries only query-term matches; IDF and corpus stats broadcast."""
+    from certa_spark.operators import retrieval as RT
+
+    return RT.bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "window", "join"]
+    )
+
+
+def _q_doc_bm25_sql() -> str:
+    from certa_spark.operators.retrieval import duck_bm25_sql
+
+    return duck_bm25_sql(["spark", "window", "join"])
+
+
+def q_embedding_quantize(spark, sf_dir) -> DataFrame:
+    """Per-dimension uint8 embedding quantization
+    (operators/similarity.quantize_uint8): the 4x storage shrink before
+    indexing, with min/max dim stats broadcast back onto the explode."""
+    return SIM.quantize_uint8(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_embedding_quantize_sql() -> str:
+    return SIM.duck_quantize_uint8_sql()
+
+
 def q_tpch_q4(spark, sf_dir) -> DataFrame:
     """TPC-H Q4 — EXISTS correlated subquery as a left-semi join."""
     o = _t(spark, sf_dir, "orders").filter(
@@ -3059,6 +3087,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_stats": q_embedding_stats,
+    "embedding_quantize": q_embedding_quantize,
+    "doc_bm25": q_doc_bm25,
     "tfidf_topk": q_tfidf_topk,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "knn_lsh_ann": q_knn_lsh_ann,
@@ -3138,6 +3168,8 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": _Q_NGRAM_JACCARD_SQL,
     "knn_bruteforce": _Q_KNN_SQL,
     "embedding_stats": _Q_EMBEDDING_STATS_SQL,
+    "embedding_quantize": _q_embedding_quantize_sql(),
+    "doc_bm25": _q_doc_bm25_sql(),
     "tfidf_topk": _q_tfidf_sql(),
     "minhash_lsh_neardup": _Q_MINHASH_LSH_SQL,
     "knn_lsh_ann": _Q_KNN_LSH_SQL,

@@ -168,3 +168,52 @@ def sessionize_bounds(
     return with_sess.groupBy(user_col, "session_id").agg(
         F.min(ts_ns_col).alias("lo_ns"), F.max(ts_ns_col).alias("hi_ns")
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left event
+    with right events for the same key that occur in
+    ``(left_ts, left_ts + max_delay]`` — the click→purchase /
+    impression→conversion attribution shape.
+
+    Both sides carry watermarks and the join has a two-sided time-range
+    predicate, so Spark can bound the buffered state on BOTH sides and
+    evict rows as the watermark advances — without the range bound the
+    state grows forever. The key equality makes this a streaming
+    symmetric hash join partitioned by key: each executor buffers only
+    its key range's recent rows.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[f"{key}_r"])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def interval_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Batch twin of :func:`interval_join_stream` (same predicate, no
+    watermarks) — the consistency oracle for tests."""
+    cond = (
+        (left[key] == right[f"{key}_r"])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return left.join(right, cond, "inner")

@@ -464,3 +464,54 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from certa_spark.streaming.events import (
+        interval_join_batch,
+        interval_join_stream,
+    )
+
+    clicks_src = str(tmp_path / "clicks_src")
+    buys_src = str(tmp_path / "buys_src")
+    clicks_rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 11:00:00"),
+        (2, "2024-01-01 10:10:00"),
+    ]
+    buys_rows = [
+        (1, "2024-01-01 10:20:00"),   # joins click@10:00 only
+        (1, "2024-01-01 11:05:00"),   # joins click@11:00 only
+        (2, "2024-01-01 12:00:00"),   # outside 30min -> no join
+        (3, "2024-01-01 10:15:00"),   # no matching key
+    ]
+    clicks = spark.createDataFrame(clicks_rows, ["user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    buys = spark.createDataFrame(buys_rows, ["user_id", "ts"]).select(
+        F.col("user_id").alias("user_id_r"), F.col("ts").cast("timestamp").alias("ts_r")
+    )
+    clicks.write.mode("overwrite").parquet(clicks_src)
+    buys.write.mode("overwrite").parquet(buys_src)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(clicks_src)
+    bs = spark.readStream.schema(buys.schema).parquet(buys_src)
+    joined = interval_join_stream(cs, bs)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], str(r["ts"]), str(r["ts_r"]))
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    )
+    want = sorted(
+        (r["user_id"], str(r["ts"]), str(r["ts_r"]))
+        for r in interval_join_batch(clicks, buys).collect()
+    )
+    assert got == want
+    assert len(got) == 2
