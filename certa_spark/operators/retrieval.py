@@ -65,10 +65,18 @@ def bm25_scores(
     those postings' doc frequencies, broadcast back, one final
     groupBy(doc) sum.
     """
-    post = postings(docs, text_col, id_col).filter(F.col("token").isin(terms))
+    # materialize the two derived tables a real BM25 system persists
+    # anyway (term-filtered postings; doc-length stats): without these
+    # leaves every downstream branch re-tokenizes the corpus — 4 full
+    # scans instead of 2 (postings + doc lengths, each once).
+    post = (
+        postings(docs, text_col, id_col)
+        .filter(F.col("token").isin(terms))
+        .localCheckpoint()
+    )
     dl = docs.select(
         F.col(id_col), F.size(words(F.col(text_col))).cast("double").alias("_dl")
-    )
+    ).localCheckpoint()
     # doc lengths are small integers, so their double sum is exact in
     # any partial-aggregation order — both stats are bit-deterministic
     stats = dl.agg(

@@ -146,7 +146,11 @@ def duck_hll_sql(table: str, expr: str, p: int = 10) -> str:
 # ------------------------------------------------------------------
 
 def cm_registers(
-    df: DataFrame, col: str, width: int = 64, depth: int = 4
+    df: DataFrame,
+    col: str,
+    width: int = 64,
+    depth: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch registers over one column: ``(seed, bucket,
     cnt)`` with ``depth`` seeded hash rows of ``width`` buckets each.
@@ -158,6 +162,10 @@ def cm_registers(
     of input size. Registers merge across partitions / days / sources
     by summing per cell (``cm_merge``) — the additive twin of the HLL
     max-merge above.
+
+    ``weight_col`` builds the sketch from pre-aggregated (value, count)
+    rows — sum the weights instead of counting rows. Sketching an
+    already-grouped table touches |distinct| rows, not |stream|.
     """
     cells = F.array(
         *[
@@ -168,10 +176,11 @@ def cm_registers(
             for seed in range(depth)
         ]
     )
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(F.explode(cells).alias("c"), w.alias("_w"))
         .groupBy(F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("_w").cast("long").alias("cnt"))
     )
 
 

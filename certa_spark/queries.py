@@ -822,10 +822,22 @@ def q_cm_heavy_hitters(spark, sf_dir) -> DataFrame:
     tok = _t(spark, sf_dir, "documents").select(
         F.explode(TS.words(F.col("text"))).alias("v")
     )
-    exact = tok.groupBy(F.col("v").alias("token")).agg(
-        F.count("*").cast("long").alias("exact_cnt")
+    # ONE corpus tokenize: the sketch is built from the pre-aggregated
+    # (token, count) table via weighted registers (identical registers,
+    # |vocab| rows sketched instead of |stream|), and the tiny exact
+    # table is checkpointed so its three consumers don't re-scan.
+    exact = (
+        tok.groupBy(F.col("v").alias("token"))
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .localCheckpoint()
     )
-    regs = SK.cm_registers(tok, "v", width=16, depth=3)
+    regs = SK.cm_registers(
+        exact.select(F.col("token").alias("v"), "exact_cnt"),
+        "v",
+        width=16,
+        depth=3,
+        weight_col="exact_cnt",
+    )
     est = SK.cm_lookup(
         regs, exact.select(F.col("token").alias("v")), "v", width=16, depth=3
     )
