@@ -1017,6 +1017,90 @@ def _q_embedding_quantize_sql() -> str:
     return SIM.duck_quantize_uint8_sql()
 
 
+def q_events_zorder(spark, sf_dir) -> DataFrame:
+    """Z-order layout audit (operators/layout.py): interleave
+    user-bucket and hour-bucket bits into a z-key, group by z-tile
+    (the rows one file would hold) and report each tile's min/max
+    spread in BOTH dimensions — the zone-map pruning property. Pure
+    integer arithmetic; hour buckets live in the micros domain on both
+    engines (TESTDATA nanos gotcha)."""
+    from certa_spark.operators import layout as LO
+
+    e = _events(spark, sf_dir)
+    u = F.col("user_id") % 256
+    t = (F.expr("ts_ns div 1000") / F.lit(3600000000)).cast("long") % 256
+    z = LO.zorder_key(u, t)
+    return (
+        e.select(u.alias("_u"), t.alias("_t"), (z / 64).cast("long").alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("_u").cast("long").alias("u_lo"),
+            F.max("_u").cast("long").alias("u_hi"),
+            F.min("_t").cast("long").alias("t_lo"),
+            F.max("_t").cast("long").alias("t_hi"),
+        )
+    )
+
+
+def _q_events_zorder_sql() -> str:
+    from certa_spark.operators.layout import duck_zorder_key
+
+    u = "(user_id % 256)"
+    t = "((epoch_us(ts) // 3600000000) % 256)"
+    z = duck_zorder_key(u, t)
+    return f"""
+    SELECT ({z} // 64) AS tile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min({u}) AS BIGINT) AS u_lo,
+           CAST(max({u}) AS BIGINT) AS u_hi,
+           CAST(min({t}) AS BIGINT) AS t_lo,
+           CAST(max({t}) AS BIGINT) AS t_hi
+    FROM events
+    GROUP BY 1
+    """
+
+
+def q_orders_histogram(spark, sf_dir) -> DataFrame:
+    """Mergeable equi-width histogram (32 bins over o_totalprice):
+    min/max come back as a broadcast scalar, binning is one map-side
+    expression, counts merge additively across partitions/days — the
+    third mergeable-sketch family next to HLL and count-min."""
+    o = _t(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_totalprice").alias("_mn"), F.max("o_totalprice").alias("_mx")
+    )
+    width = (F.col("_mx") - F.col("_mn")) / 32.0
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("_mn")) / width).cast("long"),
+        F.lit(31).cast("long"),
+    )
+    return (
+        o.crossJoin(F.broadcast(ext))
+        .select(
+            bin_.alias("bin"),
+            F.round(F.col("_mn") + bin_ * width, 4).alias("bin_lo"),
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+_Q_ORDERS_HISTOGRAM_SQL = """
+    WITH ext AS (
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    )
+    SELECT LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / 32.0))
+                      AS BIGINT), 31) AS bin,
+           round(mn + LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / 32.0))
+                                 AS BIGINT), 31) * ((mx - mn) / 32.0), 4)
+               AS bin_lo,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders CROSS JOIN ext
+    GROUP BY 1, 2
+"""
+
+
 def q_tpch_q4(spark, sf_dir) -> DataFrame:
     """TPC-H Q4 — EXISTS correlated subquery as a left-semi join."""
     o = _t(spark, sf_dir, "orders").filter(
@@ -3113,6 +3197,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionized": q_events_sessionized,
     "events_running_zscore": q_events_running_zscore,
     "events_rollup": q_events_rollup,
+    "events_zorder": q_events_zorder,
+    "orders_histogram": q_orders_histogram,
     "neardup_clusters": q_neardup_clusters,
     "events_asof_join": q_events_asof_join,
     "events_session_range_join": q_events_session_range_join,
@@ -3194,6 +3280,8 @@ ORACLES: dict[str, str] = {
     "events_sessionized": _Q_SESSION_SQL,
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
+    "events_zorder": _q_events_zorder_sql(),
+    "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,
     "neardup_clusters": _neardup_clusters_sql(),
     "events_asof_join": _Q_ASOF_SQL,
     "events_session_range_join": _Q_SESSION_RANGE_SQL,
