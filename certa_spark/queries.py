@@ -1101,6 +1101,209 @@ _Q_ORDERS_HISTOGRAM_SQL = """
 """
 
 
+def q_events_cube(spark, sf_dir) -> DataFrame:
+    """OLAP cube over (event_type, day-of-week): all four grouping
+    sets — (both), (etype), (dow), () — expanded in ONE shuffle
+    (complements `events_rollup`'s hierarchy with the full cross
+    lattice)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.cube(
+            F.col("event_type").alias("etype"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _dec_sum(F.col("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.coalesce("etype", F.lit("(all)")).alias("etype"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+_Q_EVENTS_CUBE_SQL = f"""
+    SELECT COALESCE(etype, '(all)') AS etype,
+           COALESCE(dow, -1) AS dow, n, value_sum
+    FROM (
+        SELECT event_type AS etype,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               {_duck_dec_sum('value')} AS value_sum
+        FROM events
+        GROUP BY CUBE (1, 2)
+    )
+"""
+
+
+def q_orders_upsert(spark, sf_dir) -> DataFrame:
+    """MERGE-INTO / SCD-upsert shape: a deterministic updates batch
+    (every 11th order re-priced and re-statused) merged into the base
+    table, latest-wins per key via a single row_number window over the
+    union — the standard Spark upsert when the sink isn't a
+    transactional table format. One o_orderkey shuffle."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            # reprice in the DECIMAL domain: double*1.1 lands on .5
+            # ties at the 3rd decimal where HALF_UP disagreees across
+            # engines; decimal multiply + decimal round is exact
+            F.round(
+                F.col("o_totalprice").cast("decimal(30,6)")
+                * F.lit("1.1").cast("decimal(10,6)"),
+                2,
+            )
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+    )
+    merged = o.withColumn("_v", F.lit(1)).unionByName(
+        updates.withColumn("_v", F.lit(2))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("_v").desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+_Q_ORDERS_UPSERT_SQL = """
+    WITH merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS v FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U',
+               CAST(round(CAST(o_totalprice AS DECIMAL(30,6))
+                          * CAST('1.1' AS DECIMAL(10,6)), 2) AS DOUBLE), 2
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+           round(o_totalprice, 2) AS totalprice
+    FROM merged
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1
+"""
+
+
+def q_doc_stratified_k(spark, sf_dir) -> DataFrame:
+    """Deterministic k-per-stratum sample (train-data mixing): keep the
+    5 docs with the smallest content-hash per source — reproducible
+    across runs/engines/partitionings, unlike rand()-ranked sampling.
+    One shuffle on the stratum key."""
+    d = _t(spark, sf_dir, "documents")
+    hh = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("source").orderBy(hh.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("source", "doc_id")
+    )
+
+
+_Q_DOC_STRATIFIED_K_SQL = f"""
+    SELECT source, doc_id
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY {duck_hash64('CAST(doc_id AS VARCHAR)')} ASC, doc_id ASC) <= 5
+"""
+
+
+def q_part_pagerank(spark, sf_dir) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an
+    order), 3 power iterations. Spark side: edge build = one self-join
+    + distinct, then per-iteration join + groupBy with lineage
+    truncation (operators/graph.py pattern); contributions route
+    through DECIMAL so partial-agg order can't move the result. The
+    oracle UNROLLS the iterations as chained CTEs — same fixed point,
+    different engine mechanics."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(pairs.select(F.col("pb").alias("s"), F.col("pa").alias("t")))
+    edges = edges.repartition(8, "s").localCheckpoint()
+    deg = edges.groupBy("s").agg(F.count("*").cast("double").alias("_deg"))
+    ed = edges.join(deg, "s").localCheckpoint()
+    n_nodes = deg.count()
+    inv_n = 1.0 / float(n_nodes)
+    ranks = deg.select(F.col("s").alias("node"), F.lit(inv_n).alias("r"))
+    for _ in range(3):
+        contrib = F.round(F.col("r") / F.col("_deg"), 12).cast("decimal(38,18)")
+        ranks = (
+            ed.join(ranks, ed.s == ranks.node)
+            .groupBy(F.col("t").alias("node"))
+            .agg(
+                F.round(
+                    # literal 0.15/0.85 (NOT 1-d computed in Python —
+                    # 1.0-0.85 != 0.15 in binary) so the scalar math is
+                    # the same IEEE ops as the oracle's
+                    F.lit(0.15) * F.lit(inv_n)
+                    + F.lit(0.85) * F.sum(contrib).cast("double"),
+                    12,
+                ).alias("r")
+            )
+            .repartition(8, "node")
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("r", 8).alias("rank"))
+
+
+def _q_part_pagerank_sql() -> str:
+    base = """
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT pa AS s, pb AS t FROM pairs
+        UNION ALL
+        SELECT pb AS s, pa AS t FROM pairs
+    ),
+    deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS dg FROM edges GROUP BY s),
+    nn AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS inv_n FROM deg),
+    r0 AS (SELECT s AS node, inv_n AS r FROM deg, nn)
+    """
+    step = """
+    r{k} AS (
+        SELECT e.t AS node,
+               round(0.15 * inv_n + 0.85 * CAST(sum(
+                   CAST(round(p.r / deg.dg, 12) AS DECIMAL(38,18))
+               ) AS DOUBLE), 12) AS r
+        FROM edges e
+        JOIN r{j} p ON e.s = p.node
+        JOIN deg ON e.s = deg.s
+        CROSS JOIN nn
+        GROUP BY e.t, inv_n
+    )
+    """
+    steps = "".join(step.format(k=k, j=k - 1) + ("," if k < 3 else "") for k in (1, 2, 3))
+    return (
+        "WITH " + base + "," + steps + "SELECT node, round(r, 8) AS rank FROM r3"
+    )
+
+
 def q_tpch_q4(spark, sf_dir) -> DataFrame:
     """TPC-H Q4 — EXISTS correlated subquery as a left-semi join."""
     o = _t(spark, sf_dir, "orders").filter(
@@ -3199,6 +3402,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
     "orders_histogram": q_orders_histogram,
+    "events_cube": q_events_cube,
+    "orders_upsert": q_orders_upsert,
+    "doc_stratified_k": q_doc_stratified_k,
+    "part_pagerank": q_part_pagerank,
     "neardup_clusters": q_neardup_clusters,
     "events_asof_join": q_events_asof_join,
     "events_session_range_join": q_events_session_range_join,
@@ -3282,6 +3489,10 @@ ORACLES: dict[str, str] = {
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
     "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,
+    "events_cube": _Q_EVENTS_CUBE_SQL,
+    "orders_upsert": _Q_ORDERS_UPSERT_SQL,
+    "doc_stratified_k": _Q_DOC_STRATIFIED_K_SQL,
+    "part_pagerank": _q_part_pagerank_sql(),
     "neardup_clusters": _neardup_clusters_sql(),
     "events_asof_join": _Q_ASOF_SQL,
     "events_session_range_join": _Q_SESSION_RANGE_SQL,
