@@ -110,3 +110,67 @@ def assign_clusters(
             F.coalesce("cluster", F.col("node")).alias("cluster"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+    partitions: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (symmetrize
+    first for undirected graphs): returns ``(node, r)``.
+
+    Same loop discipline as :func:`connected_components`: the
+    edge+out-degree table is repartitioned by source and checkpointed
+    ONCE (the loop invariant), each iteration is one join + one
+    groupBy(dst) aggregate + lineage truncation, and only (node, rank)
+    pairs ever shuffle. Per-iteration contributions are rounded and
+    routed through DECIMAL so partial-aggregation order cannot move
+    the result (cross-engine reproducible — the driver query's oracle
+    unrolls the same iterations as chained SQL CTEs).
+
+    Nodes with no in-edges keep receiving only the teleport term; nodes
+    with no OUT-edges (dangling) are not redistributed — callers that
+    need the dangling-mass correction should add the standard
+    "sum lost mass, add everywhere" term per iteration.
+    """
+    ed = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .repartition(partitions, "s")
+        .localCheckpoint()
+    )
+    deg = ed.groupBy("s").agg(F.count("*").cast("double").alias("_deg"))
+    ed = ed.join(deg, "s").localCheckpoint()
+    nodes = ed.select(F.col("s").alias("node")).unionByName(
+        ed.select(F.col("t").alias("node"))
+    ).distinct()
+    inv_n = 1.0 / float(nodes.count())
+    # (1.0 - damping) folded in Python = the same IEEE subtraction the
+    # SQL oracle performs at runtime; do NOT substitute a decimal
+    # literal like 0.15 (1.0 - 0.85 != 0.15 in binary)
+    teleport = F.lit(1.0 - damping) * F.lit(inv_n)
+    ranks = nodes.select("node", F.lit(inv_n).alias("r"))
+    for _ in range(iterations):
+        contrib = F.round(F.col("r") / F.col("_deg"), 12).cast("decimal(38,18)")
+        incoming = (
+            ed.join(ranks, ed.s == ranks.node)
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(contrib).cast("double").alias("_in"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+            .repartition(partitions, "node")
+            .localCheckpoint()
+        )
+    return ranks

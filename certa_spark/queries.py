@@ -1230,6 +1230,8 @@ def q_part_pagerank(spark, sf_dir) -> DataFrame:
     through DECIMAL so partial-agg order can't move the result. The
     oracle UNROLLS the iterations as chained CTEs — same fixed point,
     different engine mechanics."""
+    from certa_spark.operators import graph as GR
+
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
@@ -1242,30 +1244,7 @@ def q_part_pagerank(spark, sf_dir) -> DataFrame:
     edges = pairs.select(
         F.col("pa").alias("s"), F.col("pb").alias("t")
     ).unionByName(pairs.select(F.col("pb").alias("s"), F.col("pa").alias("t")))
-    edges = edges.repartition(8, "s").localCheckpoint()
-    deg = edges.groupBy("s").agg(F.count("*").cast("double").alias("_deg"))
-    ed = edges.join(deg, "s").localCheckpoint()
-    n_nodes = deg.count()
-    inv_n = 1.0 / float(n_nodes)
-    ranks = deg.select(F.col("s").alias("node"), F.lit(inv_n).alias("r"))
-    for _ in range(3):
-        contrib = F.round(F.col("r") / F.col("_deg"), 12).cast("decimal(38,18)")
-        ranks = (
-            ed.join(ranks, ed.s == ranks.node)
-            .groupBy(F.col("t").alias("node"))
-            .agg(
-                F.round(
-                    # literal 0.15/0.85 (NOT 1-d computed in Python —
-                    # 1.0-0.85 != 0.15 in binary) so the scalar math is
-                    # the same IEEE ops as the oracle's
-                    F.lit(0.15) * F.lit(inv_n)
-                    + F.lit(0.85) * F.sum(contrib).cast("double"),
-                    12,
-                ).alias("r")
-            )
-            .repartition(8, "node")
-            .localCheckpoint()
-        )
+    ranks = GR.pagerank(edges, src="s", dst="t", damping=0.85, iterations=3)
     return ranks.select("node", F.round("r", 8).alias("rank"))
 
 
@@ -1288,7 +1267,8 @@ def _q_part_pagerank_sql() -> str:
     step = """
     r{k} AS (
         SELECT e.t AS node,
-               round(0.15 * inv_n + 0.85 * CAST(sum(
+               round(((1.0 - 0.85) * inv_n)
+                     + 0.85 * CAST(sum(
                    CAST(round(p.r / deg.dg, 12) AS DECIMAL(38,18))
                ) AS DOUBLE), 12) AS r
         FROM edges e

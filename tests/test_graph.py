@@ -34,3 +34,21 @@ def test_assign_clusters_includes_singletons(spark):
         for r in assign_clusters(nodes, edges, "doc_id").collect()
     }
     assert got == {1: 1, 2: 2, 3: 2, 99: 99}
+
+
+def test_pagerank_symmetric_pair_and_star(spark):
+    from certa_spark.operators.graph import pagerank
+
+    # two isolated symmetric pairs -> uniform ranks (fixpoint of init)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], ["src", "dst"]
+    )
+    r = {row["node"]: row["r"] for row in pagerank(edges, iterations=4).collect()}
+    assert all(abs(v - 0.25) < 1e-9 for v in r.values())
+
+    # directed star a->hub from 3 leaves: hub accumulates, leaves keep
+    # teleport share only; total mass is conserved up to dangling loss
+    star = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], ["src", "dst"])
+    ranks = {row["node"]: row["r"] for row in pagerank(star, iterations=2).collect()}
+    assert ranks[9] > ranks[1] == ranks[2] == ranks[3]
+    assert abs(ranks[1] - (1 - 0.85) / 4) < 1e-9
