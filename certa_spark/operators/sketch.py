@@ -244,3 +244,91 @@ def duck_cm_est(expr: str, source_expr: str, width: int = 64, depth: int = 4) ->
             f"(SELECT count(*) FROM ({source_expr}) WHERE ({h} % {width}) = ({hq} % {width}))"
         )
     return "LEAST(" + ", ".join(f"CAST({e} AS BIGINT)" for e in ests) + ")"
+
+
+# ------------------------------------------------------------------
+# Grouped HLL: one sketch PER GROUP in a single pass — the OLAP shape
+# ("distinct users per event type / day / source") where exact
+# count_distinct would shuffle every (group, key) pair.
+# ------------------------------------------------------------------
+
+def hll_registers_by(
+    df: DataFrame, col: str, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group HLL registers: ``group_cols + (bucket, m)``. One
+    aggregation keyed by (group, bucket) — at most groups * 2^p rows
+    reach the shuffle regardless of input size."""
+    wbits = _HASH_BITS - p
+    h = hash64(F.col(col))
+    bucket = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group estimate from grouped registers: ``group_cols +
+    (hll_estimate,)``. Same integer-exact register sum and
+    linear-counting correction as :func:`hll_estimate`, evaluated once
+    per group in one aggregation."""
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    top = 1 << (wbits + 1)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({wbits + 1} - m as int))"))
+        .cast("long")
+        .alias("sum_present"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    v = F.lit(m) - F.col("n_buckets")
+    sum_total = (F.col("sum_present") + v * F.lit(top)).cast("double")
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(top)) / sum_total
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("hll_estimate"))
+
+
+def duck_hll_by_sql(table: str, expr: str, group_col: str, p: int = 10) -> str:
+    """DuckDB oracle for the grouped sketch+estimate (one group col)."""
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    top = 1 << (wbits + 1)
+    h = duck_hash64(expr)
+    raw = (
+        f"(0.7213/(1.0 + 1.079/{float(m)})) * {float(m)} * {float(m)} * {float(top)}"
+        f" / CAST(sum_present + ({m} - n_buckets) * {top} AS DOUBLE)"
+    )
+    return f"""
+    WITH regs AS (
+        SELECT {group_col}, ({h} >> {wbits}) AS bucket,
+               max(CASE WHEN ({h} & {(1 << wbits) - 1}) = 0 THEN {wbits + 1}
+                        ELSE {wbits + 1}
+                             - length(bin(({h} & {(1 << wbits) - 1})::BIGINT))
+                   END) AS m
+        FROM {table} GROUP BY 1, 2
+    ), agg AS (
+        SELECT {group_col},
+               CAST(sum(1::BIGINT << ({wbits + 1} - m)) AS BIGINT) AS sum_present,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM regs GROUP BY 1
+    )
+    SELECT {group_col},
+           round(CASE WHEN {raw} <= 2.5 * {m} AND ({m} - n_buckets) > 0
+                 THEN {float(m)} * ln({float(m)} / CAST({m} - n_buckets AS DOUBLE))
+                 ELSE {raw}
+                 END, 4) AS hll_estimate
+    FROM agg
+    """

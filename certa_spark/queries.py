@@ -1101,6 +1101,42 @@ _Q_ORDERS_HISTOGRAM_SQL = """
 """
 
 
+def q_events_hll_by_type(spark, sf_dir) -> DataFrame:
+    """Grouped HLL (operators/sketch.hll_registers_by): distinct users
+    per event type estimated from per-group sketches next to the exact
+    count — the OLAP sketch shape where at most groups * 2^p register
+    rows reach the shuffle instead of every (group, user) pair."""
+    from certa_spark.operators import sketch as SK
+
+    e = _events(spark, sf_dir).select("event_type", "user_id")
+    regs = SK.hll_registers_by(e, "user_id", ["event_type"], p=10)
+    est = SK.hll_estimate_by(regs, ["event_type"], p=10)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "hll_estimate", "exact_distinct"
+    )
+
+
+def _q_events_hll_by_type_sql() -> str:
+    from certa_spark.operators.sketch import duck_hll_by_sql
+
+    inner = duck_hll_by_sql(
+        "events", "CAST(user_id AS VARCHAR)", "event_type", p=10
+    )
+    return f"""
+    WITH est AS ({inner}),
+    ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, hll_estimate, exact_distinct
+    FROM est JOIN ex USING (event_type)
+    """
+
+
 def q_events_cube(spark, sf_dir) -> DataFrame:
     """OLAP cube over (event_type, day-of-week): all four grouping
     sets — (both), (etype), (dow), () — expanded in ONE shuffle
@@ -3383,6 +3419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder": q_events_zorder,
     "orders_histogram": q_orders_histogram,
     "events_cube": q_events_cube,
+    "events_hll_by_type": q_events_hll_by_type,
     "orders_upsert": q_orders_upsert,
     "doc_stratified_k": q_doc_stratified_k,
     "part_pagerank": q_part_pagerank,
@@ -3470,6 +3507,7 @@ ORACLES: dict[str, str] = {
     "events_zorder": _q_events_zorder_sql(),
     "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,
     "events_cube": _Q_EVENTS_CUBE_SQL,
+    "events_hll_by_type": _q_events_hll_by_type_sql(),
     "orders_upsert": _Q_ORDERS_UPSERT_SQL,
     "doc_stratified_k": _Q_DOC_STRATIFIED_K_SQL,
     "part_pagerank": _q_part_pagerank_sql(),

@@ -87,3 +87,21 @@ def test_cm_merge_equals_whole(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+# ---------------------------------------------------------------- grouped HLL
+
+from certa_spark.operators.sketch import hll_estimate_by, hll_registers_by
+
+
+def test_hll_by_group_matches_global_per_group(spark):
+    # grouped sketch of one group == global sketch over that group's rows
+    df = spark.range(8000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    grouped = hll_estimate_by(hll_registers_by(df, "v", ["g"]), ["g"])
+    got = {r["g"]: r["hll_estimate"] for r in grouped.collect()}
+    for g in ("0", "1"):
+        solo = df.filter(F.col("g") == g)
+        want = _est(hll_registers(solo, "v"))
+        assert got[g] == want
