@@ -139,3 +139,26 @@ def write_partitioned(
     high-cardinality id) or the file listing itself becomes the
     bottleneck."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: range-partition on a z-key column
+    (see ``operators/layout.zorder_key``) and sort within partitions,
+    so every output file covers a small rectangle in BOTH interleaved
+    dimensions. Parquet min/max column stats then prune files/row
+    groups for predicates on EITHER dimension — the OPTIMIZE ZORDER
+    layout of Delta/Iceberg, from two plain Spark primitives.
+    ``repartitionByRange`` samples the z-key to build balanced range
+    bounds, so file sizes stay even under skew."""
+    (
+        df.repartitionByRange(n_files, zorder_col)
+        .sortWithinPartitions(zorder_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

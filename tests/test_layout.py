@@ -40,3 +40,36 @@ def test_zorder_tile_is_local_in_both_dims(spark):
         .collect()[0]
     )
     assert spread["du"] <= 7 and spread["dt"] <= 7
+
+
+def test_zordered_write_clusters_both_dims(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from certa_spark.io import write_zordered
+
+    rows = [(u, t) for u in range(64) for t in range(64)]
+    df = spark.createDataFrame(rows, ["u", "t"]).select(
+        "u", "t", zorder_key(F.col("u"), F.col("t")).alias("z")
+    )
+    dst = str(tmp_path / "zsorted")
+    write_zordered(df, dst, "z", n_files=16)
+
+    # per-file min/max stats: every file must cover a small rectangle
+    # in BOTH dims -> a predicate on either column can skip most files
+    spreads_u, spreads_t = [], []
+    for f in glob.glob(dst + "/*.parquet"):
+        md = pq.read_metadata(f)
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        u_mins, u_maxs, t_mins, t_maxs = [], [], [], []
+        for rg in range(md.num_row_groups):
+            st_u = md.row_group(rg).column(cols["u"]).statistics
+            st_t = md.row_group(rg).column(cols["t"]).statistics
+            u_mins.append(st_u.min); u_maxs.append(st_u.max)
+            t_mins.append(st_t.min); t_maxs.append(st_t.max)
+        spreads_u.append(max(u_maxs) - min(u_mins))
+        spreads_t.append(max(t_maxs) - min(t_mins))
+    # global spread is 63; a 16-file z-layout keeps every file within
+    # a quarter of the range in each dimension
+    assert max(spreads_u) <= 31 and max(spreads_t) <= 31
