@@ -515,3 +515,64 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 2
+
+
+def test_pq_adc_finds_cluster_neighbors(spark):
+    import random
+
+    from certa_spark.operators.similarity import knn_pq_adc, pq_encode
+
+    rnd = random.Random(7)
+    # two well-separated 16-dim clusters
+    def vec(center):
+        return [center + rnd.uniform(-0.05, 0.05) for _ in range(16)]
+
+    rows = [(i, vec(0.0)) for i in range(20)] + [(i, vec(5.0)) for i in range(20, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # codebooks: 4 subspaces x 4 dims, codes from the first 2 vectors
+    # of each cluster
+    cb_vecs = [rows[0][1], rows[1][1], rows[20][1], rows[21][1]]
+    codebooks = [[v[s * 4 : (s + 1) * 4] for v in cb_vecs] for s in range(4)]
+
+    codes = pq_encode(df, codebooks)
+    assert codes.count() == 40 * 4  # one code per (vec, subspace)
+
+    probes = df.filter(F.col("vec_id").isin(0, 25))
+    res = knn_pq_adc(df, probes, codebooks, k=5)
+    got = {
+        p: [r["neighbor_id"] for r in rows_]
+        for p, rows_ in (
+            (p, [r for r in res.collect() if r["probe_id"] == p]) for p in (0, 25)
+        )
+    }
+    # every approximate neighbor comes from the probe's own cluster
+    assert all(n < 20 for n in got[0])
+    assert all(n >= 20 for n in got[25])
+
+
+def test_streaming_upsert_sink_latest_wins(spark, tmp_path):
+    from certa_spark.streaming.events import upsert_sink
+
+    src = str(tmp_path / "upsert_src")
+    dst = str(tmp_path / "upsert_dst")
+    rows = [
+        (1, 1, "a"),
+        (1, 3, "c"),   # latest for key 1
+        (1, 2, "b"),
+        (2, 1, "x"),
+    ]
+    batch = spark.createDataFrame(rows, ["k", "ver", "val"])
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    upsert_sink(stream, dst, ["k"], "ver")
+    got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {1: (3, "c"), 2: (1, "x")}
+
+    # second wave updates key 2, leaves key 1 untouched
+    spark.createDataFrame([(2, 5, "y")], ["k", "ver", "val"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(batch.schema).parquet(src)
+    upsert_sink(stream2, dst, ["k"], "ver", query_name="upsert_sink2")
+    got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {1: (3, "c"), 2: (5, "y")}
