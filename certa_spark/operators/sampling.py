@@ -70,3 +70,58 @@ def duck_keep_sql(key_expr: str, rate_expr: str, seed: int = 0) -> str:
     h = duck_hash64(key_expr, seed=seed)
     # floor, not CAST-rounding: Spark's double->long cast truncates
     return f"({h} % {_GRAIN}) < CAST(floor(({rate_expr}) * {_GRAIN}) AS BIGINT)"
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixing rates (the multilingual/multi-source
+    rebalancing rule: sampling weight ∝ count^alpha, alpha<1 upweights
+    small sources): returns ``(stratum, n, rate)`` where ``rate`` is
+    each stratum's keep-probability such that the expected overall
+    sample is ``target_frac`` of the corpus, capped at 1.
+
+    Cross-engine determinism: pow() terms round to 6 decimals and sum
+    through DECIMAL (libm pow differs at ~1 ulp between engines; the
+    round absorbs it), and the final rate rounds to 6 before the hash
+    threshold, so both engines pick the identical row set.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("n"))
+    w = F.round(F.pow(F.col("n").cast("double"), F.lit(float(alpha))), 6)
+    stats = counts.agg(
+        F.sum("n").cast("double").alias("_N"),
+        F.sum(w.cast("decimal(30,6)")).cast("double").alias("_W"),
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        strata_col,
+        "n",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                ((F.lit(float(target_frac)) * F.col("_N")) * w)
+                / F.col("_W")
+                / F.col("n").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Apply :func:`temperature_rates` as a content-hash sample: the
+    per-stratum rates broadcast back onto the corpus scan, so the
+    sampling pass itself is map-side (one tiny agg pass, then filter)."""
+    rates = temperature_rates(df, strata_col, alpha, target_frac)
+    return df.join(
+        F.broadcast(rates.select(strata_col, "rate")), strata_col
+    ).filter(_keep(F.col(key_col).cast("string"), F.col("rate"), seed))

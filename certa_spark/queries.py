@@ -1180,6 +1180,64 @@ def _q_knn_pq_adc_sql() -> str:
     """
 
 
+def q_doc_temperature_mix(spark, sf_dir) -> DataFrame:
+    """Temperature-scaled source mixing (operators/sampling.
+    temperature_rates / temperature_mix): keep-rate per source ∝
+    count^0.7 normalized to a 50% overall sample — the multilingual
+    rebalancing rule — applied as a content-hash sample (map-side
+    after one tiny counts pass). Output: per-source audit (corpus
+    count, rate, sampled count)."""
+    from certa_spark.operators import sampling as SA
+
+    d = _t(spark, sf_dir, "documents")
+    rates = SA.temperature_rates(d, "source", alpha=0.7, target_frac=0.5)
+    sampled = SA.temperature_mix(
+        d, "source", "doc_id", alpha=0.7, target_frac=0.5, seed=3
+    )
+    rep = sampled.groupBy("source").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    return rates.join(rep, "source", "left").select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "rate",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
+def _q_doc_temperature_mix_sql() -> str:
+    from certa_spark.operators.sampling import duck_keep_sql
+
+    return f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS nn,
+               CAST(sum(CAST(round(pow(CAST(n AS DOUBLE), 0.7), 6)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS ww
+        FROM counts
+    ),
+    rates AS (
+        SELECT source, n,
+               round(least(1.0,
+                   ((0.5 * nn) * round(pow(CAST(n AS DOUBLE), 0.7), 6))
+                   / ww / CAST(n AS DOUBLE)), 6) AS rate
+        FROM counts, st
+    ),
+    samp AS (
+        SELECT d.source FROM documents d JOIN rates USING (source)
+        WHERE {duck_keep_sql('doc_id', 'rate', seed=3)}
+    )
+    SELECT r.source, r.n AS n_docs, r.rate,
+           CAST(coalesce(s.c, 0) AS BIGINT) AS n_sampled
+    FROM rates r
+    LEFT JOIN (SELECT source, count(*) AS c FROM samp GROUP BY 1) s
+        USING (source)
+    """
+
+
 def q_events_hll_by_type(spark, sf_dir) -> DataFrame:
     """Grouped HLL (operators/sketch.hll_registers_by): distinct users
     per event type estimated from per-group sketches next to the exact
@@ -3507,6 +3565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_session_range_join": q_events_session_range_join,
     "doc_sample_mix": q_doc_sample_mix,
+    "doc_temperature_mix": q_doc_temperature_mix,
     "doc_repetition": q_doc_repetition,
     "doc_surprisal": q_doc_surprisal,
     "split_contamination": q_split_contamination,
@@ -3596,6 +3655,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": _Q_ASOF_SQL,
     "events_session_range_join": _Q_SESSION_RANGE_SQL,
     "doc_sample_mix": _doc_sample_mix_sql(),
+    "doc_temperature_mix": _q_doc_temperature_mix_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_surprisal": _Q_SURPRISAL_SQL,
     "split_contamination": _split_contamination_sql(),
