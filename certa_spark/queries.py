@@ -37,16 +37,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default; read nanos as long and derive both a
-    micros-truncated timestamp (for formatting) and the raw nanos
-    (``ts_ns``, for exact ordering parity with the nanos-aware oracle).
+    """events.parquet stores TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    which Spark 4 reads as TIMESTAMP_NTZ. DuckDB's epoch math treats
+    the naive value as UTC, so pin the session zone to UTC and derive
+    ``ts_ns`` (epoch nanos, for ordering/z-order/as-of parity with the
+    oracle) by interpreting the wall-clock the same way. A nanos-written
+    file would read as bigint under the legacy conf; keep that branch
+    for robustness across writers.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
+    t = dict(e.dtypes).get("ts")
+    if t == "bigint":
         e = e.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif t == "timestamp_ntz":
+        e = e.withColumn(
+            "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
         )
     else:
         e = e.withColumn("ts_ns", F.unix_micros("ts") * 1000)
@@ -1009,12 +1018,25 @@ def _q_doc_bm25_sql() -> str:
 def q_embedding_quantize(spark, sf_dir) -> DataFrame:
     """Per-dimension uint8 embedding quantization
     (operators/similarity.quantize_uint8): the 4x storage shrink before
-    indexing, with min/max dim stats broadcast back onto the explode."""
-    return SIM.quantize_uint8(_t(spark, sf_dir, "embeddings"))
+    indexing, with min/max dim stats broadcast back onto the explode.
+    The array is serialized to a csv string for the harness (the
+    driver's canonicalizer can't hash list cells — same treatment as
+    minhash_signatures)."""
+    q = SIM.quantize_uint8(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec"),
+    )
 
 
 def _q_embedding_quantize_sql() -> str:
-    return SIM.duck_quantize_uint8_sql()
+    return (
+        "SELECT vec_id, array_to_string(qvec, ',') AS qvec FROM ("
+        + SIM.duck_quantize_uint8_sql()
+        + ")"
+    )
 
 
 def q_events_zorder(spark, sf_dir) -> DataFrame:
