@@ -1852,6 +1852,52 @@ _Q_MARKED_SQL = r"""
 """
 
 
+def q_ditto_dk_normalize(spark, sf_dir) -> DataFrame:
+    """F17 — Ditto domain-knowledge number normalization
+    (serialize.dk_number_normalize; reference knowledge.py:91-105):
+    integral numerics print as '%d', fractional as '%.2f', long
+    digit-bearing tokens get an 'ID ' tag. The synthesized text mixes
+    all three arms (part name words, 2-decimal retail price, int size,
+    alnum serial)."""
+    from certa_spark.functions.serialize import dk_number_normalize
+
+    p = _t(spark, sf_dir, "part")
+    txt = F.concat_ws(
+        " ",
+        F.col("p_name"),
+        F.col("p_retailprice").cast("string"),
+        F.col("p_size").cast("string"),
+        F.concat(F.lit("sn"), F.col("p_partkey"), F.lit("x9")),
+    )
+    return p.select("p_partkey", dk_number_normalize(txt).alias("dk_text"))
+
+
+_Q_DK_NORMALIZE_SQL = r"""
+    WITH t AS (
+        SELECT p_partkey,
+               p_name || ' ' || CAST(p_retailprice AS VARCHAR) || ' ' ||
+               CAST(p_size AS VARCHAR) || ' sn' ||
+               CAST(p_partkey AS VARCHAR) || 'x9' AS txt
+        FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(list_transform(
+               list_filter(regexp_split_to_array(txt, '\s+'), x -> x <> ''),
+               x -> CASE
+                 WHEN regexp_matches(x, '^[+-]?[0-9]{1,3}(,[0-9]{3})+(\.[0-9]+)?$')
+                   THEN x
+                 WHEN regexp_matches(x, '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)$')
+                      AND abs(TRY_CAST(x AS DOUBLE)) <= 9.223372036854775e18
+                   THEN CASE WHEN CAST(x AS DOUBLE) = floor(CAST(x AS DOUBLE))
+                             THEN CAST(CAST(CAST(x AS DOUBLE) AS BIGINT) AS VARCHAR)
+                             ELSE printf('%.2f', CAST(x AS DOUBLE)) END
+                 WHEN length(x) >= 7 AND regexp_matches(x, '[0-9]')
+                   THEN 'ID ' || x
+                 ELSE x END), ' ') AS dk_text
+    FROM t
+"""
+
+
 # ------------------------------------------------- sessionization
 
 def q_events_sessionized(spark, sf_dir) -> DataFrame:
@@ -1997,8 +2043,11 @@ def _lens_sql() -> str:
 
 def q_mojito_token_saliency(spark, sf_dir) -> DataFrame:
     """§2.11 Mojito — LIME-style token saliency for one part pair
-    (Spark-side mask perturbations + driver-side ridge solve; the
-    regression is genuinely non-SQL — weak rows-only driver check)."""
+    (Spark-side mask perturbations + driver-side ridge solve). The
+    regression is non-SQL, but the pipeline is deterministic end-to-end
+    (md5 mask bits, fixed seed, NativeCosineMatcher, ridge solve), so
+    the oracle is a captured golden-value table for the sf0.01 fixture
+    (regenerate with tools/gen_mojito_golden.py)."""
     from certa_spark.operators.mojito import explain_pair
     from certa_spark.matching import NativeCosineMatcher
 
@@ -2012,6 +2061,21 @@ def q_mojito_token_saliency(spark, sf_dir) -> DataFrame:
         [(r["side"], r["attr"], r["token"], round(r["weight"], 6)) for r in out],
         "side string, attr string, token string, weight double",
     )
+
+
+# Captured golden for the sf0.01 fixture (tools/gen_mojito_golden.py).
+# Valid because every stage is deterministic; re-capture if
+# _er_sources, the matcher, or operators/mojito.py change.
+_Q_MOJITO_GOLDEN_SQL = """
+    SELECT side, attr, token, CAST(weight AS DOUBLE) AS weight
+    FROM (VALUES
+        ('l', 'type', 'ECONOMY', 0.293087),
+        ('r', 'type', 'ECONOMY', 0.182886),
+        ('r', 'name', 'small', 0.175166),
+        ('l', 'name', 'small', 0.172111),
+        ('l', 'name', 'ring', -0.129482)
+    ) AS t(side, attr, token, weight)
+"""
 
 
 # ------------------------------------------------- multimodal plumbing
@@ -2050,9 +2114,12 @@ _Q_FRAME_GRID_SQL = """
 
 
 def q_media_features(spark, sf_dir) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary media
-    (deterministic fake encoder — genuinely non-SQL, weak rows-only
-    driver check by design)."""
+    """Arrow-batched mapInPandas feature extraction over binary media.
+    The deterministic fake codec (md5-chain over the first 16 content
+    bytes, operators/multimodal._fake_features) is reproducible in SQL,
+    so this gets a full value oracle: n_features + the float32 feature
+    sum (the oracle replicates the float32 rounding via CAST(.. AS
+    FLOAT) so the hashes agree bit-for-bit after round-6)."""
     from certa_spark.operators.multimodal import extract_features
 
     media = _doc_media(spark, sf_dir, "image")
@@ -2061,9 +2128,28 @@ def q_media_features(spark, sf_dir) -> DataFrame:
         "media_id",
         F.size("features").cast("long").alias("n_features"),
         F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, v: a + v.cast("double")
+            ),
+            6,
         ).alias("feat_sum"),
     )
+
+
+# documents are all-ASCII (TESTDATA), so substr(text,1,16) == the first
+# 16 utf-8 bytes the python codec hashes; dim=8 needs only the first
+# md5 block of the chain.
+_Q_MEDIA_FEATURES_SQL = """
+    WITH h AS (
+        SELECT doc_id AS media_id, md5(substr(text, 1, 16)) AS hx
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT media_id, CAST(8 AS BIGINT) AS n_features,
+           round(list_sum(list_transform(range(8),
+               i -> CAST(CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::INT
+                              / 255.0 AS FLOAT) AS DOUBLE))), 6) AS feat_sum
+    FROM h
+"""
 
 
 # ------------------------------------------------------------------
@@ -3573,6 +3659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "augment_variants": q_augment_variants,
     "ditto_serialize": q_ditto_serialize,
     "marked_tokens": q_marked_tokens,
+    "ditto_dk_normalize": q_ditto_dk_normalize,
     "events_sessionized": q_events_sessionized,
     "events_running_zscore": q_events_running_zscore,
     "events_rollup": q_events_rollup,
@@ -3663,6 +3750,7 @@ ORACLES: dict[str, str] = {
     "augment_variants": _Q_AUGMENT_SQL,
     "ditto_serialize": _Q_DITTO_SQL,
     "marked_tokens": _Q_MARKED_SQL,
+    "ditto_dk_normalize": _Q_DK_NORMALIZE_SQL,
     "events_sessionized": _Q_SESSION_SQL,
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
@@ -3690,7 +3778,9 @@ ORACLES: dict[str, str] = {
     "orders_percentiles": _Q_ORDERS_PCTL_SQL,
     "hll_distinct": _hll_sql(),
     "lens_degrees": _lens_sql(),
+    "mojito_token_saliency": _Q_MOJITO_GOLDEN_SQL,
     "media_frame_grid": _Q_FRAME_GRID_SQL,
+    "media_features": _Q_MEDIA_FEATURES_SQL,
     # media_features: intentionally no oracle (mapInPandas encoder stub
     # is not SQL-expressible; driver records the weaker rows-only check)
 }

@@ -115,3 +115,79 @@ def test_pii_scrub_and_count(spark):
     assert out[1] == (3, "mail [PII] ip [PII] tel [PII] done")
     assert out[2] == (0, "no pii here, just 1.5 and 12. dots")
     assert out[3] == (2, "two mails [PII] [PII]")
+
+
+def _py_dk_number_normalize(entry: str) -> str:
+    """Pure-python replica of the reference number path
+    (models/ditto/knowledge.py:91-105) with whitespace tokens: like_num
+    approximated by float() parseability; tokens float() rejects (word
+    numbers, digit-grouped) fall through exactly as the except arm does."""
+    out = []
+    for tok in entry.split():
+        try:
+            val = float(tok)
+            is_num = tok.replace(",", "").replace("+", "").replace("-", "") != ""
+        except ValueError:
+            val = None
+        grouped = re.fullmatch(r"[+-]?\d{1,3}(,\d{3})+(\.\d+)?", tok)
+        if grouped:
+            out.append(tok)
+        elif val is not None and not (val != val) and abs(val) != float("inf") \
+                and re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)", tok):
+            if val == round(val):
+                out.append("%d" % int(val))
+            else:
+                out.append("%.2f" % val)
+        elif len(tok) >= 7 and any(ch.isdigit() for ch in tok):
+            out.append("ID " + tok)
+        else:
+            out.append(tok)
+    return " ".join(out)
+
+
+def test_dk_number_normalize(spark):
+    from certa_spark.functions.serialize import dk_number_normalize
+
+    cases = [
+        "iphone 12 black 128gb price 099 only 3.50 usd",
+        "sn ABC1234XYZ and short a1b2",   # >=7 alnum w/ digit -> ID tag
+        "grouped 1,234,567 stays 1,000 put",
+        "neg -5 frac -2.25 plus +7 dot .5 trail 6.",
+        "weights 12.0 12.00 0.10 100.999",
+        "word ten thousand no digits here",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", dk_number_normalize(F.col("t")).alias("n")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == _py_dk_number_normalize(c), c
+    # spot-check the three arms explicitly
+    assert got[0] == "iphone 12 black 128gb price 99 only 3.50 usd"
+    assert got[1] == "sn ID ABC1234XYZ and short a1b2"
+    assert got[2] == "grouped 1,234,567 stays 1,000 put"
+    assert got[3] == "neg -5 frac -2.25 plus 7 dot 0.50 trail 6"
+
+
+def test_media_features_fake_codec_matches_python(spark):
+    """extract_features' md5-chain fake codec: Spark mapInPandas output
+    == hashlib reimplementation (and hence the DuckDB oracle)."""
+    import hashlib
+
+    from certa_spark.operators.multimodal import extract_features, make_fake_media
+
+    media = make_fake_media(spark, n=6, kind="image")
+    rows = {r["media_id"]: r["features"] for r in extract_features(media, dim=20).collect()}
+    for i in range(6):
+        blob = hashlib.md5(f"image:{i}".encode()).digest() * 8
+        out, seed = [], blob[:16]
+        while len(out) < 20:
+            seed = hashlib.md5(seed).digest()
+            out.extend(b / 255.0 for b in seed)
+        exp = out[:20]
+        got = rows[i]
+        assert len(got) == 20
+        for a, b in zip(got, exp):
+            assert abs(a - b) < 1e-6

@@ -3,7 +3,7 @@
 from certa_spark.queries import ORACLES, QUERIES
 
 # rows-only by design: not SQL-expressible (driver records weaker check)
-WEAK = {"mojito_token_saliency", "media_features"}
+WEAK: set[str] = set()
 
 
 def test_every_oracle_has_a_query():
