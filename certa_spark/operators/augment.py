@@ -52,36 +52,45 @@ def generate_modified(
     """All token-drop variants of every row (certa/local_explain.py:200-215).
 
     Returns the same schema as ``source``; ``id_col`` is reassigned to
-    ``start_id + row_number - 1`` over a deterministic order (source id,
-    attr position, cut, variant) so ids are stable across runs. All
-    non-id attribute values are cast to string (the reference is
-    stringly-typed, SURVEY.md §1.2).
+    ``start_id + src_id * stride + pos`` where ``pos`` is the variant's
+    position within its source row (attr position, cut, variant — the
+    reference's emission order) and ``stride`` is one map-side max of
+    the per-row variant count. Ids are deterministic, collision-free
+    and ≥ ``start_id``, but gapped — unlike the r1 implementation,
+    which ranked the whole output through a global-window row_number
+    (an Exchange SinglePartition: a serial sort of every variant at
+    100TB). Requires an integral ``id_col`` with
+    ``src_id * stride + pos`` inside long range. All non-id attribute
+    values are cast to string (the reference is stringly-typed,
+    SURVEY.md §1.2).
     """
     if attrs is None:
         attrs = [c for c in source.columns if c != id_col]
     variants = F.flatten(F.array(*[_variants_for_attr(a) for a in attrs]))
     stringly = source.select(
-        F.col(id_col).alias("_src_id"),
+        F.col(id_col).cast("long").alias("_src_id"),
         *[F.col(a).cast("string").alias(a) for a in attrs],
     )
+    # per-row variant count: sum over attrs of 2*(n_tokens-1)
+    n_var = None
+    for a in attrs:
+        toks = F.array_remove(F.split(F.col(a).cast("string"), r"\s+"), "")
+        c = F.greatest(F.size(toks) - 1, F.lit(0)) * 2
+        n_var = c if n_var is None else n_var + c
+    stride = stringly.agg(F.max(n_var)).first()[0] or 0
     exploded = stringly.select(
         "_src_id", *attrs, F.posexplode(variants).alias("_pos", "_v")
     )
     out = exploded.select(
-        F.col("_src_id"),
-        F.col("_pos"),
+        (F.col("_src_id") * stride + F.col("_pos") + F.lit(start_id))
+        .cast("long")
+        .alias(id_col),
         *[
             F.when(F.col("_v.attr") == a, F.col("_v.val"))
             .otherwise(F.col(a))
             .alias(a)
             for a in attrs
         ],
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("_src_id", "_pos")
-    out = out.withColumn(
-        id_col, (F.row_number().over(w) - 1 + F.lit(start_id)).cast("long")
     )
     return out.select(id_col, *attrs)
 

@@ -1779,7 +1779,8 @@ _Q_AUGMENT_SQL = r"""
                array_to_string(w[1:cut], ' ') AS p_name
         FROM cuts
     )
-    SELECT CAST(row_number() OVER (ORDER BY src_id, cut, v) - 1 AS BIGINT) AS id,
+    SELECT CAST(src_id * (SELECT max(2 * (len(w) - 1)) FROM toks)
+                + (cut - 1) * 2 + v AS BIGINT) AS id,
            p_name
     FROM variants
 """

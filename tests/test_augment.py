@@ -32,3 +32,24 @@ def test_variant_values_and_ids(spark):
 def test_empty_and_single_token_attrs(spark):
     df = spark.createDataFrame([(0, "", "one")], ["id", "a", "b"])
     assert generate_modified(df).count() == 0
+
+
+def test_multi_row_ids_unique_and_above_start(spark):
+    """Arithmetic ids (src*stride+pos): unique, >= start_id, stable."""
+    rows = [(0, "a b c"), (1, "p q"), (7, "x y z w")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = generate_modified(df, start_id=100).collect()
+    ids = [r["id"] for r in got]
+    assert len(ids) == len(set(ids)) == 4 + 2 + 6
+    assert min(ids) >= 100
+    again = generate_modified(df, start_id=100).collect()
+    assert sorted(ids) == sorted(r["id"] for r in again)
+
+
+def test_no_single_partition_exchange_in_plan(spark):
+    """The r1 global-window id pass serialized the output through one
+    partition; the arithmetic id must keep the plan exchange-free."""
+    df = spark.createDataFrame([(0, "a b c"), (1, "d e")], ["id", "name"])
+    plan = generate_modified(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
