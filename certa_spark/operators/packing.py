@@ -52,3 +52,58 @@ def pack_assign(
         .withColumn("pack_id", F.expr(f"token_start div {int(seq_len)}"))
         .withColumn("offset_in_pack", F.col("token_start") % F.lit(int(seq_len)))
     )
+
+
+def pack_assign_salted(
+    docs: DataFrame,
+    token_col: str,
+    seq_len: int,
+    key_col: str,
+    order_col: str,
+    block_size: int = 1 << 20,
+) -> DataFrame:
+    """Hot-key-safe twin of :func:`pack_assign` — identical output, but
+    the per-key running sum is a two-phase segmented scan so a single
+    dominant key no longer serializes through one window partition:
+
+      1. blocks = contiguous ``order_col`` ranges (``div block_size``);
+         the local cumsum windows over (key, block) — parallel across
+         a hot key's blocks;
+      2. per-(key, block) token totals (tiny: keys x blocks rows) get
+         a block-prefix cumsum, joined back on (key, block).
+
+    Requires an integral ``order_col`` (same as pack_assign's
+    determinism contract). Two extra shuffles versus pack_assign; use
+    when key skew is expected, e.g. one source is most of the corpus.
+    """
+    blk = F.expr(f"{order_col} div {int(block_size)}").cast("long")
+    b = docs.withColumn("_blk", blk)
+    wl = (
+        Window.partitionBy(key_col, "_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (F.sum(F.col(token_col)).over(wl) - F.col(token_col)).cast("long")
+    b = b.withColumn("_local_start", local)
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        b.groupBy(key_col, "_blk")
+        .agg(F.sum(token_col).cast("long").alias("_blk_tokens"))
+        .withColumn(
+            "_blk_prefix",
+            F.coalesce(F.sum("_blk_tokens").over(wp), F.lit(0)).cast("long"),
+        )
+        .select(key_col, "_blk", "_blk_prefix")
+    )
+    out = b.join(prefix, [key_col, "_blk"])
+    start = (F.col("_blk_prefix") + F.col("_local_start")).cast("long")
+    return (
+        out.withColumn("token_start", start)
+        .withColumn("pack_id", F.expr(f"token_start div {int(seq_len)}"))
+        .withColumn("offset_in_pack", F.col("token_start") % F.lit(int(seq_len)))
+        .drop("_blk", "_local_start", "_blk_prefix")
+    )

@@ -1910,6 +1910,16 @@ def q_events_sessionized(spark, sf_dir) -> DataFrame:
     return sessionize_batch(e, gap_ns=30 * 60 * 1_000_000_000)
 
 
+def q_events_sessionized_salted(spark, sf_dir) -> DataFrame:
+    """Hot-key-safe sessionization (sessionize_batch_salted): the
+    two-phase segmented scan a single-user firehose needs — identical
+    output to events_sessionized (same oracle), 1-week time blocks."""
+    from certa_spark.streaming.events import sessionize_batch_salted
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 20 == 0)
+    return sessionize_batch_salted(e, gap_ns=30 * 60 * 1_000_000_000)
+
+
 _Q_SESSION_SQL = """
     WITH e AS (
         SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns
@@ -3315,6 +3325,25 @@ def q_doc_pack_assign(spark, sf_dir) -> DataFrame:
     ).select("doc_id", "source", "n_tokens", "token_start", "pack_id", "offset_in_pack")
 
 
+def q_doc_pack_assign_salted(spark, sf_dir) -> DataFrame:
+    """Hot-key-safe packing (pack_assign_salted): segmented-scan twin
+    for the one-dominant-source corpus — identical output to
+    doc_pack_assign (same oracle), 64-doc order blocks."""
+    from certa_spark.operators.packing import pack_assign_salted
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TS.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_assign_salted(
+        d,
+        token_col="n_tokens",
+        seq_len=512,
+        key_col="source",
+        order_col="doc_id",
+        block_size=64,
+    ).select("doc_id", "source", "n_tokens", "token_start", "pack_id", "offset_in_pack")
+
+
 _Q_PACK_SQL = f"""
     WITH d AS (
         SELECT doc_id, source, {TS.duck_token_count("text")} AS n_tokens
@@ -3662,6 +3691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "marked_tokens": q_marked_tokens,
     "ditto_dk_normalize": q_ditto_dk_normalize,
     "events_sessionized": q_events_sessionized,
+    "events_sessionized_salted": q_events_sessionized_salted,
     "events_running_zscore": q_events_running_zscore,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
@@ -3680,6 +3710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_surprisal": q_doc_surprisal,
     "split_contamination": q_split_contamination,
     "doc_pack_assign": q_doc_pack_assign,
+    "doc_pack_assign_salted": q_doc_pack_assign_salted,
     "curation_pipeline": q_curation_pipeline,
     "nation_full_outer": q_nation_full_outer,
     "events_window_suite": q_events_window_suite,
@@ -3753,6 +3784,7 @@ ORACLES: dict[str, str] = {
     "marked_tokens": _Q_MARKED_SQL,
     "ditto_dk_normalize": _Q_DK_NORMALIZE_SQL,
     "events_sessionized": _Q_SESSION_SQL,
+    "events_sessionized_salted": _Q_SESSION_SQL,
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
@@ -3771,6 +3803,7 @@ ORACLES: dict[str, str] = {
     "doc_surprisal": _Q_SURPRISAL_SQL,
     "split_contamination": _split_contamination_sql(),
     "doc_pack_assign": _Q_PACK_SQL,
+    "doc_pack_assign_salted": _Q_PACK_SQL,
     "curation_pipeline": _curation_pipeline_sql(),
     "nation_full_outer": _Q_NATION_FULL_OUTER_SQL,
     "events_window_suite": _Q_EVENTS_WINDOW_SQL,

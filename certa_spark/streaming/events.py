@@ -146,6 +146,82 @@ def sessionize_batch(
     )
 
 
+def sessionize_batch_salted(
+    events: DataFrame,
+    gap_ns: int = 30 * 60 * 1_000_000_000,
+    user_col: str = "user_id",
+    ts_ns_col: str = "ts_ns",
+    block_ns: int = 7 * 24 * 3600 * 1_000_000_000,
+) -> DataFrame:
+    """Hot-key-safe twin of :func:`sessionize_batch` — identical
+    output, but gap detection + session numbering run as a two-phase
+    segmented scan so a single-user firehose no longer serializes
+    through one window partition:
+
+      1. blocks = contiguous time ranges (``ts_ns div block_ns``);
+         lag/boundary flags and the local boundary cumsum window over
+         (user, block) — parallel across a hot user's blocks;
+      2. per-(user, block) stats (first/last ts, local boundary count —
+         tiny: users x blocks rows) decide each block's first-row
+         boundary against the previous block's last ts and carry the
+         session-count prefix, joined back on (user, block).
+
+    Session ids match sessionize_batch exactly (1-based per user).
+    Two extra shuffles; use when one key dominates the stream.
+    """
+    from pyspark.sql.window import Window
+
+    b = events.withColumn(
+        "_blk", (F.col(ts_ns_col) / F.lit(int(block_ns))).cast("long")
+    )
+    wl = Window.partitionBy(user_col, "_blk").orderBy(ts_ns_col, "event_id")
+    prev_local = F.lag(ts_ns_col).over(wl)
+    boundary_local = F.when(
+        prev_local.isNotNull() & (F.col(ts_ns_col) - prev_local > gap_ns),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wcum = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = b.withColumn("_local_cum", F.sum(boundary_local).over(wcum).cast("long"))
+
+    stats = b.groupBy(user_col, "_blk").agg(
+        F.min(ts_ns_col).alias("_first_ts"),
+        F.max(ts_ns_col).alias("_last_ts"),
+        F.max("_local_cum").alias("_n_local"),
+    )
+    wb = Window.partitionBy(user_col).orderBy("_blk")
+    prev_last = F.lag("_last_ts").over(wb)
+    first_b = F.when(
+        prev_last.isNull() | (F.col("_first_ts") - prev_last > gap_ns),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    stats = stats.withColumn("_first_b", first_b).withColumn(
+        "_prefix",
+        F.coalesce(
+            F.sum(F.col("_n_local") + F.col("_first_b")).over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    joined = b.join(
+        stats.select(user_col, "_blk", "_first_b", "_prefix"),
+        [user_col, "_blk"],
+    )
+    session = (
+        F.col("_prefix") + F.col("_first_b") + F.col("_local_cum")
+    ).cast("long")
+    return (
+        joined.withColumn("session_id", session)
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def sessionize_bounds(
     events: DataFrame,
     gap_ns: int = 30 * 60 * 1_000_000_000,
