@@ -187,3 +187,70 @@ def test_explain_matches_reference_match_class(spark):
     ref_out, res = _run_both(spark, cols, l_rows, r_rows)
     assert len(res.triangles) > 0
     _assert_match(ref_out, res)
+
+
+def test_explain_matches_reference_da_fallback(spark):
+    """DA-fallback branch (local_explain.py:51-60): initial support =
+    2 < num_triangles=6 triggers expand_copies; the copies scan finds
+    exactly 2 qualifying negatives per side (the kk=2 token-drop
+    variants; cos = sqrt(kk/11): kk=2 -> 0.426 < 0.5 < 0.522 <- kk=3),
+    so total support = 6 == num_triangles and the random head/tail
+    truncation never fires — every stochastic reference path is a
+    no-op and the comparison is exact at set level.
+
+    Fixture: match-class probe pair (identical records, 1-token name +
+    10-token desc => 18 variants per probe >= the scan batch of 12,
+    and variant ids 12..29 reproduce the reference's len(source)+i
+    numbering because src_id=0 zeroes the arithmetic-id stride term);
+    sources hold 10 near-copies (cos 0.909, non-qualifying) and one
+    disjoint row (the single qualifying negative) per side.
+    """
+    desc = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    l_rows = [(0, "anchor", desc)]
+    r_rows = [(0, "anchor", desc)]
+    for i in range(1, 11):
+        l_rows.append((i, "anchor", f"c1 c2 c3 c4 c5 c6 c7 c8 c9 lfil{i}"))
+        r_rows.append((i, "anchor", f"c1 c2 c3 c4 c5 c6 c7 c8 c9 rfil{i}"))
+    l_rows.append((11, "zork", "la1 la2 la3 la4 la5 la6 la7 la8 la9 la10"))
+    r_rows.append((11, "zork", "ra1 ra2 ra3 ra4 ra5 ra6 ra7 ra8 ra9 ra10"))
+    cols = ["id", "name", "desc"]
+    ref_out, res = _run_both(spark, cols, l_rows, r_rows)
+    # the branch actually fired and contributed: 6 triangles, 4 of them
+    # anchored on generated copy ids (>= 12)
+    assert len(res.triangles) == 6
+    copy_frees = [t for t in res.triangles if int(t[2].split("@")[1]) >= 12]
+    assert len(copy_frees) == 4
+    _assert_match(ref_out, res)
+
+
+def test_explain_truncation_branch_invariants(spark):
+    """Head/tail truncation branch (local_explain.py:63-64): 22
+    qualifying support rows > num_triangles=6. The reference truncates
+    a pandas sample(frac=1) permutation — an UNSEEDED random subset —
+    so exact set parity is impossible by design (SURVEY §7 grades this
+    distribution-level). Assert the invariants both engines must share:
+    exactly num_triangles triangles, every triangle = the two probe
+    vertices plus one free vertex from the qualifying universe, and the
+    saliency frame covers the same attributes.
+    """
+    desc = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    l_rows = [(0, "anchor", desc)]
+    r_rows = [(0, "anchor", desc)]
+    for i in range(1, 12):
+        l_rows.append((i, f"lw{i}", f"lx{i} ly{i} lz{i}"))
+        r_rows.append((i, f"rw{i}", f"rx{i} ry{i} rz{i}"))
+    cols = ["id", "name", "desc"]
+    ref_out, res = _run_both(spark, cols, l_rows, r_rows)
+    ref_sal, _, _, ref_tris, _ = ref_out
+
+    probes = {"0@0", "1@0"}
+    allowed_free = {f"0@{i}" for i in range(1, 12)} | {
+        f"1@{i}" for i in range(1, 12)
+    }
+    for tris in (sorted(tuple(t) for t in ref_tris), sorted(res.triangles)):
+        assert len(tris) == 6
+        assert len(set(tris)) == 6
+        for t in tris:
+            assert set(t[:2]) == probes, t
+            assert t[2] in allowed_free, t
+    assert set(ref_sal.columns) == set(res.saliency_dict)
