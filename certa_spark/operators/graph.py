@@ -144,10 +144,19 @@ def pagerank(
     )
     deg = ed.groupBy("s").agg(F.count("*").cast("double").alias("_deg"))
     ed = ed.join(deg, "s").localCheckpoint()
-    nodes = ed.select(F.col("s").alias("node")).unionByName(
-        ed.select(F.col("t").alias("node"))
-    ).distinct()
-    inv_n = 1.0 / float(nodes.count())
+    nodes = (
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint()  # loop invariant - don't re-derive per iteration
+    )
+    n_nodes = nodes.count()
+    inv_n = 1.0 / float(n_nodes)
+    # ranks is one row per node; below ~4M nodes (~64MB of (long,
+    # double) pairs) ship it broadcast so the |E|-row edge table never
+    # re-shuffles per iteration — halves iteration wall time. Bigger
+    # graphs fall back to the shuffled hash join (the 100TB-safe path).
+    bcast = n_nodes <= 4_000_000
     # (1.0 - damping) folded in Python = the same IEEE subtraction the
     # SQL oracle performs at runtime; do NOT substitute a decimal
     # literal like 0.15 (1.0 - 0.85 != 0.15 in binary)
@@ -156,7 +165,7 @@ def pagerank(
     for _ in range(iterations):
         contrib = F.round(F.col("r") / F.col("_deg"), 12).cast("decimal(38,18)")
         incoming = (
-            ed.join(ranks, ed.s == ranks.node)
+            ed.join(F.broadcast(ranks) if bcast else ranks, ed.s == ranks.node)
             .groupBy(F.col("t").alias("node"))
             .agg(F.sum(contrib).cast("double").alias("_in"))
         )
