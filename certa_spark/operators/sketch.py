@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from certa_spark.functions.hashing import duck_hash64, hash64
+from certa_spark.functions.hashing import duck_hash32, duck_hash64, hash32, hash64
 
 # hash64 yields 60-bit values: top ``p`` bits pick the register, the
 # remaining (60 - p) bits feed the leading-zero rank, whose maximum
@@ -332,3 +332,138 @@ def duck_hll_by_sql(table: str, expr: str, group_col: str, p: int = 10) -> str:
                  END, 4) AS hll_estimate
     FROM agg
     """
+
+
+# ------------------------------------------------------------------ bloom
+
+# 63 bits per word keeps 1 << bit inside a signed 64-bit integer on
+# every engine (bit 63 would overflow DuckDB's BIGINT shift).
+_BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """k md5-derived bit positions for a key (seeded hash32 mod m)."""
+    return [hash32(col, seed=i) % m_bits for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 4032, k: int = 3
+) -> DataFrame:
+    """Mergeable Bloom filter over ``df[col]``: returns the non-zero
+    words as (word_idx, bits) — the standard pre-shuffle-join reduction
+    sketch. Build is one explode + one tiny groupBy (<= m_bits/63
+    rows); filters from different partitions/sources merge with
+    ``bit_or`` on word_idx, the same property the build itself uses.
+    ``m_bits`` must be a multiple of 63 (63 data bits per long word —
+    see _BLOOM_WORD_BITS).
+    """
+    assert m_bits % _BLOOM_WORD_BITS == 0
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.expr(f"pos div {_BLOOM_WORD_BITS}").cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, col: str, words: DataFrame, m_bits: int = 4032, k: int = 3
+) -> DataFrame:
+    """Adds a ``bloom_member`` int column: 1 iff all k bits are set.
+    The words table is tiny by construction — broadcast join, so the
+    probe side never shuffles (this is what makes the bloom the right
+    pre-filter before an expensive shuffle join at 100TB)."""
+    probe_id = F.monotonically_increasing_id()
+    ex = df.withColumn("_pid", probe_id).select(
+        "*",
+        F.posexplode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias(
+            "_i", "_pos"
+        ),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseAND(
+            F.expr(f"shiftleft(1L, CAST(_pos % {_BLOOM_WORD_BITS} AS INT))")
+        )
+        != 0
+    ).cast("int")
+    keep = [c for c in df.columns]
+    return (
+        ex.withColumn("word_idx", F.expr(f"_pos div {_BLOOM_WORD_BITS}").cast("long"))
+        .join(F.broadcast(words), "word_idx", "left")
+        .withColumn("_hit", hit)
+        .groupBy("_pid", *keep)
+        .agg(F.min("_hit").alias("bloom_member"))
+        .drop("_pid")
+    )
+
+
+def duck_bloom_member_sql(
+    build_table_sql: str,
+    build_expr: str,
+    probe_key: str,
+    m_bits: int = 4032,
+    k: int = 3,
+) -> str:
+    """DuckDB expression fragments reproducing bloom_build+probe:
+    returns (words_cte, member_expr) where words_cte must be included
+    as a CTE named ``bloom_words`` and member_expr evaluates to the
+    0/1 membership of ``probe_key`` against it."""
+    w = _BLOOM_WORD_BITS
+    pos_exprs = [
+        f"({duck_hash32(build_expr, seed=i)} % {m_bits})" for i in range(k)
+    ]
+    words_cte = f"""
+    bloom_pos AS (
+        SELECT unnest([{', '.join(pos_exprs)}]) AS pos FROM ({build_table_sql})
+    ),
+    bloom_words AS (
+        SELECT pos // {w} AS word_idx,
+               bit_or(1::BIGINT << CAST(pos % {w} AS INT)) AS bits
+        FROM bloom_pos GROUP BY 1
+    )"""
+    probe_pos = [
+        f"({duck_hash32(probe_key, seed=i)} % {m_bits})" for i in range(k)
+    ]
+    checks = [
+        f"""coalesce((SELECT bits FROM bloom_words
+             WHERE word_idx = {p} // {w}), 0)
+            & (1::BIGINT << CAST({p} % {w} AS INT)) <> 0"""
+        for p in probe_pos
+    ]
+    member_expr = (
+        "CASE WHEN " + " AND ".join(checks) + " THEN 1 ELSE 0 END"
+    )
+    return words_cte, member_expr
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    m_bits: int = 4032,
+    k: int = 3,
+) -> DataFrame:
+    """Semi join with a Bloom pre-filter: build the filter over the
+    right side's keys (one tiny agg), drop left rows whose keys cannot
+    match map-side (broadcast filter, no shuffle), then run the exact
+    semi join on the survivors. Result is EXACTLY the plain semi join
+    — the bloom only prunes — but the shuffle moves only
+    (true matches + false positives) instead of the whole left side.
+    """
+    words = bloom_build(right.select(right_key), right_key, m_bits, k)
+    pruned = bloom_probe(left, left_key, words, m_bits, k).filter(
+        F.col("bloom_member") == 1
+    ).drop("bloom_member")
+    return pruned.join(
+        right.select(F.col(right_key).alias(left_key)).distinct(),
+        left_key,
+        "left_semi",
+    )

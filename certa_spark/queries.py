@@ -2901,6 +2901,64 @@ def _hll_sql() -> str:
     """
 
 
+def q_bloom_membership(spark, sf_dir) -> DataFrame:
+    """Cross-engine Bloom filter (operators/sketch.bloom_build/probe):
+    build over the custkeys holding open ('O') orders — one explode +
+    one <=64-row groupBy — then probe every customer broadcast-side.
+    The member flag includes the filter's false positives, which the
+    oracle reproduces bit-for-bit (same md5-derived positions, same
+    63-bit words), so the sketch itself is what's being checked."""
+    from certa_spark.operators import sketch as SK
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    words = SK.bloom_build(o.select("o_custkey"), "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return SK.bloom_probe(c, "c_custkey", words).select(
+        "c_custkey", F.col("bloom_member").cast("int").alias("bloom_member")
+    )
+
+
+def _q_bloom_membership_sql() -> str:
+    from certa_spark.operators.sketch import duck_bloom_member_sql
+
+    words_cte, member = duck_bloom_member_sql(
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+        "CAST(o_custkey AS VARCHAR)",
+        "CAST(c_custkey AS VARCHAR)",
+    )
+    return f"""
+    WITH {words_cte}
+    SELECT c_custkey, {member} AS bloom_member FROM customer
+    """
+
+
+def q_lineitem_bloom_semi(spark, sf_dir) -> DataFrame:
+    """Bloom-accelerated semi join (operators/sketch.bloom_semi_join):
+    lineitems of URGENT orders. The bloom prunes the big side map-side
+    before the shuffle — the oracle is the PLAIN semi join because the
+    filter only removes guaranteed non-matches (exactness property)."""
+    from certa_spark.operators import sketch as SK
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    semi = SK.bloom_semi_join(l, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
+    return semi.agg(
+        F.count("*").cast("long").alias("n_items"),
+        _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_Q_BLOOM_SEMI_SQL = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           {_duck_dec_sum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 def q_events_rollup(spark, sf_dir) -> DataFrame:
     """OLAP rollup (hypertable-style day/type hierarchy): subtotal rows
     per day and a grand total in one pass — Spark expands grouping sets
@@ -3735,6 +3793,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split_assign": q_doc_split_assign,
     "orders_percentiles": q_orders_percentiles,
     "hll_distinct": q_hll_distinct,
+    "bloom_membership": q_bloom_membership,
+    "lineitem_bloom_semi": q_lineitem_bloom_semi,
     "lens_degrees": q_lens_degrees,
     "mojito_token_saliency": q_mojito_token_saliency,
     "media_frame_grid": q_media_frame_grid,
@@ -3828,6 +3888,8 @@ ORACLES: dict[str, str] = {
     "doc_split_assign": _doc_split_sql(),
     "orders_percentiles": _Q_ORDERS_PCTL_SQL,
     "hll_distinct": _hll_sql(),
+    "bloom_membership": _q_bloom_membership_sql(),
+    "lineitem_bloom_semi": _Q_BLOOM_SEMI_SQL,
     "lens_degrees": _lens_sql(),
     "mojito_token_saliency": _Q_MOJITO_GOLDEN_SQL,
     "media_frame_grid": _Q_FRAME_GRID_SQL,

@@ -105,3 +105,48 @@ def test_hll_by_group_matches_global_per_group(spark):
         solo = df.filter(F.col("g") == g)
         want = _est(hll_registers(solo, "v"))
         assert got[g] == want
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from certa_spark.operators.sketch import bloom_build, bloom_probe
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(300, 600).select(F.col("id").alias("k"))
+    w_a, w_b = bloom_build(a, "k"), bloom_build(b, "k")
+    w_union = bloom_build(a.unionByName(b), "k")
+    # mergeability: bit_or of per-source words == words of the union
+    merged = (
+        w_a.unionByName(w_b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, w_union.collect())
+    )
+    # every inserted key is a member (no false negatives)
+    probed = bloom_probe(a.unionByName(b), "k", w_union)
+    assert probed.filter(F.col("bloom_member") == 0).count() == 0
+    # disjoint keys are mostly non-members (FP rate sane for 600 keys
+    # in 4032 bits / k=3 the theoretical rate is ~8%; allow slack)
+    other = spark.range(10_000, 11_000).select(F.col("id").alias("k"))
+    fp = bloom_probe(other, "k", w_union).filter(
+        F.col("bloom_member") == 1
+    ).count()
+    assert fp < 300
+
+
+def test_bloom_semi_join_exact(spark):
+    """The bloom pre-filter must not change the semi-join result."""
+    from certa_spark.operators.sketch import bloom_semi_join
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 700).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.range(0, 100).select((F.col("id") * 3).alias("rk"))
+    got = bloom_semi_join(left, "k", right, "rk")
+    exp = left.join(
+        right.select(F.col("rk").alias("k")).distinct(), "k", "left_semi"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
