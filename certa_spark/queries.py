@@ -970,6 +970,74 @@ _Q_KNN_SQL = f"""
 """
 
 
+def q_knn_ann_recall(spark, sf_dir) -> DataFrame:
+    """ANN quality metric: recall@3 of the hyperplane-LSH path against
+    the brute-force ground truth for the same probes — the evaluation
+    loop every production ANN deployment runs before trusting the
+    approximate path. Both sides reuse the existing operators; the
+    oracle recomputes both in SQL."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.filter(F.col("vec_id") % 97 == 0)
+    ann = SIM.knn_lsh(e, probes, _ANN_PLANES, k=3).select(
+        "probe_id", "neighbor_id"
+    )
+    true = SIM.knn_bruteforce(e, probes, k=3).select("probe_id", "neighbor_id")
+    hit = (
+        true.join(ann, ["probe_id", "neighbor_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        true.groupBy("probe_id")
+        .agg(F.count("*").cast("long").alias("n_true"))
+        .join(hit, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _q_knn_ann_recall_sql() -> str:
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_duck_ann_bucket('embedding')} AS bkt
+        FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, embedding AS pv, bkt FROM b WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bkt FROM b),
+    ann AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, neighbor_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round({SIM.duck_cosine('pv', 'cv')}, 6) DESC,
+                                neighbor_id) AS rk
+            FROM c JOIN p USING (bkt)
+        ) WHERE rk <= 3
+    ),
+    tru AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT probe_id, neighbor_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round({SIM.duck_cosine('pv', 'cv')}, 6) DESC,
+                                neighbor_id) AS rk
+            FROM c CROSS JOIN p
+        ) WHERE rk <= 3
+    )
+    SELECT t.probe_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM tru t LEFT JOIN ann a
+      ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+    GROUP BY 1
+    """
+
+
 def q_embedding_stats(spark, sf_dir) -> DataFrame:
     """Vector column stats: per label, count + mean L2 norm."""
     e = _t(spark, sf_dir, "embeddings").select(
@@ -2164,6 +2232,30 @@ def q_media_features(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_media_resize(spark, sf_dir) -> DataFrame:
+    """Resize plumbing (operators/multimodal.resize_images): metadata
+    rewritten JVM-side, content untouched until a real codec plugs into
+    the decode seam — the oracle checks exactly that contract (new
+    dims, unchanged byte length)."""
+    from certa_spark.operators.multimodal import resize_images
+
+    media = _doc_media(spark, sf_dir, "image")
+    return resize_images(media, width=128, height=96).select(
+        "media_id",
+        "width",
+        "height",
+        F.length("content").cast("long").alias("n_bytes"),
+    )
+
+
+_Q_MEDIA_RESIZE_SQL = """
+    SELECT doc_id AS media_id, CAST(128 AS INT) AS width,
+           CAST(96 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+
 # documents are all-ASCII (TESTDATA), so substr(text,1,16) == the first
 # 16 utf-8 bytes the python codec hashes; dim=8 needs only the first
 # md5 block of the chain.
@@ -2899,6 +2991,67 @@ def _hll_sql() -> str:
     )
     SELECT hll_estimate, exact_distinct FROM est, ex
     """
+
+
+def q_orders_grouping_sets(spark, sf_dir) -> DataFrame:
+    """Explicit GROUPING SETS (complements cube/rollup): per-priority,
+    per-status, and grand-total aggregates in one pass, with
+    grouping_id distinguishing the levels on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_q_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+                   AS sum_price
+        FROM _q_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+_Q_ORDERS_GS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_orders_salted_join(spark, sf_dir) -> DataFrame:
+    """Skew-safe salted join (operators/skewjoin.salted_join): lineitem
+    x orders on the order key with 8-way salting — the explicit
+    deterministic form of AQE's skew-join split. The oracle is the
+    PLAIN join because salting cannot change the result (each left row
+    meets exactly one of the 8 right replicas)."""
+    from certa_spark.operators.skewjoin import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = salted_join(l, o, key="okey", spread_col="l_linenumber", n_salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_Q_SALTED_JOIN_SQL = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_duck_dec_sum('l_quantity', 2)} AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
 
 
 def q_bloom_membership(spark, sf_dir) -> DataFrame:
@@ -3795,6 +3948,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "bloom_membership": q_bloom_membership,
     "lineitem_bloom_semi": q_lineitem_bloom_semi,
+    "knn_ann_recall": q_knn_ann_recall,
+    "orders_grouping_sets": q_orders_grouping_sets,
+    "orders_salted_join": q_orders_salted_join,
+    "media_resize": q_media_resize,
     "lens_degrees": q_lens_degrees,
     "mojito_token_saliency": q_mojito_token_saliency,
     "media_frame_grid": q_media_frame_grid,
@@ -3890,6 +4047,10 @@ ORACLES: dict[str, str] = {
     "hll_distinct": _hll_sql(),
     "bloom_membership": _q_bloom_membership_sql(),
     "lineitem_bloom_semi": _Q_BLOOM_SEMI_SQL,
+    "knn_ann_recall": _q_knn_ann_recall_sql(),
+    "orders_grouping_sets": _Q_ORDERS_GS_SQL,
+    "orders_salted_join": _Q_SALTED_JOIN_SQL,
+    "media_resize": _Q_MEDIA_RESIZE_SQL,
     "lens_degrees": _lens_sql(),
     "mojito_token_saliency": _Q_MOJITO_GOLDEN_SQL,
     "media_frame_grid": _Q_FRAME_GRID_SQL,
