@@ -125,3 +125,31 @@ def temperature_mix(
     return df.join(
         F.broadcast(rates.select(strata_col, "rate")), strata_col
     ).filter(_keep(F.col(key_col).cast("string"), F.col("rate"), seed))
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    seed: int = 0,
+) -> DataFrame:
+    """A-ES weighted sampling keys (Efraimidis-Spirakis): adds
+    ``wkey = u^(1/w)`` with ``u`` a content-hash uniform — taking the
+    top-n by ``wkey`` draws a weighted sample without replacement.
+    Deterministic (no RNG state, any partitioning), entirely map-side;
+    the top-n itself is the caller's rank/filter so the key column can
+    also feed per-stratum or windowed variants. ``wkey`` is rounded to
+    6 decimals so cross-engine pow() ulp differences cannot reorder;
+    break remaining ties on the key column.
+    """
+    u = (hash64(F.col(key_col), seed=seed) % _GRAIN).cast("double") / float(_GRAIN)
+    return df.withColumn(
+        "wkey", F.round(F.pow(u, F.lit(1.0) / weight), 6)
+    )
+
+
+def duck_weighted_key_sql(key_expr: str, weight_expr: str, seed: int = 0) -> str:
+    """DuckDB expression matching :func:`weighted_sample_keys`."""
+    h = duck_hash64(key_expr, seed=seed)
+    u = f"(CAST({h} % {_GRAIN} AS DOUBLE) / {float(_GRAIN)})"
+    return f"round(pow({u}, 1.0 / ({weight_expr})), 6)"

@@ -3192,6 +3192,79 @@ def _neardup_clusters_sql() -> str:
     """
 
 
+def q_neardup_keep_best(spark, sf_dir) -> DataFrame:
+    """Cluster-representative selection — the keep-one decision that
+    completes the dedup pipeline: near-dup clusters (same corpus as
+    neardup_clusters) keep their highest-quality member (argmax by
+    quality, ties to lowest doc_id). One extra window over the cluster
+    assignment; quality is computed on the clustered corpus text."""
+    from certa_spark.operators.graph import assign_clusters
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    variant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    corpus = d.unionByName(variant)
+    pairs = DD.minhash_lsh_pairs(corpus, threshold=0.5)
+    clusters = assign_clusters(
+        corpus, pairs, "doc_id", src="doc_id_a", dst="doc_id_b"
+    ).select("doc_id", F.col("cluster").cast("long").alias("cluster"))
+    scored = corpus.select(
+        "doc_id", F.round(TS.quality_score(F.col("text")), 6).alias("q")
+    ).join(clusters, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.col("q").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("q").alias("kept_quality"),
+        )
+    )
+
+
+def _neardup_keep_best_sql() -> str:
+    variant_text = r"regexp_replace(text, '\s+\S+\s*$', '')"
+    return f"""
+    WITH RECURSIVE pairs AS ({_Q_MINHASH_LSH_SQL}),
+    corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000, {variant_text}
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    edges AS (
+        SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION
+        SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+        FROM reach GROUP BY node
+    ),
+    scored AS (
+        SELECT c.doc_id, cl.cluster,
+               round({TS.duck_quality_score('c.text')}, 6) AS q
+        FROM corpus c JOIN clusters cl ON c.doc_id = cl.doc_id
+    )
+    SELECT cluster, doc_id AS kept_doc_id, q AS kept_quality
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY cluster
+                               ORDER BY q DESC, doc_id) = 1
+    """
+
+
 def q_events_asof_join(spark, sf_dir) -> DataFrame:
     """Backward as-of join (operators/asof.py): each purchase event
     picks up the same user's latest at-or-before click. One shuffle on
@@ -3344,6 +3417,46 @@ def _doc_sample_mix_sql() -> str:
     FROM documents
     WHERE {duck_keep_sql("doc_id", rate, seed=7)}
     GROUP BY source
+    """
+
+
+def q_doc_weighted_sample(spark, sf_dir) -> DataFrame:
+    """Quality-weighted sampling (operators/sampling.weighted_sample_keys,
+    Efraimidis-Spirakis A-ES): draw 50 docs without replacement with
+    probability ∝ quality — the curation step that prefers good docs
+    while keeping diversity. Content-hash uniforms make the draw
+    deterministic and partitioning-independent."""
+    from certa_spark.operators.sampling import weighted_sample_keys
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TS.quality_score(F.col("text")).alias("q")
+    )
+    keyed = weighted_sample_keys(
+        d, "doc_id", F.col("q") + F.lit(0.1), seed=21
+    )
+    w = Window.orderBy(F.col("wkey").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 50)
+        .select("doc_id", "source", "rnk", "wkey")
+    )
+
+
+def _q_doc_weighted_sample_sql() -> str:
+    from certa_spark.operators.sampling import duck_weighted_key_sql
+
+    wkey = duck_weighted_key_sql(
+        "CAST(doc_id AS VARCHAR)",
+        f"({TS.duck_quality_score('text')}) + 0.1",
+        seed=21,
+    )
+    return f"""
+    WITH keyed AS (SELECT doc_id, source, {wkey} AS wkey FROM documents)
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY wkey DESC, doc_id) AS BIGINT) AS rnk,
+           wkey
+    FROM keyed
+    QUALIFY rnk <= 50
     """
 
 
@@ -3930,6 +4043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stratified_k": q_doc_stratified_k,
     "part_pagerank": q_part_pagerank,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_keep_best": q_neardup_keep_best,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "events_asof_join": q_events_asof_join,
     "events_session_range_join": q_events_session_range_join,
     "doc_sample_mix": q_doc_sample_mix,
@@ -4029,6 +4144,8 @@ ORACLES: dict[str, str] = {
     "doc_stratified_k": _Q_DOC_STRATIFIED_K_SQL,
     "part_pagerank": _q_part_pagerank_sql(),
     "neardup_clusters": _neardup_clusters_sql(),
+    "neardup_keep_best": _neardup_keep_best_sql(),
+    "doc_weighted_sample": _q_doc_weighted_sample_sql(),
     "events_asof_join": _Q_ASOF_SQL,
     "events_session_range_join": _Q_SESSION_RANGE_SQL,
     "doc_sample_mix": _doc_sample_mix_sql(),
