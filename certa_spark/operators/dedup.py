@@ -382,3 +382,87 @@ def duck_simhash(expr: str, bits: int = 16) -> str:
         )
         parts.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END)")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def minhash_lsh_pairs_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental-ingest near-dup check: candidate pairs between a NEW
+    batch and the EXISTING corpus only — never corpus x corpus. This is
+    the shape a 100TB crawl pipeline actually runs per ingest: the
+    corpus side is the persisted signature/band table (built once,
+    appended per batch), and each ingest shuffles only
+    |batch| x bands band keys plus the collisions. Returns
+    (corpus_id, batch_id, est_jaccard) for estimated Jaccard >=
+    threshold.
+    """
+
+    def seeded(seed: int):
+        return lambda s: hash32(s, seed)
+
+    def banded_sigs(docs: DataFrame) -> DataFrame:
+        # same two-step projection + checkpoint discipline as
+        # minhash_lsh_pairs (see the CollapseProject note there)
+        sh = docs.select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+        )
+        sigs = sh.select(
+            "_id",
+            F.array(
+                *[F.array_min(F.transform("_sh", seeded(seed))) for seed in range(k)]
+            ).alias("_sig"),
+        ).localCheckpoint()
+        rows = k // bands
+        band_start = F.col("_band") * rows + 1
+        return sigs.select(
+            "_id",
+            "_sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
+        ).select(
+            "_id",
+            "_sig",
+            "_band",
+            hash32(
+                F.array_join(
+                    F.transform(
+                        F.slice("_sig", band_start, F.lit(rows)),
+                        lambda x: x.cast("string"),
+                    ),
+                    "_",
+                )
+            ).alias("_bh"),
+        )
+
+    c = banded_sigs(corpus).select(
+        F.col("_id").alias("corpus_id"), F.col("_sig").alias("_sig_c"), "_band", "_bh"
+    )
+    b = banded_sigs(batch).select(
+        F.col("_id").alias("batch_id"), F.col("_sig").alias("_sig_b"), "_band", "_bh"
+    )
+    cand = (
+        c.join(b, on=["_band", "_bh"])
+        .select("corpus_id", "batch_id", "_sig_c", "_sig_b")
+        .dropDuplicates(["corpus_id", "batch_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("_sig_c"), F.col("_sig_b"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", F.round(agree.cast("double") / F.lit(float(k)), 6)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("corpus_id", "batch_id", "est_jaccard")
+    )

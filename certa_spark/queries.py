@@ -3192,6 +3192,68 @@ def _neardup_clusters_sql() -> str:
     """
 
 
+def q_minhash_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental-ingest dedup (dedup.minhash_lsh_pairs_incremental):
+    a new crawl batch (last-token-dropped variants of some corpus docs
+    + genuinely fresh docs) checked against the existing corpus only —
+    batch x corpus band collisions, never corpus x corpus. The per-
+    ingest shape of the 100TB dedup pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+        )
+    )
+    fresh = d.filter(F.col("doc_id") % 5 == 3).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    batch = near.unionByName(fresh)
+    return DD.minhash_lsh_pairs_incremental(batch, corpus, threshold=0.5)
+
+
+_Q_MINHASH_INCR_SQL = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch AS (
+        SELECT doc_id + 200000 AS doc_id,
+               regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text
+        FROM documents WHERE doc_id % 5 = 3
+    ),
+    csig AS (
+        SELECT doc_id, {DD.duck_minhash_signature('text')} AS sig FROM corpus
+    ),
+    bsig AS (
+        SELECT doc_id, {DD.duck_minhash_signature('text')} AS sig FROM batch
+    ),
+    cband AS (
+        SELECT doc_id, sig, band, {_duck_band_hash()} AS bh
+        FROM csig CROSS JOIN (SELECT unnest(range(0, {DD.LSH_BANDS})) AS band) bb
+    ),
+    bband AS (
+        SELECT doc_id, sig, band, {_duck_band_hash()} AS bh
+        FROM bsig CROSS JOIN (SELECT unnest(range(0, {DD.LSH_BANDS})) AS band) bb
+    ),
+    cand AS (
+        SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+               c.sig AS sc, b.sig AS sb
+        FROM cband c JOIN bband b ON c.band = b.band AND c.bh = b.bh
+    )
+    SELECT corpus_id, batch_id,
+           round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
+                 i -> sc[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) AS est_jaccard
+    FROM cand
+    WHERE round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
+          i -> sc[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) >= 0.5
+"""
+
+
 def q_neardup_keep_best(spark, sf_dir) -> DataFrame:
     """Cluster-representative selection — the keep-one decision that
     completes the dedup pipeline: near-dup clusters (same corpus as
@@ -4044,6 +4106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_pagerank": q_part_pagerank,
     "neardup_clusters": q_neardup_clusters,
     "neardup_keep_best": q_neardup_keep_best,
+    "minhash_incremental": q_minhash_incremental,
     "doc_weighted_sample": q_doc_weighted_sample,
     "events_asof_join": q_events_asof_join,
     "events_session_range_join": q_events_session_range_join,
@@ -4145,6 +4208,7 @@ ORACLES: dict[str, str] = {
     "part_pagerank": _q_part_pagerank_sql(),
     "neardup_clusters": _neardup_clusters_sql(),
     "neardup_keep_best": _neardup_keep_best_sql(),
+    "minhash_incremental": _Q_MINHASH_INCR_SQL,
     "doc_weighted_sample": _q_doc_weighted_sample_sql(),
     "events_asof_join": _Q_ASOF_SQL,
     "events_session_range_join": _Q_SESSION_RANGE_SQL,
