@@ -376,32 +376,41 @@ def bloom_probe(
     df: DataFrame, col: str, words: DataFrame, m_bits: int = 4032, k: int = 3
 ) -> DataFrame:
     """Adds a ``bloom_member`` int column: 1 iff all k bits are set.
-    The words table is tiny by construction — broadcast join, so the
-    probe side never shuffles (this is what makes the bloom the right
-    pre-filter before an expensive shuffle join at 100TB)."""
-    probe_id = F.monotonically_increasing_id()
-    ex = df.withColumn("_pid", probe_id).select(
-        "*",
-        F.posexplode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias(
-            "_i", "_pos"
-        ),
+    The words table is tiny by construction (≤ m_bits/63 rows), so it
+    is collected once and tested as a LITERAL map — the probe is a
+    pure map-side expression, no join and no shuffle ever touches the
+    probed table (this is what makes the bloom the right pre-filter
+    before an expensive shuffle join at 100TB; a filter too large to
+    collect is past the point where a bloom makes sense)."""
+    wmap = {int(r["word_idx"]): int(r["bits"]) for r in words.collect()}
+    map_lit = (
+        F.create_map(*[F.lit(x) for kv in sorted(wmap.items()) for x in kv])
+        if wmap
+        else None
     )
-    hit = (
-        F.coalesce(F.col("bits"), F.lit(0))
-        .bitwiseAND(
-            F.expr(f"shiftleft(1L, CAST(_pos % {_BLOOM_WORD_BITS} AS INT))")
+    out = df
+    checks = []
+    tmp = []
+    for i in range(k):
+        pc = f"_bpos{i}"
+        tmp.append(pc)
+        out = out.withColumn(pc, _bloom_positions(F.col(col), m_bits, k)[i])
+        word = F.expr(f"{pc} div {_BLOOM_WORD_BITS}").cast("long")
+        bits = (
+            F.coalesce(map_lit.getItem(word), F.lit(0))
+            if map_lit is not None
+            else F.lit(0)
         )
-        != 0
-    ).cast("int")
-    keep = [c for c in df.columns]
-    return (
-        ex.withColumn("word_idx", F.expr(f"_pos div {_BLOOM_WORD_BITS}").cast("long"))
-        .join(F.broadcast(words), "word_idx", "left")
-        .withColumn("_hit", hit)
-        .groupBy("_pid", *keep)
-        .agg(F.min("_hit").alias("bloom_member"))
-        .drop("_pid")
-    )
+        checks.append(
+            bits.bitwiseAND(
+                F.expr(f"shiftleft(1L, CAST({pc} % {_BLOOM_WORD_BITS} AS INT))")
+            )
+            != 0
+        )
+    member = checks[0]
+    for c in checks[1:]:
+        member = member & c
+    return out.withColumn("bloom_member", member.cast("int")).drop(*tmp)
 
 
 def duck_bloom_member_sql(

@@ -689,17 +689,17 @@ _Q_DOC_TOKEN_STATS_SQL = f"""
 
 def q_doc_quality(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
-    return (
-        d.select(
-            "doc_id",
-            TS.quality_score(F.col("text")).alias("quality"),
-            TS.punct_ratio(F.col("text")).alias("pr"),
-        )
-        .withColumn("pr", F.round(F.col("pr"), 6))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
+    scored = d.select(
+        "doc_id",
+        TS.quality_score(F.col("text")).alias("quality"),
+        F.round(TS.punct_ratio(F.col("text")), 6).alias("pr"),
     )
+    # top-20 via orderBy+limit (TakeOrderedAndProject) — not a global
+    # row_number window, which would single-partition the corpus; the
+    # rank window then covers only the 20 survivors
+    top = scored.orderBy(F.col("quality").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 _Q_DOC_QUALITY_SQL = f"""
@@ -3496,11 +3496,17 @@ def q_doc_weighted_sample(spark, sf_dir) -> DataFrame:
     keyed = weighted_sample_keys(
         d, "doc_id", F.col("q") + F.lit(0.1), seed=21
     )
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (per-
+    # partition heaps + one merge; a global row_number window would
+    # single-partition the whole corpus — WindowGroupLimit only infers
+    # for PARTITIONED windows). The rank window then runs on 50 rows.
+    top = keyed.orderBy(F.col("wkey").desc(), F.col("doc_id")).limit(50)
     w = Window.orderBy(F.col("wkey").desc(), F.col("doc_id"))
-    return (
-        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 50)
-        .select("doc_id", "source", "rnk", "wkey")
+    return top.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "wkey",
     )
 
 
