@@ -3064,9 +3064,12 @@ def q_bloom_membership(spark, sf_dir) -> DataFrame:
     from certa_spark.operators import sketch as SK
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    words = SK.bloom_build(o.select("o_custkey"), "o_custkey")
+    # ~10 bits per key at sf0.1 (~100k open-order custkeys): an
+    # undersized filter saturates and every probe false-positives
+    m_bits = 63 * 16384
+    words = SK.bloom_build(o.select("o_custkey"), "o_custkey", m_bits=m_bits)
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    return SK.bloom_probe(c, "c_custkey", words).select(
+    return SK.bloom_probe(c, "c_custkey", words, m_bits=m_bits).select(
         "c_custkey", F.col("bloom_member").cast("int").alias("bloom_member")
     )
 
@@ -3078,10 +3081,12 @@ def _q_bloom_membership_sql() -> str:
         "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
         "CAST(o_custkey AS VARCHAR)",
         "CAST(c_custkey AS VARCHAR)",
+        m_bits=63 * 16384,
     )
     return f"""
     WITH {words_cte}
-    SELECT c_custkey, {member} AS bloom_member FROM customer
+    SELECT c_custkey, {member} AS bloom_member
+    FROM customer CROSS JOIN bloom_arr
     """
 
 
@@ -3096,7 +3101,10 @@ def q_lineitem_bloom_semi(spark, sf_dir) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    semi = SK.bloom_semi_join(l, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
+    semi = SK.bloom_semi_join(
+        l, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+        m_bits=63 * 16384,  # ~30k urgent orders at sf0.1 -> ~5% FP
+    )
     return semi.agg(
         F.count("*").cast("long").alias("n_items"),
         _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
