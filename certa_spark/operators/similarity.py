@@ -579,3 +579,56 @@ def knn_pq_adc(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "adist")
     )
+
+
+def knn_lsh_multiprobe(
+    corpus: DataFrame,
+    probes: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe hyperplane LSH: each probe searches its own sign
+    bucket PLUS every Hamming-1 neighbor bucket (one flipped plane bit)
+    — the standard recall/cost knob: ~(1+n_planes)x the candidates of
+    single-probe LSH without growing the index, far below brute force.
+    Same output schema as :func:`knn_bruteforce`. The probe side
+    explodes its bucket list (tiny); the corpus side is untouched, so
+    at 100TB the cost is still one equi-join on the bucket key.
+    """
+    n_planes = len(planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bkt"),
+    )
+    base = hyperplane_bucket(F.col(vec_col), planes)
+    buckets = F.array(
+        base, *[base.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)]
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        l2_norm(F.col(vec_col)).alias("_pn"),
+        F.explode(buckets).alias("_bkt"),
+    )
+    scored = (
+        c.join(F.broadcast(p), "_bkt")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_pre(F.col("_pv"), F.col("_cv"), F.col("_pn"), F.col("_cn")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "sim")
+    )

@@ -970,6 +970,50 @@ _Q_KNN_SQL = f"""
 """
 
 
+def q_knn_lsh_multiprobe(spark, sf_dir) -> DataFrame:
+    """Multi-probe LSH ANN (similarity.knn_lsh_multiprobe): each probe
+    also searches every Hamming-1 bucket — the recall/cost knob between
+    single-probe LSH and brute force. Corpus side untouched; probe side
+    explodes 1+n_planes bucket keys."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.filter(F.col("vec_id") % 89 == 0)
+    return SIM.knn_lsh_multiprobe(e, probes, _ANN_PLANES, k=3)
+
+
+def _q_knn_lsh_multiprobe_sql() -> str:
+    n_planes = len(_ANN_PLANES)
+    flips = ", ".join(f"xor(bkt, {1 << i})" for i in range(n_planes))
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_duck_ann_bucket('embedding')} AS bkt
+        FROM embeddings
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, embedding AS pv,
+               unnest([bkt, {flips}]) AS bkt
+        FROM b WHERE vec_id % 89 = 0
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bkt FROM b),
+    cand AS (
+        SELECT DISTINCT probe_id, neighbor_id, pv, cv
+        FROM c JOIN p USING (bkt)
+    ),
+    scored AS (
+        SELECT probe_id, neighbor_id,
+               round({SIM.duck_cosine('pv', 'cv')}, 6) AS sim
+        FROM cand
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+           sim
+    FROM scored
+    QUALIFY rank <= 3
+    """
+
+
 def q_knn_ann_recall(spark, sf_dir) -> DataFrame:
     """ANN quality metric: recall@3 of the hyperplane-LSH path against
     the brute-force ground truth for the same probes — the evaluation
@@ -4141,6 +4185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_membership": q_bloom_membership,
     "lineitem_bloom_semi": q_lineitem_bloom_semi,
     "knn_ann_recall": q_knn_ann_recall,
+    "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "orders_grouping_sets": q_orders_grouping_sets,
     "orders_salted_join": q_orders_salted_join,
     "media_resize": q_media_resize,
@@ -4243,6 +4288,7 @@ ORACLES: dict[str, str] = {
     "bloom_membership": _q_bloom_membership_sql(),
     "lineitem_bloom_semi": _Q_BLOOM_SEMI_SQL,
     "knn_ann_recall": _q_knn_ann_recall_sql(),
+    "knn_lsh_multiprobe": _q_knn_lsh_multiprobe_sql(),
     "orders_grouping_sets": _Q_ORDERS_GS_SQL,
     "orders_salted_join": _Q_SALTED_JOIN_SQL,
     "media_resize": _Q_MEDIA_RESIZE_SQL,
