@@ -500,27 +500,25 @@ def pq_encode(
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    cb_lit = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub"),
-                F.lit(c).alias("code"),
-                F.array(*[F.lit(float(x)) for x in code]).alias("cvec"),
-            )
-            for s, book in enumerate(codebooks)
-            for c, code in enumerate(book)
-        ]
-    )
-    sv = _subvectors(df, id_col, vec_col, m, dsub, id_col).select(
-        id_col, "sub", "subv", cb_lit.alias("_cb")
-    )
+    n_codes = len(codebooks[0])
+    # ONE nested-array literal for the whole codebook (F.lit(list)):
+    # the r1 form spelled 1024 scalar literals inside (sub,code,cvec)
+    # structs, and re-analyzing/codegen'ing that tree cost ~1.5s per
+    # CALL (plans aren't cached across calls) — 2x the encode time at
+    # small scale. Indexing is element_at(cb, sub+1)[code+1].
+    cb = F.lit([[list(map(float, code)) for code in book] for book in codebooks])
+    sv = _subvectors(df, id_col, vec_col, m, dsub, id_col)
     # argmin with ties to the lowest code id: array_min over
     # (d2, code) structs is lexicographic
     best = F.array_min(
         F.transform(
-            F.filter(F.col("_cb"), lambda x: x["sub"] == F.col("sub")),
-            lambda x: F.struct(
-                _d2(F.col("subv"), x["cvec"]).alias("d"), x["code"].alias("code")
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda c: F.struct(
+                _d2(
+                    F.col("subv"),
+                    F.element_at(F.element_at(cb, F.col("sub") + 1), c + 1),
+                ).alias("d"),
+                c.alias("code"),
             ),
         )
     )
