@@ -94,10 +94,13 @@ def knn_bruteforce(
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-dot-product LSH bucket id from fixed hyperplanes."""
+    """Sign-of-dot-product LSH bucket id from fixed hyperplanes. The
+    plane matrix rides as ONE nested-array literal (per-scalar literal
+    trees re-pay analysis/codegen on every call — the PQ lesson)."""
+    pl = F.lit([[float(x) for x in plane] for plane in planes])
     out = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+    for i in range(len(planes)):
+        p = F.element_at(pl, i + 1)
         out = out + F.when(dot(vec, p) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast(
             "long"
         )
@@ -111,8 +114,10 @@ def ivf_cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
     so the whole assignment is map-side — no join, no shuffle. Alias
     the result once and reference the column (CollapseProject keeps
     multi-referenced non-cheap aliases as once-per-row columns)."""
-    return F.array(
-        *[cosine(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    ct = F.lit([[float(x) for x in c] for c in centroids])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: cosine(vec, F.element_at(ct, i + 1)),
     )
 
 

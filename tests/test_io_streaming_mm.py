@@ -576,3 +576,35 @@ def test_streaming_upsert_sink_latest_wins(spark, tmp_path):
     upsert_sink(stream2, dst, ["k"], "ver", query_name="upsert_sink2")
     got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(dst).collect()}
     assert got == {1: (3, "c"), 2: (5, "y")}
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe searches a superset of buckets, so its top-k recall
+    vs brute force can never be worse than single-probe LSH."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+        knn_lsh_multiprobe,
+    )
+
+    rng = random.Random(5)
+    dim, n = 16, 200
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    probes = e.filter(F.col("vec_id") % 40 == 0)
+
+    def pairs(df):
+        return {(r["probe_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(knn_bruteforce(e, probes, k=5))
+    single = pairs(knn_lsh(e, probes, planes, k=5))
+    multi = pairs(knn_lsh_multiprobe(e, probes, planes, k=5))
+    assert len(multi & truth) >= len(single & truth)
+    # self-match is always in its own bucket: perfect self-recall
+    for pid in [r["vec_id"] for r in probes.collect()]:
+        assert (pid, pid) in multi
