@@ -2074,6 +2074,63 @@ _Q_SESSION_SQL = """
 """
 
 
+def q_events_session_builtin(spark, sf_dir) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window operator (the
+    idiomatic form next to the hand-rolled lag+cumsum twin): one
+    groupBy(user, session_window) aggregation; the engine merges
+    events closer than the gap and extends each window gap past the
+    last event. NB the tie semantics differ from the lag form: an
+    event exactly gap-late STARTS a new session (half-open window), so
+    the oracle uses >= where the lag-based oracle uses >."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 20 == 0)
+    return (
+        e.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_Q_SESSION_BUILTIN_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE user_id % 20 = 0
+    ),
+    b AS (
+        SELECT user_id, ts_us, value,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS boundary
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    s AS (
+        SELECT user_id, ts_us, value,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM b
+    )
+    SELECT user_id,
+           CAST(min(ts_us) AS BIGINT) AS start_us,
+           CAST(max(ts_us) + 1800000000 AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+"""
+
+
 def q_events_running_zscore(spark, sf_dir) -> DataFrame:
     """Batch twin of the applyInPandasWithState running z-score stream
     (streaming/stateful.py): each event scored against the running
@@ -3035,6 +3092,53 @@ def _hll_sql() -> str:
     )
     SELECT hll_estimate, exact_distinct FROM est, ex
     """
+
+
+def q_lineitem_unpivot(spark, sf_dir) -> DataFrame:
+    """UNPIVOT (wide measures -> long (measure, value) rows): the
+    inverse of pivot, one narrow pass after the agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        _dec_sum(F.col("l_quantity"), 2).alias("qty"),
+        _dec_sum(F.col("l_extendedprice"), 2).alias("price"),
+        _dec_sum(F.col("l_discount"), 4).alias("disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty", "price", "disc"], "measure", "value"
+    )
+
+
+_Q_UNPIVOT_SQL = f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               {_duck_dec_sum('l_quantity', 2)} AS qty,
+               {_duck_dec_sum('l_extendedprice', 2)} AS price,
+               {_duck_dec_sum('l_discount', 4)} AS disc
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price', price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'disc', disc FROM wide
+"""
+
+
+def q_orders_intersect(spark, sf_dir) -> DataFrame:
+    """Set intersection (completes the set-op family next to
+    orders_except/row-union): customers ordering in BOTH 1995 and
+    1996 (the synthetic date range starts at 1995)."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return y95.intersect(y96)
+
+
+_Q_INTERSECT_SQL = """
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
 
 
 def q_orders_grouping_sets(spark, sf_dir) -> DataFrame:
@@ -4153,6 +4257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ditto_dk_normalize": q_ditto_dk_normalize,
     "events_sessionized": q_events_sessionized,
     "events_sessionized_salted": q_events_sessionized_salted,
+    "events_session_builtin": q_events_session_builtin,
     "events_running_zscore": q_events_running_zscore,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
@@ -4187,6 +4292,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ann_recall": q_knn_ann_recall,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "orders_grouping_sets": q_orders_grouping_sets,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "orders_intersect": q_orders_intersect,
     "orders_salted_join": q_orders_salted_join,
     "media_resize": q_media_resize,
     "lens_degrees": q_lens_degrees,
@@ -4256,6 +4363,7 @@ ORACLES: dict[str, str] = {
     "ditto_dk_normalize": _Q_DK_NORMALIZE_SQL,
     "events_sessionized": _Q_SESSION_SQL,
     "events_sessionized_salted": _Q_SESSION_SQL,
+    "events_session_builtin": _Q_SESSION_BUILTIN_SQL,
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
@@ -4290,6 +4398,8 @@ ORACLES: dict[str, str] = {
     "knn_ann_recall": _q_knn_ann_recall_sql(),
     "knn_lsh_multiprobe": _q_knn_lsh_multiprobe_sql(),
     "orders_grouping_sets": _Q_ORDERS_GS_SQL,
+    "lineitem_unpivot": _Q_UNPIVOT_SQL,
+    "orders_intersect": _Q_INTERSECT_SQL,
     "orders_salted_join": _Q_SALTED_JOIN_SQL,
     "media_resize": _Q_MEDIA_RESIZE_SQL,
     "lens_degrees": _lens_sql(),
