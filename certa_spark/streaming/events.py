@@ -351,3 +351,20 @@ def upsert_sink(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup pattern
+    (events x user table, clicks x product catalog). The static side
+    broadcasts per micro-batch, so the stream side never shuffles and
+    no streaming state accrues (unlike stream-stream joins, nothing to
+    watermark: the static side is re-read each batch, which is also
+    what picks up slowly-changing dim updates). At 100TB-per-day rates
+    the only knob is keeping the dim broadcast-sized or pre-bucketing
+    both sides."""
+    return stream.join(F.broadcast(dim), key, how)

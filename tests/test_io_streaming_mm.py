@@ -608,3 +608,40 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # self-match is always in its own bucket: perfect self-recall
     for pid in [r["vec_id"] for r in probes.collect()]:
         assert (pid, pid) in multi
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    from certa_spark.streaming.events import enrich_stream_static
+
+    src = str(tmp_path / "enrich_src")
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (2, "2024-01-01 10:05:00", 20.0),
+        (3, "2024-01-01 10:06:00", 30.0),   # no dim row -> null segment
+    ]
+    batch = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "segment"]
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        enrich_stream_static(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["segment"]
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    exp = {
+        r["user_id"]: r["segment"]
+        for r in enrich_stream_static(batch, dim, "user_id").collect()
+    }
+    assert got == exp == {1: "gold", 2: "silver", 3: None}
