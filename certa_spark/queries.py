@@ -3094,6 +3094,45 @@ def _hll_sql() -> str:
     """
 
 
+def q_orders_range_frame(spark, sf_dir) -> DataFrame:
+    """Value-based RANGE window frame (vs the ROWS frames in
+    events_window_suite): per-customer trailing-30-day order count and
+    spend, ordered by epoch day — the moving-aggregate form where gaps
+    in the series matter, so row offsets would be wrong."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.cast("long").alias("day"),
+        F.count("*").over(w).cast("long").alias("n_30d"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w), 2
+        )
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+_Q_RANGE_FRAME_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+           CAST(count(*) OVER w AS BIGINT) AS n_30d,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER w, 2) AS DOUBLE)
+               AS spend_30d
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_lineitem_unpivot(spark, sf_dir) -> DataFrame:
     """UNPIVOT (wide measures -> long (measure, value) rows): the
     inverse of pivot, one narrow pass after the agg."""
@@ -4293,6 +4332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "orders_grouping_sets": q_orders_grouping_sets,
     "lineitem_unpivot": q_lineitem_unpivot,
+    "orders_range_frame": q_orders_range_frame,
     "orders_intersect": q_orders_intersect,
     "orders_salted_join": q_orders_salted_join,
     "media_resize": q_media_resize,
@@ -4399,6 +4439,7 @@ ORACLES: dict[str, str] = {
     "knn_lsh_multiprobe": _q_knn_lsh_multiprobe_sql(),
     "orders_grouping_sets": _Q_ORDERS_GS_SQL,
     "lineitem_unpivot": _Q_UNPIVOT_SQL,
+    "orders_range_frame": _Q_RANGE_FRAME_SQL,
     "orders_intersect": _Q_INTERSECT_SQL,
     "orders_salted_join": _Q_SALTED_JOIN_SQL,
     "media_resize": _Q_MEDIA_RESIZE_SQL,
