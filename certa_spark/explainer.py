@@ -111,8 +111,29 @@ class CertaExplainer:
         # localCheckpoint costs one materialization job (~0.3s), so only
         # the cuts below the big scans keep one.
         support_pairs = support_pairs.repartition(1).cache()
+        # Everything after the (checkpointed) scans runs on frames of
+        # <= 3*num_triangles rows, where AQE only multiplies jobs: each
+        # tiny exchange materializes as its own adaptive stage-job
+        # (~0.1s scheduler latency each — job tracing showed 12+ jobs
+        # for ONE triangle collect). Turn it off for the micro-query
+        # phase and restore on exit; the big candidate scans above keep
+        # it (skew/coalesce matter there).
         if attr_length <= 0:
             attr_length = min(len(l_tuple) - 1, len(r_tuple) - 1)
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._explain_post_scan(
+                spark, support_pairs, copies_left, copies_right, scores,
+                pc, attr_length, matcher, lprefix, rprefix, debug,
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+    def _explain_post_scan(
+        self, spark, support_pairs, copies_left, copies_right, scores,
+        pc, attr_length, matcher, lprefix, rprefix, debug,
+    ) -> Explanation:
         # no support_pairs.count()==0 early exit: empty support implies
         # empty triangles, and the tri_rows check below returns the same
         # empty Explanation — counting here would only add an action
