@@ -2238,6 +2238,68 @@ def _lens_sql() -> str:
     """
 
 
+def q_er_blocking_pairs(spark, sf_dir) -> DataFrame:
+    """ER candidate generation by block-then-verify — the sub-quadratic
+    front end the reference lacks (it cosine-ranks the FULL opposite
+    source per probe, local_explain.py:107-110). Blocking key =
+    (first name token, type): records in different blocks are never
+    compared; within a block, pairs verify by token Jaccard >= 0.5
+    (JVM set ops). One equi-join on the block key, no all-pairs stage;
+    skewed blocks would salt exactly like orders_salted_join."""
+    left, right = _er_sources(spark, sf_dir)
+
+    def keyed(df, idc, namec):
+        toks = F.array_remove(F.split(F.lower(F.col("name")), r"\s+"), "")
+        return df.select(
+            F.col("id").alias(idc),
+            toks.alias(namec),
+            F.concat_ws(
+                "|", F.element_at(toks, 1), F.lower(F.col("type"))
+            ).alias("bkey"),
+        )
+
+    l = keyed(left.filter(F.col("id") % 5 == 0), "lid", "ltoks")
+    r = keyed(right, "rid", "rtoks")
+    sim = F.round(DD.jaccard(F.col("ltoks"), F.col("rtoks")), 6)
+    return (
+        l.join(r, "bkey")
+        .withColumn("jac", sim)
+        .filter(F.col("jac") >= 0.5)
+        .select("lid", "rid", "jac")
+    )
+
+
+def _q_er_blocking_sql() -> str:
+    toks_l = "list_filter(regexp_split_to_array(lower(l.name), '\\s+'), x -> x <> '')"
+    toks_r = "list_filter(regexp_split_to_array(lower(r.name), '\\s+'), x -> x <> '')"
+    return f"""
+    WITH l AS (
+        SELECT p_partkey AS lid, p_name AS name, p_type AS type FROM part
+        WHERE p_partkey % 5 = 0
+    ),
+    r AS (
+        SELECT p_partkey AS rid,
+               regexp_replace(p_name, '\\s+\\S+\\s*$', '') AS name,
+               p_type AS type
+        FROM part
+    ),
+    kl AS (
+        SELECT lid, {toks_l} AS ltoks,
+               ({toks_l})[1] || '|' || lower(l.type) AS bkey
+        FROM l
+    ),
+    kr AS (
+        SELECT rid, {toks_r} AS rtoks,
+               ({toks_r})[1] || '|' || lower(r.type) AS bkey
+        FROM r
+    )
+    SELECT lid, rid,
+           round({DD.duck_jaccard('ltoks', 'rtoks')}, 6) AS jac
+    FROM kl JOIN kr USING (bkey)
+    WHERE round({DD.duck_jaccard('ltoks', 'rtoks')}, 6) >= 0.5
+    """
+
+
 def q_mojito_token_saliency(spark, sf_dir) -> DataFrame:
     """§2.11 Mojito — LIME-style token saliency for one part pair
     (Spark-side mask perturbations + driver-side ridge solve). The
@@ -4338,6 +4400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "lens_degrees": q_lens_degrees,
     "mojito_token_saliency": q_mojito_token_saliency,
+    "er_blocking_pairs": q_er_blocking_pairs,
     "media_frame_grid": q_media_frame_grid,
     "media_features": q_media_features,
 }
@@ -4445,6 +4508,7 @@ ORACLES: dict[str, str] = {
     "media_resize": _Q_MEDIA_RESIZE_SQL,
     "lens_degrees": _lens_sql(),
     "mojito_token_saliency": _Q_MOJITO_GOLDEN_SQL,
+    "er_blocking_pairs": _q_er_blocking_sql(),
     "media_frame_grid": _Q_FRAME_GRID_SQL,
     "media_features": _Q_MEDIA_FEATURES_SQL,
     # media_features: intentionally no oracle (mapInPandas encoder stub
