@@ -1,0 +1,49 @@
+"""Partitioning-invariance property: the registry's determinism claims
+(content-hash sampling, arithmetic ids, segmented scans, decimal-routed
+aggregates) must hold under ANY shuffle-partition count — the property
+that makes results reproducible when a 100TB cluster re-plans.
+
+Runs a hash of each query's sorted output at two very different
+shuffle-partition settings and asserts equality. Queries chosen for
+having the most partitioning-sensitive machinery (windows over salted
+blocks, weighted-sample ranking, LSH band joins, segmented cumsums,
+connected components)."""
+
+import hashlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES_UNDER_TEST = [
+    "doc_weighted_sample",
+    "doc_pack_assign_salted",
+    "events_sessionized_salted",
+    "minhash_incremental",
+    "neardup_keep_best",
+    "augment_variants",
+    "part_pagerank",
+]
+
+
+def _out_hash(df) -> str:
+    rows = sorted(
+        "\x01".join("NULL" if v is None else f"{v:.6f}" if isinstance(v, float) else str(v) for v in r)
+        for r in df.collect()
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_output_is_partitioning_invariant(spark, name):
+    from certa_spark.queries import QUERIES
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        h3 = _out_hash(QUERIES[name](spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        h29 = _out_hash(QUERIES[name](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert h3 == h29, name
