@@ -645,3 +645,24 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         for r in enrich_stream_static(batch, dim, "user_id").collect()
     }
     assert got == exp == {1: "gold", 2: "silver", 3: None}
+
+
+def test_observed_filter_funnel(spark):
+    """Observation metrics ride the pipeline's single action — per-stage
+    in/kept counts with no extra count() jobs."""
+    from certa_spark.operators.observe import funnel_report, observed_filter
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).alias("m")
+    )
+    s1, o1 = observed_filter(df, "keep_even", F.col("m") % 2 == 0)
+    s2, o2 = observed_filter(s1, "keep_small", F.col("m") < 4)
+    n = s2.count()  # the ONLY action
+    funnel = funnel_report([o1, o2])
+    assert funnel == {
+        "keep_even_in": 1000,
+        "keep_even_kept": 500,
+        "keep_small_in": 500,
+        "keep_small_kept": 200,
+    }
+    assert n == 200
