@@ -3303,6 +3303,62 @@ _Q_SALTED_JOIN_SQL = f"""
 """
 
 
+def q_join_size_estimate(spark, sf_dir) -> DataFrame:
+    """Join-cardinality estimation by count-min inner product — the
+    sketch a planner consults before committing to a join strategy:
+    |A ⋈ B| <= min over depth rows of Σ_bucket cntA·cntB (collisions
+    only inflate). Two tiny register tables join instead of the real
+    tables; the exact join count rides along for the error check.
+    Integer-deterministic, so the oracle matches bit-for-bit."""
+    from certa_spark.operators import sketch as SK
+
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    ra, rb = SK.cm_registers(l, "k"), SK.cm_registers(o, "k")
+    est = (
+        ra.alias("a")
+        .join(rb.alias("b"), ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("e"))
+        .agg(F.min("e").cast("long").alias("cm_join_est"))
+    )
+    exact = l.join(o, "k").agg(F.count("*").cast("long").alias("exact_join"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+def _q_join_size_estimate_sql() -> str:
+    from certa_spark.functions.hashing import duck_hash64
+
+    width, depth = 64, 4
+    def regs(src: str) -> str:
+        parts = [
+            f"SELECT {seed} AS seed, ({duck_hash64('v', seed)}) % {width} AS bucket, "
+            f"CAST(count(*) AS BIGINT) AS cnt FROM ({src}) GROUP BY 2"
+            for seed in range(depth)
+        ]
+        return " UNION ALL ".join(parts)
+
+    a_src = "SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem"
+    b_src = ("SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders "
+             "WHERE o_orderpriority = '1-URGENT'")
+    return f"""
+    WITH ra AS ({regs(a_src)}), rb AS ({regs(b_src)}),
+    est AS (
+        SELECT ra.seed, sum(ra.cnt * rb.cnt) AS e
+        FROM ra JOIN rb ON ra.seed = rb.seed AND ra.bucket = rb.bucket
+        GROUP BY 1
+    )
+    SELECT (SELECT CAST(min(e) AS BIGINT) FROM est) AS cm_join_est,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT') AS exact_join
+    """
+
+
 def q_bloom_membership(spark, sf_dir) -> DataFrame:
     """Cross-engine Bloom filter (operators/sketch.bloom_build/probe):
     build over the custkeys holding open ('O') orders — one explode +
@@ -4389,6 +4445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_percentiles": q_orders_percentiles,
     "hll_distinct": q_hll_distinct,
     "bloom_membership": q_bloom_membership,
+    "join_size_estimate": q_join_size_estimate,
     "lineitem_bloom_semi": q_lineitem_bloom_semi,
     "knn_ann_recall": q_knn_ann_recall,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
@@ -4497,6 +4554,7 @@ ORACLES: dict[str, str] = {
     "orders_percentiles": _Q_ORDERS_PCTL_SQL,
     "hll_distinct": _hll_sql(),
     "bloom_membership": _q_bloom_membership_sql(),
+    "join_size_estimate": _q_join_size_estimate_sql(),
     "lineitem_bloom_semi": _Q_BLOOM_SEMI_SQL,
     "knn_ann_recall": _q_knn_ann_recall_sql(),
     "knn_lsh_multiprobe": _q_knn_lsh_multiprobe_sql(),
