@@ -121,6 +121,10 @@ def main() -> None:
         ),
         3,
     )
+    # compact separators + 2-decimal times: the driver captures only a
+    # fixed-size tail of stdout and parses the JSON line from it; the
+    # default-format line (~4.8KB at 110 queries) overflows that buffer
+    # and records "parsed": null (BENCH_r01/r02). Keep the line small.
     print(
         json.dumps(
             {
@@ -128,9 +132,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "runs": RUNS,
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -77,7 +77,15 @@ def dk_number_normalize(col: Column) -> Column:
     pure Column expression (knowledge.py:91-105, sans spaCy):
     whitespace-tokenize, print integral numerics as '%d' and fractional
     ones as '%.2f', tag long digit-bearing tokens with 'ID ', rejoin.
-    Runs in whole-stage codegen; no Python in the loop."""
+    Runs in whole-stage codegen; no Python in the loop.
+
+    Known tie divergence (documented, not exercised by any fixture):
+    Java's ``%.2f`` rounds HALF_UP on the exact binary value while
+    C/Python/DuckDB printf round half-even, so the four fractional
+    parts exactly representable in binary with a tie at 2 decimals
+    (.125/.375/.625/.875) format one ULP apart — '0.125' renders
+    '0.13' here vs '0.12' in the reference. Non-tie values agree
+    because both formatters see the same exact binary value."""
 
     def one(t: Column) -> Column:
         d = t.cast("double")

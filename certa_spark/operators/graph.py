@@ -33,17 +33,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _default_partitions(df: DataFrame, partitions: int | None) -> int:
+    """Shuffle width for the iterative loops: caller-pinned, else the
+    cluster's ``defaultParallelism`` (a hardcoded small constant would
+    serialize the shuffle on a 1000-executor cluster)."""
+    if partitions is not None:
+        return partitions
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    partitions: int = 8,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Cluster nodes of an undirected graph: returns ``(node, cluster)``
     where ``cluster`` is the minimum node id reachable from ``node``.
     Nodes appearing only as edge endpoints are included; isolated nodes
     (no edges) are not — union them in as self-clusters if needed."""
+    partitions = _default_partitions(edges, partitions)
     # no distinct() on the symmetrized edges: the min-aggregate below is
     # duplicate-insensitive and the dedup shuffle costs more than the
     # duplicates do

@@ -415,7 +415,7 @@ def duck_bloom_member_sql(
     probe_key: str,
     m_bits: int = 4032,
     k: int = 3,
-) -> str:
+) -> tuple[str, str]:
     """DuckDB expression fragments reproducing bloom_build+probe:
     returns (words_cte, member_expr) where words_cte must be included
     as a CTE named ``bloom_words`` and member_expr evaluates to the

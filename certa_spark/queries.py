@@ -44,6 +44,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle) by interpreting the wall-clock the same way. A nanos-written
     file would read as bigint under the legacy conf; keep that branch
     for robustness across writers.
+
+    Both confs are session-wide defaults in ``session.get_spark`` (so
+    results never depend on whether an events query ran first); the
+    sets below are idempotent covers for externally-built sessions.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -695,11 +699,17 @@ def q_doc_quality(spark, sf_dir) -> DataFrame:
         F.round(TS.punct_ratio(F.col("text")), 6).alias("pr"),
     )
     # top-20 via orderBy+limit (TakeOrderedAndProject) — not a global
-    # row_number window, which would single-partition the corpus; the
-    # rank window then covers only the 20 survivors
+    # row_number window, which would single-partition the corpus. Rank
+    # the 20 survivors without a window at all (an unpartitioned
+    # WindowExec logs a single-partition warning on every run): one
+    # local sort over the survivors, then a per-partition id — exact
+    # row_number semantics on a 1-partition frame.
     top = scored.orderBy(F.col("quality").desc(), F.col("doc_id")).limit(20)
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
-    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.col("quality").desc(), F.col("doc_id"))
+        .withColumn("rnk", (F.monotonically_increasing_id() + 1).cast("long"))
+    )
 
 
 _Q_DOC_QUALITY_SQL = f"""
@@ -2017,7 +2027,7 @@ _Q_DK_NORMALIZE_SQL = r"""
                  WHEN regexp_matches(x, '^[+-]?[0-9]{1,3}(,[0-9]{3})+(\.[0-9]+)?$')
                    THEN x
                  WHEN regexp_matches(x, '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)$')
-                      AND abs(TRY_CAST(x AS DOUBLE)) <= 9.223372036854775e18
+                      AND abs(TRY_CAST(x AS DOUBLE)) <= 9.223372036854776e18
                    THEN CASE WHEN CAST(x AS DOUBLE) = floor(CAST(x AS DOUBLE))
                              THEN CAST(CAST(CAST(x AS DOUBLE) AS BIGINT) AS VARCHAR)
                              ELSE printf('%.2f', CAST(x AS DOUBLE)) END
@@ -3814,12 +3824,18 @@ def q_doc_weighted_sample(spark, sf_dir) -> DataFrame:
     # single-partition the whole corpus — WindowGroupLimit only infers
     # for PARTITIONED windows). The rank window then runs on 50 rows.
     top = keyed.orderBy(F.col("wkey").desc(), F.col("doc_id")).limit(50)
-    w = Window.orderBy(F.col("wkey").desc(), F.col("doc_id"))
-    return top.select(
-        "doc_id",
-        "source",
-        F.row_number().over(w).cast("long").alias("rnk"),
-        "wkey",
+    # rank the 50 survivors without an unpartitioned window (which logs
+    # a single-partition warning every run): local sort + per-partition
+    # id on the 1-partition survivor frame = row_number exactly
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.col("wkey").desc(), F.col("doc_id"))
+        .select(
+            "doc_id",
+            "source",
+            (F.monotonically_increasing_id() + 1).cast("long").alias("rnk"),
+            "wkey",
+        )
     )
 
 
@@ -4599,6 +4615,10 @@ ORACLES: dict[str, str] = {
     "er_blocking_pairs": _q_er_blocking_sql(),
     "media_frame_grid": _Q_FRAME_GRID_SQL,
     "media_features": _Q_MEDIA_FEATURES_SQL,
-    # media_features: intentionally no oracle (mapInPandas encoder stub
-    # is not SQL-expressible; driver records the weaker rows-only check)
 }
+
+# Oracles that are captured GOLDENS valid only for the sf0.01 fixture
+# (every stage deterministic; tools/gen_mojito_golden.py re-captures).
+# tools/check_correctness.py skips these at any other sf_dir instead of
+# reporting a guaranteed-false mismatch.
+GOLDEN_SF001: frozenset[str] = frozenset({"mojito_token_saliency"})

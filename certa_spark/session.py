@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deterministic cross-engine timestamp semantics: every session
+        # is UTC from creation (the DuckDB oracles interpret naive
+        # timestamps as UTC), and nanos-precision parquet reads as
+        # bigint. Setting these HERE (not as a side effect inside a
+        # query helper) keeps query results order-independent.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # model-inference batch size at the Arrow boundary (UD1);
         # reference batches are tiny (4/8) because of GPU memory — Arrow
         # batches are cheap, keep them large for throughput.

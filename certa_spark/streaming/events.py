@@ -171,8 +171,11 @@ def sessionize_batch_salted(
     """
     from pyspark.sql.window import Window
 
+    # integer `div`, not float `/`: long→double loses precision above
+    # 2^53 (~256ns ULP at 2024-epoch nanos) — same idiom as
+    # packing.pack_assign_salted
     b = events.withColumn(
-        "_blk", (F.col(ts_ns_col) / F.lit(int(block_ns))).cast("long")
+        "_blk", F.expr(f"{ts_ns_col} div {int(block_ns)}")
     )
     wl = Window.partitionBy(user_col, "_blk").orderBy(ts_ns_col, "event_id")
     prev_local = F.lag(ts_ns_col).over(wl)

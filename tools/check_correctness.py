@@ -79,6 +79,15 @@ def main() -> int:
         if name not in oracles:
             print(f"SKIP  {name}: no oracle (rows={len(sdf)}) [{t_spark:.1f}s]")
             continue
+        # golden-VALUES oracles are captured at sf0.01; at any other
+        # scale a mismatch is guaranteed and meaningless — skip instead
+        from certa_spark.queries import GOLDEN_SF001
+
+        if name in GOLDEN_SF001 and os.path.basename(
+            sf_dir.rstrip("/")
+        ) != "sf0.01":
+            print(f"SKIP  {name}: golden oracle is sf0.01-only (rows={len(sdf)})")
+            continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
