@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _default_partitions(df: DataFrame, partitions: int | None) -> int:
@@ -122,38 +123,142 @@ def assign_clusters(
     )
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    key: str,
+    item: str,
+    chunk: int = 64,
+) -> DataFrame:
+    """Distinct unordered item pairs co-occurring under a key (the
+    co-purchase edge build): returns ``(pa, pb)`` with ``pa < pb``.
+
+    One shuffle (groupBy key) + map-side higher-order-function pair
+    generation for ordinary keys. A pathological mega-key (an order
+    holding thousands of items) would make the single-row pair array
+    quadratic in that key's item count, so keys above ``chunk`` items
+    take a pre-split path: the sorted item set is sliced into
+    ``chunk``-sized blocks, intra-block pairs come from the same HOF,
+    and cross-block pairs from a block×block self-join — every output
+    row is bounded by ``chunk²`` pairs, and one hot key fans out over
+    ``m(m+1)/2`` rows instead of concentrating in one. The split path
+    touches only the (rare) oversized keys, so the common case pays
+    nothing beyond one filter.
+
+    Slicing a SORTED item array keeps ``pa < pb`` canonical on the
+    cross-block path (every element of block i precedes every element
+    of block j>i), so both paths emit the identical pair set.
+    """
+
+    def hof_pairs(arr):
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + 2, F.size(arr)),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        )
+
+    g = df.groupBy(F.col(key).alias("_k")).agg(
+        F.array_sort(F.collect_set(item)).alias("_items")
+    )
+    small = (
+        g.filter(F.size("_items") <= chunk)
+        .select(F.explode(hof_pairs(F.col("_items"))).alias("e"))
+        .select("e.pa", "e.pb")
+    )
+    blocks = (
+        g.filter(F.size("_items") > chunk)
+        .select(
+            "_k",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("_items") / F.lit(chunk)).cast("int")
+                        - 1,
+                    ),
+                    lambda b: F.slice(
+                        F.col("_items"), b * chunk + 1, chunk
+                    ),
+                )
+            ).alias("_ci", "_blk"),
+        )
+    )
+    intra = blocks.select(F.explode(hof_pairs(F.col("_blk"))).alias("e")).select(
+        "e.pa", "e.pb"
+    )
+    left = blocks.select("_k", F.col("_ci").alias("_i"), F.col("_blk").alias("_ba"))
+    right = blocks.select("_k", F.col("_ci").alias("_j"), F.col("_blk").alias("_bb"))
+    cross = (
+        left.join(right, ["_k"])
+        .filter(F.col("_i") < F.col("_j"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ba"),
+                        lambda x: F.transform(
+                            F.col("_bb"),
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+    )
+    return small.unionByName(intra).unionByName(cross).distinct()
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 3,
-    partitions: int = 8,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (symmetrize
     first for undirected graphs): returns ``(node, r)``.
 
-    Same loop discipline as :func:`connected_components`: the
-    edge+out-degree table is repartitioned by source and checkpointed
-    ONCE (the loop invariant), each iteration is one join + one
-    groupBy(dst) aggregate + lineage truncation, and only (node, rank)
-    pairs ever shuffle. Per-iteration contributions are rounded and
-    routed through DECIMAL so partial-aggregation order cannot move
-    the result (cross-engine reproducible — the driver query's oracle
-    unrolls the same iterations as chained SQL CTEs).
+    Loop discipline (reworked in round 3 — the sf0.1 cost of the old
+    shape was pure scheduler/materialization overhead, not data):
+
+    * the edge+out-degree invariant is built with ONE pass — window
+      ``count() over (partition by s)`` instead of a groupBy+join —
+      and checkpointed ONCE, partitioned by the aggregation key ``t``
+      so every iteration's ``groupBy(t)`` reuses that partitioning
+      with no exchange under the broadcast-rank join;
+    * the teleport/damping update is folded into the aggregate's
+      projection (no per-iteration nodes join — nodes with no
+      in-edges are handled by a ONE-TIME anti-join fill, empty for
+      any symmetrized graph);
+    * iterations stay LAZY, checkpointing every second round only:
+      each rank frame is consumed exactly once by the next join, so
+      skipping the per-iteration materialization removes whole jobs
+      without recomputing anything; the periodic checkpoint bounds
+      Catalyst re-analysis for large ``iterations``.
+
+    Only (node, rank) pairs ever shuffle. Contributions are rounded
+    and routed through DECIMAL so partial-aggregation order cannot
+    move the result (cross-engine reproducible — the driver query's
+    oracle unrolls the same iterations as chained SQL CTEs).
 
     Nodes with no in-edges keep receiving only the teleport term; nodes
-    with no OUT-edges (dangling) are not redistributed — callers that
-    need the dangling-mass correction should add the standard
-    "sum lost mass, add everywhere" term per iteration.
+    with no OUT-edges (dangling) are not redistributed — see
+    :func:`pagerank_dangling` for the lost-mass-corrected variant.
     """
+    partitions = _default_partitions(edges, partitions)
+    w_deg = Window.partitionBy("s")
     ed = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .repartition(partitions, "s")
+        .withColumn("_deg", F.count(F.lit(1)).over(w_deg).cast("double"))
+        .repartition(partitions, "t")
         .localCheckpoint()
     )
-    deg = ed.groupBy("s").agg(F.count("*").cast("double").alias("_deg"))
-    ed = ed.join(deg, "s").localCheckpoint()
     nodes = (
         ed.select(F.col("s").alias("node"))
         .unionByName(ed.select(F.col("t").alias("node")))
@@ -162,34 +267,140 @@ def pagerank(
     )
     n_nodes = nodes.count()
     inv_n = 1.0 / float(n_nodes)
+    # one-time fill for nodes with no in-edges (empty on symmetrized
+    # graphs): their rank is the constant teleport term every iteration
+    no_in = nodes.join(
+        ed.select(F.col("t").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint()
+    has_no_in = no_in.count() > 0
     # ranks is one row per node; below ~4M nodes (~64MB of (long,
     # double) pairs) ship it broadcast so the |E|-row edge table never
     # re-shuffles per iteration — halves iteration wall time. Bigger
     # graphs fall back to the shuffled hash join (the 100TB-safe path).
     bcast = n_nodes <= 4_000_000
+    if not bcast:
+        # shuffled-join path: the per-iteration join is on ed.s, so the
+        # invariant must be partitioned by s (one extra one-time
+        # materialization that amortizes over iterations); the
+        # groupBy(t) shuffle then moves only map-combined (node,
+        # partial-sum) pairs — the classic big-graph shape
+        ed = ed.repartition(partitions, "s").localCheckpoint()
     # (1.0 - damping) folded in Python = the same IEEE subtraction the
     # SQL oracle performs at runtime; do NOT substitute a decimal
     # literal like 0.15 (1.0 - 0.85 != 0.15 in binary)
     teleport = F.lit(1.0 - damping) * F.lit(inv_n)
     ranks = nodes.select("node", F.lit(inv_n).alias("r"))
+    for i in range(iterations):
+        contrib = F.round(F.col("r") / F.col("_deg"), 12).cast("decimal(38,18)")
+        ranks = (
+            ed.join(F.broadcast(ranks) if bcast else ranks, ed.s == ranks.node)
+            .groupBy(F.col("t").alias("node"))
+            .agg(
+                F.round(
+                    teleport + F.lit(damping) * F.sum(contrib).cast("double"),
+                    12,
+                ).alias("r")
+            )
+        )
+        if has_no_in:
+            ranks = ranks.unionByName(
+                no_in.select("node", F.round(teleport, 12).alias("r"))
+            )
+        if i % 2 == 1 and i < iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_dangling(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """PageRank with the standard dangling-mass correction: the rank
+    mass sitting on nodes with no out-edges is redistributed uniformly
+    every iteration —
+
+        r'(v) = (1-d)/N + d * (sum_in contrib(v) + lost/N)
+
+    where ``lost = sum(r over dangling nodes)``. Without this term
+    (:func:`pagerank`) total rank mass decays on graphs with sinks.
+
+    Mechanics: the dangling set is a one-time anti-join; ``lost`` per
+    iteration is a 1-row DECIMAL-summed aggregate cross-joined in as a
+    broadcast scalar (never collected to the driver). Ranks are
+    consumed twice per iteration (contribution join + lost sum), so
+    each iteration checkpoints — the cost of correctness on sink-heavy
+    graphs. All arithmetic is round/DECIMAL-routed exactly like
+    :func:`pagerank` so a chained-CTE SQL oracle reproduces it.
+    """
+    partitions = _default_partitions(edges, partitions)
+    w_deg = Window.partitionBy("s")
+    ed = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .repartition(partitions, "s")
+        .withColumn("_deg", F.count(F.lit(1)).over(w_deg).cast("double"))
+        .repartition(partitions, "t")
+        .localCheckpoint()
+    )
+    nodes = (
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    inv_n = 1.0 / float(n_nodes)
+    no_in = nodes.join(
+        ed.select(F.col("t").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint()
+    has_no_in = no_in.count() > 0
+    dang = nodes.join(
+        ed.select(F.col("s").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint()
+    bcast = n_nodes <= 4_000_000
+    if not bcast:
+        ed = ed.repartition(partitions, "s").localCheckpoint()
+    teleport = F.lit(1.0 - damping) * F.lit(inv_n)
+    ranks = nodes.select("node", F.lit(inv_n).alias("r")).localCheckpoint()
     for _ in range(iterations):
+        lost = (
+            ranks.join(F.broadcast(dang), "node", "left_semi")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("r").cast("decimal(38,18)")).cast("double"),
+                    F.lit(0.0),
+                ).alias("_lost")
+            )
+        )
         contrib = F.round(F.col("r") / F.col("_deg"), 12).cast("decimal(38,18)")
         incoming = (
             ed.join(F.broadcast(ranks) if bcast else ranks, ed.s == ranks.node)
             .groupBy(F.col("t").alias("node"))
             .agg(F.sum(contrib).cast("double").alias("_in"))
-        )
-        ranks = (
-            nodes.join(incoming, "node", "left")
+            .crossJoin(F.broadcast(lost))
             .select(
                 "node",
                 F.round(
                     teleport
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    + F.lit(damping)
+                    * (F.col("_in") + F.col("_lost") * F.lit(inv_n)),
                     12,
                 ).alias("r"),
             )
-            .repartition(partitions, "node")
-            .localCheckpoint()
         )
+        if has_no_in:
+            incoming = incoming.unionByName(
+                no_in.crossJoin(F.broadcast(lost)).select(
+                    "node",
+                    F.round(
+                        teleport
+                        + F.lit(damping) * (F.col("_lost") * F.lit(inv_n)),
+                        12,
+                    ).alias("r"),
+                )
+            )
+        ranks = incoming.localCheckpoint()
     return ranks

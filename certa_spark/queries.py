@@ -1552,29 +1552,11 @@ def q_part_pagerank(spark, sf_dir) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # pair build: ONE shuffle (groupBy order) + map-side HOF pair
     # generation, instead of the r1 self-join that shuffled lineitem
-    # twice — 3x faster at sf0.1, same pair set (orders hold <=7 parts
-    # so the per-row pair array stays tiny; a pathological mega-order
-    # would need a pre-split on the order key).
-    parr = F.array_sort("ps")
-    pairs = (
-        l.groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        parr,
-                        lambda x, i: F.transform(
-                            F.slice(parr, i + 2, F.size(parr)),
-                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-                        ),
-                    )
-                )
-            ).alias("e")
-        )
-        .select("e.pa", "e.pb")
-        .distinct()
-    )
+    # twice — 3x faster at sf0.1, same pair set. Oversized orders
+    # (>64 parts; none in TPC-H data, but a 100TB corpus can't assume
+    # that) take cooccurrence_pairs' chunked pre-split path so no
+    # single row ever holds a quadratic pair array.
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
     edges = pairs.select(
         F.col("pa").alias("s"), F.col("pb").alias("t")
     ).unionByName(pairs.select(F.col("pb").alias("s"), F.col("pa").alias("t")))
@@ -1613,6 +1595,68 @@ def _q_part_pagerank_sql() -> str:
     )
     """
     steps = "".join(step.format(k=k, j=k - 1) + ("," if k < 3 else "") for k in (1, 2, 3))
+    return (
+        "WITH " + base + "," + steps + "SELECT node, round(r, 8) AS rank FROM r3"
+    )
+
+
+def q_part_pagerank_dangling(spark, sf_dir) -> DataFrame:
+    """PageRank with dangling-mass redistribution over a DIRECTED
+    part -> supplier graph from lineitem. Every supplier node is a sink
+    (no out-edges) and every part node has no in-edges, so both
+    correction arms — the per-iteration lost-mass broadcast scalar and
+    the teleport+lost fill — carry real weight. The oracle unrolls the
+    same iterations (incl. the lost-mass CTE per step) as chained SQL."""
+    from certa_spark.operators import graph as GR
+
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    edges = l.select(
+        F.col("l_partkey").alias("s"),
+        (F.col("l_suppkey") + F.lit(10000000)).alias("t"),
+    ).distinct()
+    ranks = GR.pagerank_dangling(
+        edges, src="s", dst="t", damping=0.85, iterations=3
+    )
+    return ranks.select("node", F.round("r", 8).alias("rank"))
+
+
+def _q_part_pagerank_dangling_sql() -> str:
+    base = """
+    edges AS (
+        SELECT DISTINCT l_partkey AS s, l_suppkey + 10000000 AS t
+        FROM lineitem
+    ),
+    nodes AS (SELECT s AS node FROM edges UNION SELECT t AS node FROM edges),
+    deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS dg FROM edges GROUP BY s),
+    nn AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS inv_n FROM nodes),
+    dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT s FROM edges)),
+    noin AS (SELECT node FROM nodes WHERE node NOT IN (SELECT t FROM edges)),
+    r0 AS (SELECT node, inv_n AS r FROM nodes CROSS JOIN nn)
+    """
+    step = """
+    l{k} AS (
+        SELECT coalesce(CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE), 0.0)
+               AS lost
+        FROM r{j} JOIN dang USING (node)
+    ),
+    r{k} AS (
+        SELECT e.t AS node,
+               round(((1.0 - 0.85) * inv_n)
+                     + 0.85 * (CAST(sum(
+                         CAST(round(p.r / deg.dg, 12) AS DECIMAL(38,18))
+                       ) AS DOUBLE) + lost * inv_n), 12) AS r
+        FROM edges e
+        JOIN r{j} p ON e.s = p.node
+        JOIN deg ON e.s = deg.s
+        CROSS JOIN nn CROSS JOIN l{k}
+        GROUP BY e.t, inv_n, lost
+        UNION ALL
+        SELECT node,
+               round(((1.0 - 0.85) * inv_n) + 0.85 * (lost * inv_n), 12) AS r
+        FROM noin CROSS JOIN nn CROSS JOIN l{k}
+    )
+    """
+    steps = ",".join(step.format(k=k, j=k - 1) for k in (1, 2, 3))
     return (
         "WITH " + base + "," + steps + "SELECT node, round(r, 8) AS rank FROM r3"
     )
@@ -4444,6 +4488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_upsert": q_orders_upsert,
     "doc_stratified_k": q_doc_stratified_k,
     "part_pagerank": q_part_pagerank,
+    "part_pagerank_dangling": q_part_pagerank_dangling,
     "neardup_clusters": q_neardup_clusters,
     "neardup_keep_best": q_neardup_keep_best,
     "minhash_incremental": q_minhash_incremental,
@@ -4579,6 +4624,7 @@ ORACLES: dict[str, str] = {
     "orders_upsert": _Q_ORDERS_UPSERT_SQL,
     "doc_stratified_k": _Q_DOC_STRATIFIED_K_SQL,
     "part_pagerank": _q_part_pagerank_sql(),
+    "part_pagerank_dangling": _q_part_pagerank_dangling_sql(),
     "neardup_clusters": _neardup_clusters_sql(),
     "neardup_keep_best": _neardup_keep_best_sql(),
     "minhash_incremental": _Q_MINHASH_INCR_SQL,

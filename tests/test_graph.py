@@ -52,3 +52,42 @@ def test_pagerank_symmetric_pair_and_star(spark):
     ranks = {row["node"]: row["r"] for row in pagerank(star, iterations=2).collect()}
     assert ranks[9] > ranks[1] == ranks[2] == ranks[3]
     assert abs(ranks[1] - (1 - 0.85) / 4) < 1e-9
+
+def test_cooccurrence_pairs_mega_key_matches_plain(spark):
+    """Property: the chunked pre-split path (keys > chunk items) emits
+    exactly the plain quadratic pair set — one synthetic hot key with
+    150 items (crossing several 16-item chunks) plus normal keys."""
+    from itertools import combinations
+
+    from certa_spark.operators.graph import cooccurrence_pairs
+
+    rows = [(1, i * 7 % 1000) for i in range(150)]  # hot key, 150 items
+    rows += [(2, x) for x in (5, 9)] + [(3, x) for x in (9, 5, 77)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r["pa"], r["pb"])
+        for r in cooccurrence_pairs(df, "k", "v", chunk=16).collect()
+    }
+    want = set()
+    for key in (1, 2, 3):
+        items = sorted({v for k, v in rows if k == key})
+        want |= set(combinations(items, 2))
+    assert got == want
+
+
+def test_pagerank_dangling_conserves_mass(spark):
+    from certa_spark.operators.graph import pagerank, pagerank_dangling
+
+    # star a->hub: hub is dangling (no out-edges). Plain pagerank leaks
+    # the hub's mass; the corrected variant redistributes it, so total
+    # mass stays ~1 every iteration.
+    star = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], ["src", "dst"])
+    plain = sum(r["r"] for r in pagerank(star, iterations=3).collect())
+    fixed = sum(r["r"] for r in pagerank_dangling(star, iterations=3).collect())
+    assert plain < 0.9  # sink leaks
+    assert abs(fixed - 1.0) < 1e-6
+    # no-sink graph: correction is a no-op (lost == 0)
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    a = {r["node"]: r["r"] for r in pagerank(cyc, iterations=3).collect()}
+    b = {r["node"]: r["r"] for r in pagerank_dangling(cyc, iterations=3).collect()}
+    assert a == b
