@@ -52,26 +52,36 @@ def token_mask_samples(
     lprefix: str = LPREFIX,
     rprefix: str = RPREFIX,
     mask_sides: tuple[str, ...] = ("l", "r"),
+    empty_sample_id: int | None = None,
 ) -> tuple[DataFrame, list[tuple[str, str, str]]]:
     """N masked copies of the pair as one distributed select.
 
     Returns (samples, token_index): ``samples`` has the pair's attribute
     columns rebuilt from kept tokens plus ``_mask`` (array<int> of keep
     bits, one per token across both sides) and ``_sample_id``; row 0 is
-    the unmasked original (LIME convention). Bits are md5-derived from
-    (seed, sample, token) — deterministic, executor-side, no RNG state.
+    the unmasked original (LIME convention), and ``empty_sample_id``
+    (KernelSHAP needs f(∅) as its base value) pins that row all-masked.
+    Bits are md5-derived from (seed, sample, token) — deterministic,
+    executor-side, no RNG state.
     """
     l_toks = _tokens(l_record, "L") if "l" in mask_sides else []
     r_toks = _tokens(r_record, "R") if "r" in mask_sides else []
     all_toks = [("l", *t) for t in l_toks] + [("r", *t) for t in r_toks]
 
     base = spark.range(n_samples).select(F.col("id").alias("_sample_id"))
+    empty = (
+        F.col("_sample_id") == empty_sample_id
+        if empty_sample_id is not None
+        else F.lit(False)
+    )
     keep_bits = [
-        F.when(
+        F.when(empty, F.lit(0))
+        .when(
             (F.col("_sample_id") == 0)
             | (hash32(F.concat_ws(":", F.lit(seed), F.col("_sample_id"), F.lit(j))) % 2 == 0),
             F.lit(1),
-        ).otherwise(F.lit(0))
+        )
+        .otherwise(F.lit(0))
         for j in range(len(all_toks))
     ]
     masked = base.select(
@@ -160,6 +170,95 @@ def explain_pair(
     A = X.T @ Xw + ridge_lambda * np.eye(t)
     b = X.T @ (w * y)
     coef = np.linalg.solve(A, b)
+
+    out = [
+        {"side": side, "attr": attr, "token": tok, "weight": float(c)}
+        for (side, _, attr, tok), c in zip(all_toks, coef)
+    ]
+    out.sort(key=lambda r: -abs(r["weight"]))
+    return out
+
+
+def kernel_shap_pair(
+    spark: SparkSession,
+    l_record: dict,
+    r_record: dict,
+    matcher: Matcher,
+    n_samples: int = 128,
+    seed: int = 42,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+    landmark: str | None = None,
+) -> list[dict]:
+    """KernelSHAP token ranking (reference baselines/shap_c.py:15-197,
+    which calls ``shap.KernelExplainer(classifier_fn, background,
+    link='identity')``) — natively, with no shap dependency.
+
+    Same Spark-side machinery as :func:`explain_pair` (one
+    ``token_mask_samples`` frame, ONE distributed model round); only the
+    driver-side solve differs: samples are weighted by the Shapley
+    kernel  π(z) = (T-1) / (C(T,|z|)·|z|·(T-|z|))  and the weighted
+    least squares is solved under KernelSHAP's efficiency constraint
+    Σφ = f(x) − f(∅)  (eliminate the last coefficient, regress the
+    rest, recover it from the constraint) — the same estimator the shap
+    library's regression path computes. Row 0 supplies f(x), a pinned
+    all-masked row supplies f(∅); both are excluded from the regression
+    (their kernel weight is infinite — the constraint encodes them).
+
+    Returns one dict per token: (side, attr, token, weight), sorted by
+    |weight| descending — plug directly into
+    :func:`greedy_counterfactual` for the SHAP-C pipeline.
+    """
+    import numpy as np
+
+    mask_sides = ("l", "r")
+    if landmark == "left":
+        mask_sides = ("r",)
+    elif landmark == "right":
+        mask_sides = ("l",)
+    samples, all_toks = token_mask_samples(
+        spark,
+        l_record,
+        r_record,
+        n_samples,
+        seed,
+        lprefix,
+        rprefix,
+        mask_sides,
+        empty_sample_id=1,
+    )
+    scored = matcher.predict(samples).select("_sample_id", "_mask", "match_score")
+    rows = scored.collect()
+    rows.sort(key=lambda r: r["_sample_id"])
+    X = np.array([r["_mask"] for r in rows], dtype=float)
+    y = np.array([r["match_score"] for r in rows], dtype=float)
+    fx, f0 = y[0], y[1]
+    t = X.shape[1]
+
+    if t == 1:
+        coef = np.array([fx - f0])
+    else:
+        k = X.sum(axis=1)
+        sel = (k > 0) & (k < t)
+        sel[0] = sel[1] = False
+        Xs, ys, ks = X[sel], y[sel], k[sel]
+        if len(ys) == 0:
+            coef = np.full(t, (fx - f0) / t)  # degenerate: uniform split
+        else:
+            # Shapley kernel; T is token-sized (tens), math.comb is exact
+            w = np.array(
+                [
+                    (t - 1) / (math.comb(t, int(kk)) * kk * (t - kk))
+                    for kk in ks
+                ]
+            )
+            # eliminate phi_T via the efficiency constraint
+            Z = Xs[:, :-1] - Xs[:, -1:]
+            yy = ys - f0 - Xs[:, -1] * (fx - f0)
+            A = Z.T @ (Z * w[:, None]) + 1e-10 * np.eye(t - 1)
+            b = Z.T @ (w * yy)
+            head = np.linalg.solve(A, b)
+            coef = np.append(head, (fx - f0) - head.sum())
 
     out = [
         {"side": side, "attr": attr, "token": tok, "weight": float(c)}

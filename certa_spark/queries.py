@@ -2376,6 +2376,29 @@ def q_mojito_token_saliency(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_shap_token_saliency(spark, sf_dir) -> DataFrame:
+    """§2.11 SHAP-C first half — KernelSHAP token ranking for one part
+    pair (reference baselines/shap_c.py:15-197), natively: Spark-side
+    mask perturbations + driver-side Shapley-kernel constrained solve
+    (operators/mojito.py:kernel_shap_pair). Deterministic end-to-end,
+    so the oracle is a captured golden-value table for the sf0.01
+    fixture (regenerate with tools/gen_mojito_golden.py --shap)."""
+    from certa_spark.matching import NativeCosineMatcher
+    from certa_spark.operators.mojito import kernel_shap_pair
+
+    left, right = _er_sources(spark, sf_dir)
+    l_rec = {k: v for k, v in zip(left.columns, left.orderBy("id").first())}
+    r_rec = {k: v for k, v in zip(right.columns, right.orderBy("id").first())}
+    out = kernel_shap_pair(
+        spark, l_rec, r_rec, NativeCosineMatcher(), n_samples=128
+    )
+    top = out[:5]
+    return spark.createDataFrame(
+        [(r["side"], r["attr"], r["token"], round(r["weight"], 6)) for r in top],
+        "side string, attr string, token string, weight double",
+    )
+
+
 # Captured golden for the sf0.01 fixture (tools/gen_mojito_golden.py).
 # Valid because every stage is deterministic; re-capture if
 # _er_sources, the matcher, or operators/mojito.py change.
@@ -2387,6 +2410,20 @@ _Q_MOJITO_GOLDEN_SQL = """
         ('r', 'name', 'small', 0.175166),
         ('l', 'name', 'small', 0.172111),
         ('l', 'name', 'ring', -0.129482)
+    ) AS t(side, attr, token, weight)
+"""
+
+
+# Captured golden for the sf0.01 fixture
+# (tools/gen_mojito_golden.py --shap); deterministic end-to-end.
+_Q_SHAP_GOLDEN_SQL = """
+    SELECT side, attr, token, CAST(weight AS DOUBLE) AS weight
+    FROM (VALUES
+        ('l', 'type', 'ECONOMY', 0.314715),
+        ('r', 'name', 'small', 0.211287),
+        ('r', 'type', 'ECONOMY', 0.187645),
+        ('l', 'name', 'small', 0.176199),
+        ('l', 'name', 'ring', -0.07335)
     ) AS t(side, attr, token, weight)
 """
 
@@ -4522,6 +4559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "lens_degrees": q_lens_degrees,
     "mojito_token_saliency": q_mojito_token_saliency,
+    "shap_token_saliency": q_shap_token_saliency,
     "er_blocking_pairs": q_er_blocking_pairs,
     "media_frame_grid": q_media_frame_grid,
     "media_features": q_media_features,
@@ -4658,6 +4696,7 @@ ORACLES: dict[str, str] = {
     "media_resize": _Q_MEDIA_RESIZE_SQL,
     "lens_degrees": _lens_sql(),
     "mojito_token_saliency": _Q_MOJITO_GOLDEN_SQL,
+    "shap_token_saliency": _Q_SHAP_GOLDEN_SQL,
     "er_blocking_pairs": _q_er_blocking_sql(),
     "media_frame_grid": _Q_FRAME_GRID_SQL,
     "media_features": _Q_MEDIA_FEATURES_SQL,
@@ -4667,4 +4706,6 @@ ORACLES: dict[str, str] = {
 # (every stage deterministic; tools/gen_mojito_golden.py re-captures).
 # tools/check_correctness.py skips these at any other sf_dir instead of
 # reporting a guaranteed-false mismatch.
-GOLDEN_SF001: frozenset[str] = frozenset({"mojito_token_saliency"})
+GOLDEN_SF001: frozenset[str] = frozenset({
+    "mojito_token_saliency", "shap_token_saliency",
+})

@@ -269,6 +269,39 @@ def test_landmark_and_greedy_cf(spark):
         assert shorter is None
 
 
+def test_kernel_shap_efficiency_and_ranking(spark):
+    """KernelSHAP weights satisfy the efficiency axiom (sum = f(x) -
+    f(empty)) by construction of the constrained solve, rank the
+    cross-side shared tokens on top, and are seed-deterministic."""
+    from certa_spark.matching import NativeCosineMatcher
+    from certa_spark.operators.mojito import (
+        greedy_counterfactual,
+        kernel_shap_pair,
+        token_mask_samples,
+    )
+
+    l = {"id": 0, "name": "apple iphone pro", "desc": "oled smartphone"}
+    r = {"id": 0, "name": "apple iphone max", "desc": "great phone"}
+    m = NativeCosineMatcher()
+    out = kernel_shap_pair(spark, l, r, m, n_samples=128)
+
+    samples, _ = token_mask_samples(spark, l, r, n_samples=2, empty_sample_id=1)
+    scores = {
+        row["_sample_id"]: row["match_score"]
+        for row in m.predict(samples).select("_sample_id", "match_score").collect()
+    }
+    assert abs(sum(x["weight"] for x in out) - (scores[0] - scores[1])) < 1e-6
+
+    top4 = {(row["side"], row["token"]) for row in out[:4]}
+    assert top4 == {("l", "apple"), ("l", "iphone"), ("r", "apple"), ("r", "iphone")}
+    again = kernel_shap_pair(spark, l, r, m, n_samples=128)
+    assert [x["weight"] for x in again] == [x["weight"] for x in out]
+
+    # SHAP-C: the ranking plugs into the greedy CF search and flips
+    cf = greedy_counterfactual(spark, l, r, m, out, predicted_class=1)
+    assert cf is not None and cf["match_score"] < 0.5
+
+
 def test_fused_depth_loop_equivalence(spark):
     """fused=True must reproduce the loop's outputs exactly — including
     the post-hoc early-exit reconstruction when a depth fully flips."""
