@@ -87,46 +87,122 @@ def dk_number_normalize(col: Column) -> Column:
     '0.13' here vs '0.12' in the reference. Non-tie values agree
     because both formatters see the same exact binary value."""
 
-    def one(t: Column) -> Column:
-        d = t.cast("double")
-        in_long = (d >= -_LONG_MAX) & (d <= _LONG_MAX)
+    toks = F.array_remove(F.split(col.cast("string"), r"\s+"), "")
+    return F.array_join(F.transform(toks, _dk_norm_token), " ")
+
+
+def _dk_norm_token(t: Column) -> Column:
+    """Per-token number/ID rewrite shared by :func:`dk_number_normalize`
+    and :func:`dk_ner_tag` (knowledge.py:91-103)."""
+    d = t.cast("double")
+    in_long = (d >= -_LONG_MAX) & (d <= _LONG_MAX)
+    return (
+        F.when(t.rlike(_DK_GROUPED_RE), t)
+        .when(
+            t.rlike(_DK_NUM_RE) & d.isNotNull() & in_long,
+            F.when(
+                d == F.floor(d), d.cast("long").cast("string")
+            ).otherwise(F.format_string("%.2f", d)),
+        )
+        .when(
+            (F.length(t) >= 7) & t.rlike("[0-9]"),
+            F.concat(F.lit("ID "), t),
+        )
+        .otherwise(t)
+    )
+
+
+# Deterministic entity recognizer for the F17 NER half
+# (knowledge.py:77-90): the reference asks spaCy for entity spans and
+# prepends 'PRODUCT '/'NUM ' at each span START (its end_indices dict is
+# populated but never emitted — knowledge.py:88-90 writes start markers
+# only, and so do we). spaCy is replaced by a deterministic recognizer:
+#   * PRODUCT — maximal runs of dictionary tokens (brand/product vocab,
+#     case-insensitive); one marker per run start, like a multi-token
+#     spaCy ent gets one marker;
+#   * NUM — money / percent / date shaped tokens (the MONEY, PERCENT,
+#     DATE ent classes), one marker each.
+_DEFAULT_PRODUCT_VOCAB: tuple[str, ...] = (
+    "promo", "economy", "standard", "small", "medium", "large",
+    "anodized", "burnished", "plated", "polished", "brushed",
+)
+_DK_MONEY_RE = r"^[+-]?\$[0-9][0-9,.]*$"
+_DK_PERCENT_RE = r"^[+-]?[0-9][0-9,.]*%$"
+_DK_DATE_RE = (
+    r"^([0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{1,2}/[0-9]{1,2}/[0-9]{2,4})$"
+)
+
+
+def dk_ner_tag(
+    col: Column,
+    product_vocab: tuple[str, ...] = _DEFAULT_PRODUCT_VOCAB,
+) -> Column:
+    """F17 (entity half) — ProductDKInjector.transform
+    (knowledge.py:60-104) with the deterministic recognizer above, as a
+    pure Column expression: tokenize, prepend ``PRODUCT `` at each
+    dictionary-run start and ``NUM `` before money/percent/date tokens,
+    then apply the same per-token number normalization as
+    :func:`dk_number_normalize`, rejoin. Whole-stage codegen; the
+    prev-token lookback rides the transform index (no self-join)."""
+    vocab = [v.lower() for v in product_vocab]
+    toks = F.array_remove(F.split(col.cast("string"), r"\s+"), "")
+
+    def is_prod(t: Column) -> Column:
+        return F.lower(t).isin(*vocab)
+
+    def is_num_ent(t: Column) -> Column:
         return (
-            F.when(t.rlike(_DK_GROUPED_RE), t)
-            .when(
-                t.rlike(_DK_NUM_RE) & d.isNotNull() & in_long,
-                F.when(
-                    d == F.floor(d), d.cast("long").cast("string")
-                ).otherwise(F.format_string("%.2f", d)),
-            )
-            .when(
-                (F.length(t) >= 7) & t.rlike("[0-9]"),
-                F.concat(F.lit("ID "), t),
-            )
-            .otherwise(t)
+            t.rlike(_DK_MONEY_RE)
+            | t.rlike(_DK_PERCENT_RE)
+            | t.rlike(_DK_DATE_RE)
         )
 
-    toks = F.array_remove(F.split(col.cast("string"), r"\s+"), "")
-    return F.array_join(F.transform(toks, one), " ")
+    def piece(t: Column, i: Column) -> Column:
+        # element_at is 1-based, i is 0-based: element_at(toks, i) IS
+        # the previous token; the when() guards the i == 0 edge
+        prev_prod = F.when(
+            i > 0, is_prod(F.element_at(toks, i))
+        ).otherwise(F.lit(False))
+        marker = (
+            F.when(is_prod(t) & ~prev_prod, F.lit("PRODUCT "))
+            .when(is_num_ent(t), F.lit("NUM "))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(marker, _dk_norm_token(t))
+
+    return F.array_join(F.transform(toks, piece), " ")
 
 
-def ner_normalize(df: DataFrame, cols: list[str], ner: bool = False) -> DataFrame:
+def ner_normalize(
+    df: DataFrame,
+    cols: list[str],
+    ner: bool | str = False,
+    product_vocab: tuple[str, ...] = _DEFAULT_PRODUCT_VOCAB,
+) -> DataFrame:
     """F17 — Ditto domain-knowledge injection
-    (models/ditto/knowledge.py:53-160). The number-normalization /
-    ID-tagging half runs JVM-side via :func:`dk_number_normalize`.
-    The NER entity-marker half (PRODUCT/NUM prefixes from a spaCy
-    model) stays behind ``ner=True``: spaCy is not installed in this
-    environment; the contract is a mapInPandas over ``cols`` with an
-    executor-cached pipeline emitting the same start-index markers."""
-    if ner:
+    (models/ditto/knowledge.py:53-160). ``ner=False`` runs the
+    number-normalization / ID-tagging half only
+    (:func:`dk_number_normalize`); ``ner=True`` adds the deterministic
+    PRODUCT/NUM entity markers (:func:`dk_ner_tag`). ``ner='spacy'``
+    keeps the original model-backed seam: spaCy is not installed in
+    this environment; the contract is a mapInPandas over ``cols`` with
+    an executor-cached pipeline emitting the same start-index
+    markers."""
+    if ner == "spacy":
         try:
             import spacy  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "ner=True requires spaCy (not installed); "
+                "ner='spacy' requires spaCy (not installed); "
                 "plumbing contract: mapInPandas(batch -> batch with "
                 "NER-tagged text), executor-cached nlp pipeline"
             ) from e
     out = df
     for c in cols:
-        out = out.withColumn(c, dk_number_normalize(F.col(c)))
+        out = out.withColumn(
+            c,
+            dk_ner_tag(F.col(c), product_vocab)
+            if ner
+            else dk_number_normalize(F.col(c)),
+        )
     return out

@@ -2056,6 +2056,85 @@ def q_ditto_dk_normalize(spark, sf_dir) -> DataFrame:
     return p.select("p_partkey", dk_number_normalize(txt).alias("dk_text"))
 
 
+def _duck_dk_norm_case(x: str) -> str:
+    """DuckDB twin of serialize._dk_norm_token for token expression
+    ``x`` (shared by the dk_normalize and dk_ner oracles)."""
+    return f"""CASE
+                 WHEN regexp_matches({x}, '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})+(\\.[0-9]+)?$')
+                   THEN {x}
+                 WHEN regexp_matches({x}, '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$')
+                      AND abs(TRY_CAST({x} AS DOUBLE)) <= 9.223372036854776e18
+                   THEN CASE WHEN CAST({x} AS DOUBLE) = floor(CAST({x} AS DOUBLE))
+                             THEN CAST(CAST(CAST({x} AS DOUBLE) AS BIGINT) AS VARCHAR)
+                             ELSE printf('%.2f', CAST({x} AS DOUBLE)) END
+                 WHEN length({x}) >= 7 AND regexp_matches({x}, '[0-9]')
+                   THEN 'ID ' || {x}
+                 ELSE {x} END"""
+
+
+def q_ditto_dk_ner(spark, sf_dir) -> DataFrame:
+    """F17 (entity half) — Ditto domain-knowledge NER markers with the
+    deterministic recognizer (serialize.dk_ner_tag; reference
+    knowledge.py:60-104): 'PRODUCT ' at each dictionary-run start (the
+    p_type vocabulary words), 'NUM ' before money-shaped tokens, plus
+    the number/ID normalization arms, all in one Column expression."""
+    from certa_spark.functions.serialize import dk_ner_tag
+
+    p = _t(spark, sf_dir, "part")
+    txt = F.concat_ws(
+        " ",
+        F.col("p_type"),
+        F.col("p_name"),
+        F.concat(F.lit("$"), F.col("p_retailprice").cast("string")),
+        F.col("p_size").cast("string"),
+        F.concat(F.lit("sn"), F.col("p_partkey"), F.lit("x9")),
+    )
+    return p.select("p_partkey", dk_ner_tag(txt).alias("dk_text"))
+
+
+def _q_ditto_dk_ner_sql() -> str:
+    from certa_spark.functions.serialize import (
+        _DEFAULT_PRODUCT_VOCAB,
+        _DK_DATE_RE,
+        _DK_MONEY_RE,
+        _DK_PERCENT_RE,
+    )
+
+    vocab = ", ".join(f"'{v}'" for v in _DEFAULT_PRODUCT_VOCAB)
+    cur = "list_extract(toks, i)"
+    prev = "list_extract(toks, i - 1)"
+    num_ent = " OR ".join(
+        f"regexp_matches({cur}, '{re}')"
+        for re in (_DK_MONEY_RE, _DK_PERCENT_RE, _DK_DATE_RE)
+    )
+    return f"""
+    WITH t AS (
+        SELECT p_partkey,
+               p_type || ' ' || p_name || ' $' ||
+               CAST(p_retailprice AS VARCHAR) || ' ' ||
+               CAST(p_size AS VARCHAR) || ' sn' ||
+               CAST(p_partkey AS VARCHAR) || 'x9' AS txt
+        FROM part
+    ),
+    tok AS (
+        SELECT p_partkey,
+               list_filter(regexp_split_to_array(txt, '\\s+'), x -> x <> '')
+               AS toks
+        FROM t
+    )
+    SELECT p_partkey,
+           array_to_string(list_transform(range(1, len(toks) + 1), i ->
+               (CASE WHEN lower({cur}) IN ({vocab})
+                          AND (i = 1 OR NOT lower({prev}) IN ({vocab}))
+                       THEN 'PRODUCT '
+                     WHEN {num_ent}
+                       THEN 'NUM '
+                     ELSE '' END)
+               || {_duck_dk_norm_case(cur)}), ' ') AS dk_text
+    FROM tok
+"""
+
+
 _Q_DK_NORMALIZE_SQL = r"""
     WITH t AS (
         SELECT p_partkey,
@@ -4513,6 +4592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ditto_serialize": q_ditto_serialize,
     "marked_tokens": q_marked_tokens,
     "ditto_dk_normalize": q_ditto_dk_normalize,
+    "ditto_dk_ner": q_ditto_dk_ner,
     "events_sessionized": q_events_sessionized,
     "events_sessionized_salted": q_events_sessionized_salted,
     "events_session_builtin": q_events_session_builtin,
@@ -4650,6 +4730,7 @@ ORACLES: dict[str, str] = {
     "ditto_serialize": _Q_DITTO_SQL,
     "marked_tokens": _Q_MARKED_SQL,
     "ditto_dk_normalize": _Q_DK_NORMALIZE_SQL,
+    "ditto_dk_ner": _q_ditto_dk_ner_sql(),
     "events_sessionized": _Q_SESSION_SQL,
     "events_sessionized_salted": _Q_SESSION_SQL,
     "events_session_builtin": _Q_SESSION_BUILTIN_SQL,

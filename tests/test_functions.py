@@ -191,3 +191,62 @@ def test_media_features_fake_codec_matches_python(spark):
         assert len(got) == 20
         for a, b in zip(got, exp):
             assert abs(a - b) < 1e-6
+
+
+def _py_dk_ner_tag(entry: str) -> str:
+    """Pure-python replica of ProductDKInjector.transform
+    (knowledge.py:60-104) with whitespace tokens and the deterministic
+    recognizer standing in for spaCy ents: PRODUCT = maximal runs of
+    vocab tokens (marker at run start, as one multi-token ent);
+    NUM = money/percent/date shaped tokens. Start markers only — the
+    reference populates end_indices but never emits them."""
+    from certa_spark.functions.serialize import (
+        _DEFAULT_PRODUCT_VOCAB,
+        _DK_DATE_RE,
+        _DK_MONEY_RE,
+        _DK_PERCENT_RE,
+    )
+
+    vocab = {v.lower() for v in _DEFAULT_PRODUCT_VOCAB}
+    toks = entry.split()
+    out = []
+    for i, tok in enumerate(toks):
+        is_prod = tok.lower() in vocab
+        prev_prod = i > 0 and toks[i - 1].lower() in vocab
+        if is_prod and not prev_prod:
+            out.append("PRODUCT")
+        elif any(
+            re.fullmatch(p.strip("^$"), tok)
+            for p in (_DK_MONEY_RE, _DK_PERCENT_RE, _DK_DATE_RE)
+        ):
+            out.append("NUM")
+        out.append(_py_dk_number_normalize(tok))
+    return " ".join(out)
+
+
+def test_dk_ner_tag(spark):
+    from certa_spark.functions.serialize import dk_ner_tag, ner_normalize
+
+    cases = [
+        "STANDARD ANODIZED TIN widget",          # run at pos 0, one marker
+        "shiny promo burnished copper promo",     # mid-run + restart
+        "price $12.99 on 2024-01-31 save 15%",    # money, date, percent
+        "due 1/2/24 was $1,299.00 sn1234567",     # date variants + ID arm
+        "plain 42 and 3.50 tokens",               # numbers norm, no ents
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", dk_ner_tag(F.col("t")).alias("n")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == _py_dk_ner_tag(c), c
+    assert got[0] == "PRODUCT STANDARD ANODIZED TIN widget"
+    assert got[1] == "shiny PRODUCT promo burnished copper PRODUCT promo"
+    assert got[2] == "price NUM $12.99 on NUM ID 2024-01-31 save NUM 15%"
+    # ner=True routes through the tagger; ner=False number-only
+    tagged = ner_normalize(df, ["t"], ner=True).collect()
+    assert {r["i"]: r["t"] for r in tagged}[0] == got[0]
