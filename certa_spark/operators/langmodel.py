@@ -64,3 +64,65 @@ def unigram_surprisal(
             F.sum("term").cast("double") / F.count("*"), 4
         ).alias("avg_surprisal"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-k-smoothed
+    corpus bigram LM — one rung up from :func:`unigram_surprisal` on
+    the KenLM-filter ladder (context-aware: catches shuffled-word and
+    template text that unigram stats score as natural). Returns
+    (id_col, n_bigrams, avg_logprob[4dp]).
+
+      p(w2|w1) = (count(w1 w2) + k) / (count(w1·) + k·V)
+
+    FIT is two aggregates off ONE exploded-bigram pass (bigram counts;
+    left-context counts derived from them by a second partial agg, not
+    a re-scan) plus a 1-row vocab count. SCORE re-joins doc bigrams to
+    the model — bigram-vocabulary-sized, broadcast below threshold,
+    hash join above. Per-bigram log terms route through DECIMAL(30,6)
+    before the per-doc sum (float parity rule, queries.py header)."""
+    w = words(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    doc_bg = docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    bg_counts = doc_bg.groupBy("bg").agg(F.count("*").alias("cbg"))
+    left_counts = (
+        bg_counts.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "cbg"
+        )
+        .groupBy("w1")
+        .agg(F.sum("cbg").alias("cw1"))
+    )
+    vocab = docs.select(F.explode(w).alias("w")).groupBy().agg(
+        F.count_distinct("w").cast("double").alias("v")
+    )
+    model = bg_counts.withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    ).join(left_counts, "w1")
+    term = (
+        (
+            F.log(F.col("cbg").cast("double") + F.lit(float(add_k)))
+            - F.log(F.col("cw1").cast("double") + F.lit(float(add_k)) * F.col("v"))
+        )
+        .cast("decimal(30,6)")
+        .alias("term")
+    )
+    scored = (
+        doc_bg.join(model.select("bg", "cbg", "cw1"), "bg")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), term)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum("term").cast("double") / F.count("*"), 4).alias(
+            "avg_logprob"
+        ),
+    )

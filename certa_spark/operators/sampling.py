@@ -153,3 +153,37 @@ def duck_weighted_key_sql(key_expr: str, weight_expr: str, seed: int = 0) -> str
     h = duck_hash64(key_expr, seed=seed)
     u = f"(CAST({h} % {_GRAIN} AS DOUBLE) / {float(_GRAIN)})"
     return f"round(pow({u}, 1.0 / ({weight_expr})), 6)"
+
+
+def token_budget_fill(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    tokens_col: Column,
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum token-budget fill — the "take N tokens per source"
+    pretraining-mix primitive: order each stratum's docs by content
+    hash (deterministic, partitioning-independent) and keep docs while
+    the running token total stays within ``budget``. A doc that would
+    cross the budget is excluded (and so is everything after it in
+    hash order), so the selection is exactly reproducible and
+    lower-budget selections are prefixes of higher-budget ones.
+
+    One shuffle (the per-stratum window); the running sum is a plain
+    cumulative window aggregate — no driver state. Adds ``_cum_tokens``
+    (the running total INCLUDING the row) to the output.
+    """
+    from pyspark.sql.window import Window
+
+    h = hash64(F.col(key_col), seed=seed)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum_tokens") <= budget)
+    )

@@ -4531,6 +4531,175 @@ _Q_ORDERS_PCTL_SQL = """
 """
 
 
+# ------------------------------------- round-3 pipeline additions
+
+
+def q_doc_rag_chunks(spark, sf_dir) -> DataFrame:
+    """RAG-style overlapping chunking (operators/chunking.py): 32-token
+    windows every 24 tokens, chunk provenance kept. Entirely map-side —
+    no shuffle; the explode fan-out is the only data growth."""
+    from certa_spark.operators.chunking import overlap_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return overlap_chunks(d, size=32, stride=24)
+
+
+_Q_DOC_RAG_CHUNKS_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+               AS toks
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks), 24), s -> {
+                   'chunk_id': s // 24,
+                   'n_tokens': len(list_slice(toks, s + 1, s + 32)),
+                   'chunk': array_to_string(list_slice(toks, s + 1, s + 32), ' ')
+               })) AS c
+        FROM tok
+        WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(c.chunk_id AS BIGINT) AS chunk_id,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           c.chunk AS chunk
+    FROM ch
+"""
+
+
+def q_er_sorted_neighborhood(spark, sf_dir) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/blocking.py): both
+    sources sorted together by name, candidates = cross-source pairs
+    within 4 positions of the global sort order. The global rank is
+    computed skew-safely (range repartition + per-partition index +
+    offset map), never through a single-partition window; pairing is a
+    bucket equi-join, never all-pairs."""
+    from certa_spark.operators.blocking import sorted_neighborhood_pairs
+
+    left, right = _er_sources(spark, sf_dir)
+    recs = left.select(
+        F.lit("l").alias("side"), "id", F.lower("name").alias("skey")
+    ).unionByName(
+        right.select(
+            F.lit("r").alias("side"), "id", F.lower("name").alias("skey")
+        )
+    )
+    return sorted_neighborhood_pairs(
+        recs, key_col="skey", side_col="side", id_col="id", window=4
+    )
+
+
+_Q_SORTED_NEIGHBORHOOD_SQL = """
+    WITH recs AS (
+        SELECT 'l' AS side, p_partkey AS id, lower(p_name) AS skey FROM part
+        UNION ALL
+        SELECT 'r' AS side, p_partkey AS id,
+               lower(regexp_replace(p_name, '\\s+\\S+\\s*$', '')) AS skey
+        FROM part
+    ),
+    ranked AS (
+        SELECT side, id,
+               row_number() OVER (ORDER BY skey, side, id) AS rnk
+        FROM recs
+    )
+    SELECT CASE WHEN a.side = 'l' THEN a.id ELSE b.id END AS lid,
+           CASE WHEN a.side = 'l' THEN b.id ELSE a.id END AS rid,
+           CAST(b.rnk - a.rnk AS BIGINT) AS dist
+    FROM ranked a
+    JOIN ranked b
+      ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4 AND a.side <> b.side
+"""
+
+
+def q_doc_token_budget_mix(spark, sf_dir) -> DataFrame:
+    """Per-source token-budget fill (operators/sampling.py
+    token_budget_fill): each source contributes docs in content-hash
+    order until 800 tokens are reached — the "N tokens per source"
+    pretraining-mix primitive, deterministic and prefix-stable across
+    budgets. One shuffle (the per-stratum window)."""
+    from certa_spark.operators.sampling import token_budget_fill
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", TS.token_count(F.col("text")).alias("ntok")
+    )
+    out = token_budget_fill(
+        d, strata_col="source", key_col="doc_id",
+        tokens_col=F.col("ntok"), budget=800, seed=7,
+    )
+    return out.select(
+        "source", "doc_id", "ntok",
+        F.col("_cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+def _q_doc_token_budget_mix_sql() -> str:
+    h = duck_hash64("CAST(doc_id AS VARCHAR)", seed=7)
+    return f"""
+    WITH d AS (
+        SELECT source, doc_id, {TS.duck_token_count('text')} AS ntok,
+               {h} AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, ntok,
+               sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    )
+    SELECT source, doc_id, ntok, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 800
+"""
+
+
+def q_doc_bigram_lm(spark, sf_dir) -> DataFrame:
+    """Add-1-smoothed corpus bigram LM scoring
+    (operators/langmodel.bigram_logprob) — the context-aware rung of
+    the KenLM-filter ladder. Per-bigram log terms route through
+    DECIMAL(30,6) so partial-agg order cannot move the result."""
+    from certa_spark.operators.langmodel import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d, add_k=1.0)
+
+
+def _q_doc_bigram_lm_sql() -> str:
+    ws = TS.duck_words("text")
+    return f"""
+    WITH w AS (SELECT doc_id, {ws} AS ws FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ws), 1)),
+                   i -> list_extract(ws, i) || ' ' || list_extract(ws, i + 1)))
+               AS bg
+        FROM w
+    ),
+    cbg AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+    cw1 AS (
+        SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cw1
+        FROM cbg GROUP BY w1
+    ),
+    v AS (
+        SELECT CAST(count(DISTINCT wd) AS DOUBLE) AS v
+        FROM (SELECT unnest(ws) AS wd FROM w)
+    ),
+    terms AS (
+        SELECT doc_id,
+               CAST(ln(CAST(cbg AS DOUBLE) + 1.0)
+                    - ln(CAST(cw1 AS DOUBLE) + 1.0 * v)
+                 AS DECIMAL(30,6)) AS term
+        FROM bg
+        JOIN cbg USING (bg)
+        JOIN cw1 ON split_part(bg.bg, ' ', 1) = cw1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS avg_logprob
+    FROM terms GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4643,6 +4812,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_blocking_pairs": q_er_blocking_pairs,
     "media_frame_grid": q_media_frame_grid,
     "media_features": q_media_features,
+    "doc_rag_chunks": q_doc_rag_chunks,
+    "er_sorted_neighborhood": q_er_sorted_neighborhood,
+    "doc_token_budget_mix": q_doc_token_budget_mix,
+    "doc_bigram_lm": q_doc_bigram_lm,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -4781,6 +4954,10 @@ ORACLES: dict[str, str] = {
     "er_blocking_pairs": _q_er_blocking_sql(),
     "media_frame_grid": _Q_FRAME_GRID_SQL,
     "media_features": _Q_MEDIA_FEATURES_SQL,
+    "doc_rag_chunks": _Q_DOC_RAG_CHUNKS_SQL,
+    "er_sorted_neighborhood": _Q_SORTED_NEIGHBORHOOD_SQL,
+    "doc_token_budget_mix": _q_doc_token_budget_mix_sql(),
+    "doc_bigram_lm": _q_doc_bigram_lm_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

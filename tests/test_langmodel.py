@@ -29,3 +29,30 @@ def test_surprisal_orders_quality(spark):
         r["doc_id"]: r["avg_surprisal"] for r in unigram_surprisal(docs).collect()
     }
     assert got[100] < got[0] < got[101]
+
+
+def test_bigram_logprob_hand_check(spark):
+    import math
+
+    from certa_spark.operators.langmodel import bigram_logprob
+
+    # corpus: "a b" x2 and "a c"; V = 3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob(docs, add_k=1.0).collect()
+    }
+    # c("a b")=2, c("a c")=1, c("a ·")=3, V=3
+    p_ab = math.log((2 + 1.0) / (3 + 1.0 * 3))
+    p_ac = math.log((1 + 1.0) / (3 + 1.0 * 3))
+    assert got[1] == (1, round(p_ab, 4)) == got[2]
+    assert got[3] == (1, round(p_ac, 4))
+    # natural text outscores its shuffled twin (context sensitivity —
+    # the thing unigram surprisal cannot see)
+    nat = [(i, "the cat sat on the mat") for i in range(10)]
+    shuf = [(100, "mat the on sat cat the")]
+    both = spark.createDataFrame(nat + shuf, "doc_id long, text string")
+    sc = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(both).collect()}
+    assert sc[0] > sc[100]

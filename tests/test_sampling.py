@@ -50,3 +50,34 @@ def test_word_bigrams(spark):
     )
     got = [r[0] for r in df.select(word_bigrams("w")).collect()]
     assert got == [["a b", "b c", "c d"], ["x y"]]
+
+
+def test_token_budget_fill_prefix_stable(spark):
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.sampling import token_budget_fill
+
+    rows = [(i, f"s{i % 3}", 10 + i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, ntok long")
+    small = token_budget_fill(
+        df, "source", "doc_id", F.col("ntok"), budget=60, seed=3
+    )
+    big = token_budget_fill(
+        df, "source", "doc_id", F.col("ntok"), budget=150, seed=3
+    )
+    s_ids = {r["doc_id"] for r in small.collect()}
+    b_ids = {r["doc_id"] for r in big.collect()}
+    # lower budgets select PREFIXES of higher-budget selections
+    assert s_ids < b_ids
+    # budget respected per stratum
+    for r in big.groupBy("source").agg(F.max("_cum_tokens").alias("m")).collect():
+        assert r["m"] <= 150
+    # partitioning-invariant
+    again = {
+        r["doc_id"]
+        for r in token_budget_fill(
+            df.repartition(11), "source", "doc_id", F.col("ntok"),
+            budget=150, seed=3,
+        ).collect()
+    }
+    assert again == b_ids
