@@ -404,3 +404,83 @@ def pagerank_dangling(
             )
         ranks = incoming.localCheckpoint()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph (pass
+    canonical a<b edges; duplicates are deduped here). Returns
+    ``(node, triangles)`` for every node in ≥1 triangle.
+
+    Scale shape — the standard degree-ordered orientation: every edge
+    is directed from its (degree, id)-smaller endpoint to the larger,
+    which bounds every node's out-degree by O(sqrt(|E|)); wedges are
+    then a self-join of the oriented edges on the pivot and each wedge
+    is closed by one hash join back against the oriented edge set. The
+    quadratic blow-up a hub node causes in a naive wedge join cannot
+    happen: hubs have near-zero OUT-degree under the orientation.
+
+    Each triangle is found exactly once (its (degree,id)-minimal
+    vertex is the pivot), then credited to all three corners via one
+    explode + aggregate.
+    """
+    partitions = _default_partitions(edges, partitions)
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_d"))
+    )
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    ed = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("_d").alias("_da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("_d").alias("_db")), "b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t"),
+                         F.col("_da").alias("_ds"), F.col("_db").alias("_dt")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("s"), F.col("a").alias("t"),
+                         F.col("_db").alias("_ds"), F.col("_da").alias("_dt"))
+            )
+            .alias("e")
+        )
+        .select("e.s", "e.t", "e._ds", "e._dt")
+        .repartition(partitions, "s")
+        .localCheckpoint()
+    )
+    w1 = ed.select(F.col("s").alias("p"), F.col("t").alias("u"),
+                   F.col("_dt").alias("_du"))
+    w2 = ed.select(F.col("s").alias("p"), F.col("t").alias("v"),
+                   F.col("_dt").alias("_dv"))
+    wedges = (
+        w1.join(w2, "p")
+        .filter(
+            (F.col("_du") < F.col("_dv"))
+            | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("p", "u", "v")
+    )
+    tris = wedges.join(
+        ed.select(F.col("s").alias("u"), F.col("t").alias("v")), ["u", "v"]
+    )
+    return (
+        tris.select(F.explode(F.array("p", "u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )

@@ -4700,6 +4700,131 @@ def _q_doc_bigram_lm_sql() -> str:
 """
 
 
+def q_part_triangles(spark, sf_dir) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph
+    (operators/graph.triangle_counts): degree-ordered orientation
+    bounds every wedge fan-out at O(sqrt(E)) — hub-safe, unlike a
+    naive wedge self-join. The oracle enumerates x<y<z triangles with
+    a 3-way join and unnests the corners."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    return GR.triangle_counts(pairs, src="pa", dst="pb")
+
+
+_Q_PART_TRIANGLES_SQL = """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 3 = 0
+    ),
+    t AS (
+        SELECT xy.a AS x, xy.b AS y, xz.b AS z
+        FROM e xy
+        JOIN e xz ON xy.a = xz.a AND xy.b < xz.b
+        JOIN e yz ON yz.a = xy.b AND yz.b = xz.b
+    ),
+    n AS (
+        SELECT x AS node FROM t
+        UNION ALL SELECT y FROM t
+        UNION ALL SELECT z FROM t
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM n GROUP BY node
+"""
+
+
+def q_er_blocking_recall(spark, sf_dir) -> DataFrame:
+    """Blocking-quality evaluation: recall/precision of the token-
+    blocking candidate set (er_blocking_pairs) against the known
+    ground truth (each left record's true match is the same-id right
+    variant). One row: counts + recall + precision — the metric a
+    100TB ER pipeline watches when tuning block keys."""
+    cands = q_er_blocking_pairs(spark, sf_dir).select("lid", "rid")
+    left, _ = _er_sources(spark, sf_dir)
+    truth = left.filter(F.col("id") % 5 == 0).agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    stats = cands.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("lid") == F.col("rid"), 1).otherwise(0)
+        ).cast("long").alias("n_hits"),
+    )
+    return truth.crossJoin(F.broadcast(stats)).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("precision"),
+    )
+
+
+def _q_er_blocking_recall_sql() -> str:
+    return f"""
+    WITH cands AS (SELECT lid, rid FROM ({_q_er_blocking_sql()})),
+    truth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_truth FROM part
+        WHERE p_partkey % 5 = 0
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(coalesce(sum(CASE WHEN lid = rid THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_hits
+        FROM cands
+    )
+    SELECT n_truth, n_candidates, n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
+           round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision
+    FROM truth CROSS JOIN stats
+"""
+
+
+def q_lineitem_skew_report(spark, sf_dir) -> DataFrame:
+    """Key-skew diagnostic — the report a pipeline reads BEFORE
+    choosing salting/AQE-skew-join settings: top-10 hottest join keys
+    with absolute count, share of rows, and skew ratio vs the mean
+    key. Two aggregates (per-key counts, then a broadcast 1-row
+    totals scalar); never a global sort."""
+    l = _t(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_tot"),
+        F.count("*").cast("double").alias("_nkeys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("l_suppkey")).limit(10)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "l_suppkey",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
+        F.round(F.col("cnt") / (F.col("_tot") / F.col("_nkeys")), 6).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+_Q_SKEW_REPORT_SQL = """
+    WITH counts AS (
+        SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    totals AS (
+        SELECT sum(cnt) AS tot, CAST(count(*) AS DOUBLE) AS nkeys FROM counts
+    )
+    SELECT l_suppkey, CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cnt AS DOUBLE) / tot, 6) AS share,
+           round(CAST(cnt AS DOUBLE) / (CAST(tot AS DOUBLE) / nkeys), 6)
+             AS skew_ratio
+    FROM counts CROSS JOIN totals
+    ORDER BY cnt DESC, l_suppkey
+    LIMIT 10
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4816,6 +4941,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
     "doc_token_budget_mix": q_doc_token_budget_mix,
     "doc_bigram_lm": q_doc_bigram_lm,
+    "part_triangles": q_part_triangles,
+    "er_blocking_recall": q_er_blocking_recall,
+    "lineitem_skew_report": q_lineitem_skew_report,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -4958,6 +5086,9 @@ ORACLES: dict[str, str] = {
     "er_sorted_neighborhood": _Q_SORTED_NEIGHBORHOOD_SQL,
     "doc_token_budget_mix": _q_doc_token_budget_mix_sql(),
     "doc_bigram_lm": _q_doc_bigram_lm_sql(),
+    "part_triangles": _Q_PART_TRIANGLES_SQL,
+    "er_blocking_recall": _q_er_blocking_recall_sql(),
+    "lineitem_skew_report": _Q_SKEW_REPORT_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

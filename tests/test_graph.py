@@ -91,3 +91,25 @@ def test_pagerank_dangling_conserves_mass(spark):
     a = {r["node"]: r["r"] for r in pagerank(cyc, iterations=3).collect()}
     b = {r["node"]: r["r"] for r in pagerank_dangling(cyc, iterations=3).collect()}
     assert a == b
+
+
+def test_triangle_counts_hand_checked(spark):
+    from itertools import combinations
+
+    from certa_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a
+    # pendant edge and one extra triangle {4,5,6}
+    edges = list(combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6), (4, 6), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 4, 5: 1, 6: 1}
+    # duplicate + reversed edges change nothing (dedup + canonicalize)
+    noisy = df.unionByName(
+        spark.createDataFrame([(2, 1), (1, 2), (3, 1)], "src long, dst long")
+    )
+    assert {
+        r["node"]: r["triangles"] for r in triangle_counts(noisy).collect()
+    } == got
