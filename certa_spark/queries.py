@@ -4825,6 +4825,117 @@ _Q_SKEW_REPORT_SQL = """
 """
 
 
+def q_orders_quantile_sketch(spark, sf_dir) -> DataFrame:
+    """Quantile estimation FROM the mergeable equi-width histogram
+    (the scale path when exact percentiles can't sort 100TB and
+    approx_percentile's KLL internals can't be oracle-checked):
+    cumulative bin counts + linear interpolation inside the crossing
+    bin, reported next to the exact percentile and the relative error.
+    Everything after the two base aggregates runs on ≤32-row frames."""
+    o = _t(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_totalprice").alias("_mn"),
+        F.max("o_totalprice").alias("_mx"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / 32.0
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("_mn")) / width).cast("long"),
+        F.lit(31).cast("long"),
+    )
+    hist = (
+        o.crossJoin(F.broadcast(ext))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    h2 = hist.select(F.col("bin").alias("_b2"), F.col("cnt").alias("_c2"))
+    cum = (
+        hist.join(h2, F.col("_b2") <= F.col("bin"))
+        .groupBy("bin", "cnt")
+        .agg(F.sum("_c2").alias("cum"))
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    target = F.col("q") * F.col("_n")
+    est = (
+        qs.crossJoin(F.broadcast(ext))
+        .join(
+            F.broadcast(cum),
+            ((F.col("cum") - F.col("cnt")) < target) & (target <= F.col("cum")),
+        )
+        .select(
+            "q",
+            F.round(
+                F.col("_mn")
+                + F.col("bin") * width
+                + width
+                * ((target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")),
+                4,
+            ).alias("est"),
+        )
+    )
+    exact = o.agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).alias("e50"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.9)), 4).alias("e90"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.99)), 4).alias("e99"),
+    ).select(
+        F.expr("stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (q, exact)")
+    )
+    return est.join(exact, "q").select(
+        "q",
+        "est",
+        "exact",
+        F.round(
+            F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+_Q_QUANTILE_SKETCH_SQL = """
+    WITH ext AS (
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+               count(*) AS n
+        FROM orders
+    ),
+    hist AS (
+        SELECT LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / 32.0))
+                          AS BIGINT), 31) AS bin,
+               count(*) AS cnt
+        FROM orders CROSS JOIN ext GROUP BY 1
+    ),
+    cum AS (
+        SELECT h1.bin, h1.cnt, sum(h2.cnt) AS cum
+        FROM hist h1 JOIN hist h2 ON h2.bin <= h1.bin
+        GROUP BY h1.bin, h1.cnt
+    ),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+    est AS (
+        SELECT q,
+               round(mn + bin * ((mx - mn) / 32.0)
+                     + ((mx - mn) / 32.0)
+                       * ((q * n - (cum - cnt)) / cnt), 4) AS est
+        FROM qs CROSS JOIN ext
+        JOIN cum ON (cum - cnt) < q * n AND q * n <= cum
+    ),
+    ex AS (
+        SELECT CAST(0.5 AS DOUBLE) AS q,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS exact
+        FROM orders
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE),
+               round(quantile_cont(o_totalprice, 0.9), 4) FROM orders
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE),
+               round(quantile_cont(o_totalprice, 0.99), 4) FROM orders
+    )
+    SELECT q, est, exact, round(abs(est - exact) / exact, 6) AS rel_err
+    FROM est JOIN ex USING (q)
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4944,6 +5055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_triangles": q_part_triangles,
     "er_blocking_recall": q_er_blocking_recall,
     "lineitem_skew_report": q_lineitem_skew_report,
+    "orders_quantile_sketch": q_orders_quantile_sketch,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5089,6 +5201,7 @@ ORACLES: dict[str, str] = {
     "part_triangles": _Q_PART_TRIANGLES_SQL,
     "er_blocking_recall": _q_er_blocking_recall_sql(),
     "lineitem_skew_report": _Q_SKEW_REPORT_SQL,
+    "orders_quantile_sketch": _Q_QUANTILE_SKETCH_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
