@@ -23,6 +23,15 @@ QUERIES_UNDER_TEST = [
     "neardup_keep_best",
     "augment_variants",
     "part_pagerank",
+    # round 3: the exact-global-rank path (range partitioner + local
+    # monotonic ids + offset map) is the most partitioning-sensitive
+    # machinery in the repo; budget fill is a per-stratum running
+    # cumsum; dangling pagerank adds a broadcast lost-mass scalar;
+    # triangles ride the chunked pair build + degree orientation
+    "er_sorted_neighborhood",
+    "doc_token_budget_mix",
+    "part_pagerank_dangling",
+    "part_triangles",
 ]
 
 
