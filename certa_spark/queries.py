@@ -4936,6 +4936,103 @@ _Q_QUANTILE_SKETCH_SQL = """
 """
 
 
+def q_doc_quality_model(spark, sf_dir) -> DataFrame:
+    """Model-inference-as-codegen: a (pretrained, literal-weight)
+    logistic quality classifier over textstat features evaluated as a
+    pure Column expression — sigmoid(w·x) runs inside whole-stage
+    codegen, no UDF, no model server. The pattern a 100TB filter pass
+    wants: distillation-sized models compile into the scan itself."""
+    d = _t(spark, sf_dir, "documents")
+    tc = TS.token_count(F.col("text")).cast("double")
+    sf = F.when(
+        tc > 0, TS.stopword_hits(F.col("text"), "en").cast("double") / tc
+    ).otherwise(F.lit(0.0))
+    z = (
+        F.lit(-1.2)
+        + F.lit(-3.0) * TS.punct_ratio(F.col("text"))
+        + F.lit(0.35) * TS.mean_word_len(F.col("text"))
+        + F.lit(0.25) * F.log(F.lit(1.0) + tc)
+        + F.lit(1.5) * sf
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).cast("int").cast("long").alias("keep"),
+    )
+
+
+def _q_doc_quality_model_sql() -> str:
+    tc = f"CAST({TS.duck_token_count('text')} AS DOUBLE)"
+    sw = TS.duck_stopword_hits("text", "en")
+    return f"""
+    WITH f AS (
+        SELECT doc_id,
+               {tc} AS tc,
+               CASE WHEN {tc} > 0
+                    THEN CAST({sw} AS DOUBLE) / {tc} ELSE 0.0 END AS sf,
+               {TS.duck_punct_ratio('text')} AS pr,
+               {TS.duck_mean_word_len('text')} AS mwl
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.2 + -3.0 * pr + 0.35 * mwl
+                                    + 0.25 * ln(1.0 + tc) + 1.5 * sf))), 6)
+               AS score,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-(-1.2 + -3.0 * pr + 0.35 * mwl
+                                             + 0.25 * ln(1.0 + tc) + 1.5 * sf)))
+                          >= 0.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM f
+"""
+
+
+def q_doc_vocab_coverage(spark, sf_dir) -> DataFrame:
+    """Tokenizer-diagnostics: what fraction of corpus token
+    OCCURRENCES the top-10 vocabulary covers (cumulative-frequency
+    coverage — the number a vocab-size decision reads). Token counts
+    partial-aggregate map-side; the top-k is TakeOrderedAndProject;
+    the final division runs on two 1-row frames."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TS.words(F.col("text"))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(10)
+        .agg(F.sum("cnt").cast("long").alias("covered"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_vocab",
+        "total",
+        "covered",
+        F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+    )
+
+
+def _q_doc_vocab_coverage_sql() -> str:
+    ws = TS.duck_words("text")
+    return f"""
+    WITH toks AS (SELECT unnest({ws}) AS w FROM documents),
+    counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(sum(cnt) AS BIGINT) AS total
+        FROM counts
+    ),
+    top AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS covered
+        FROM (SELECT cnt FROM counts ORDER BY cnt DESC, w LIMIT 10)
+    )
+    SELECT n_vocab, total, covered,
+           round(CAST(covered AS DOUBLE) / total, 6) AS coverage
+    FROM totals CROSS JOIN top
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5056,6 +5153,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_blocking_recall": q_er_blocking_recall,
     "lineitem_skew_report": q_lineitem_skew_report,
     "orders_quantile_sketch": q_orders_quantile_sketch,
+    "doc_quality_model": q_doc_quality_model,
+    "doc_vocab_coverage": q_doc_vocab_coverage,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5202,6 +5301,8 @@ ORACLES: dict[str, str] = {
     "er_blocking_recall": _q_er_blocking_recall_sql(),
     "lineitem_skew_report": _Q_SKEW_REPORT_SQL,
     "orders_quantile_sketch": _Q_QUANTILE_SKETCH_SQL,
+    "doc_quality_model": _q_doc_quality_model_sql(),
+    "doc_vocab_coverage": _q_doc_vocab_coverage_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
