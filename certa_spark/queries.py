@@ -4792,7 +4792,12 @@ def q_lineitem_skew_report(spark, sf_dir) -> DataFrame:
     key. Two aggregates (per-key counts, then a broadcast 1-row
     totals scalar); never a global sort."""
     l = _t(spark, sf_dir, "lineitem")
-    counts = l.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    # counts feeds BOTH the totals scalar and the top-10 — checkpoint
+    # the (tiny, key-cardinality) aggregate so the base table is
+    # scanned once, not once per consumer
+    counts = (
+        l.groupBy("l_suppkey").agg(F.count("*").alias("cnt")).localCheckpoint()
+    )
     totals = counts.agg(
         F.sum("cnt").alias("_tot"),
         F.count("*").cast("double").alias("_nkeys"),
@@ -4995,7 +5000,9 @@ def q_doc_vocab_coverage(spark, sf_dir) -> DataFrame:
     the final division runs on two 1-row frames."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(TS.words(F.col("text"))).alias("w"))
-    counts = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    # vocab-sized aggregate feeding two consumers: checkpoint once so
+    # the corpus is tokenized once, not per consumer
+    counts = toks.groupBy("w").agg(F.count("*").alias("cnt")).localCheckpoint()
     totals = counts.agg(
         F.count("*").cast("long").alias("n_vocab"),
         F.sum("cnt").cast("long").alias("total"),

@@ -32,6 +32,7 @@ QUERIES_UNDER_TEST = [
     "doc_token_budget_mix",
     "part_pagerank_dangling",
     "part_triangles",
+    "doc_bigram_lm",  # DECIMAL-routed log-prob sums
 ]
 
 
