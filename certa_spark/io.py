@@ -162,3 +162,42 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Newline-delimited JSON source — the lingua franca of LLM
+    training-data interchange. Pass ``schema`` (DDL string or
+    StructType) in production: schema inference costs a FULL extra
+    pass over the data (at 100TB that is a second 100TB scan) and can
+    silently widen types between daily drops; an explicit schema makes
+    the read one pass and the contract stable. Corrupt lines land in
+    ``_corrupt_record`` instead of failing the job (PERMISSIVE mode),
+    so a bad shard degrades to rows you can count and quarantine."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSONL sink (one object per line, gzip-compressed shards by
+    default — JSONL is whitespace-heavy, ~5-10x smaller compressed;
+    pass ``compression=None`` for downstream line-seekable readers).
+    One file per partition: size output shards upstream with
+    ``repartition(n)``, not here — a coalesce inside the sink would
+    silently serialize the final stage."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -666,3 +666,34 @@ def test_observed_filter_funnel(spark):
         "keep_small_kept": 200,
     }
     assert n == 200
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    from certa_spark.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", ["a", "b"], {"k": 2}),
+         (2, "second doc", [], {"k": 0})],
+        "doc_id long, text string, tags array<string>, meta map<string,long>",
+    )
+    p = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, p, compression=None)
+    back = read_jsonl(
+        spark, p,
+        schema="doc_id long, text string, tags array<string>, "
+               "meta map<string,long>",
+    )
+    got = {r["doc_id"]: (r["text"], r["tags"], dict(r["meta"])) for r in back.collect()}
+    assert got == {1: ("hello world", ["a", "b"], {"k": 2}),
+                   2: ("second doc", [], {"k": 0})}
+
+    # corrupt line degrades to a countable row, not a failed job
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 3, "text": "fine"}\n{not json at all\n'
+    )
+    schema = "doc_id long, text string, _corrupt_record string"
+    r = read_jsonl(spark, str(bad), schema=schema).cache()
+    assert r.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert r.filter("doc_id = 3").count() == 1
