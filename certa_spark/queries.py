@@ -211,14 +211,16 @@ def q_er_support_topk(spark, sf_dir) -> DataFrame:
         F.col("s_suppkey").alias("rtable_id"),
         F.round(DD.jaccard(pt, st), 6).alias("score"),
     )
-    w_desc = Window.orderBy(F.col("score").desc(), F.col("rtable_id"))
-    w_asc = Window.orderBy(F.col("score").asc(), F.col("rtable_id").desc())
-    return (
-        scored.withColumn("rd", F.row_number().over(w_desc))
-        .withColumn("ra", F.row_number().over(w_asc))
-        .filter((F.col("rd") <= 5) | (F.col("ra") <= 5))
-        .select("rtable_id", "score")
-    )
+    # both extremes via orderBy+limit (TakeOrderedAndProject:
+    # per-partition heaps + one k-row merge) — NOT a pair of global
+    # row_number windows, which single-partition the whole scored
+    # source (the plan-audit red flag this query used to carry; the
+    # flagship scan in operators/support.py already used fused TopK).
+    # distinct collapses rows that fall in both extremes of a tiny
+    # source, matching the rank-filter semantics exactly.
+    top = scored.orderBy(F.col("score").desc(), F.col("rtable_id")).limit(5)
+    bot = scored.orderBy(F.col("score").asc(), F.col("rtable_id").desc()).limit(5)
+    return top.unionByName(bot).distinct()
 
 
 def _duck_jaccard_names() -> str:
