@@ -635,3 +635,56 @@ def knn_lsh_multiprobe(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "sim")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each probe's
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that actually move an embedding model, vs the
+    uninformative random negatives. Same broadcast-probe +
+    partial-top-k shape as :func:`knn_bruteforce`; the label
+    inequality filters BEFORE ranking so the window ranks only
+    admissible negatives. Returns (probe_id, neighbor_id, rank, sim).
+    """
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(label_col).alias("_pl"),
+            F.col(vec_col).alias("_pv"),
+        ).select(
+            "probe_id", "_pl", "_pv", l2_norm(F.col("_pv")).alias("_pn")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+    ).select("neighbor_id", "_cl", "_cv", l2_norm(F.col("_cv")).alias("_cn"))
+    scored = (
+        c.crossJoin(p)
+        .filter(F.col("_cl") != F.col("_pl"))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_pre(
+                    F.col("_pv"), F.col("_cv"), F.col("_pn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "sim")
+    )

@@ -5042,6 +5042,45 @@ def _q_doc_vocab_coverage_sql() -> str:
 """
 
 
+def q_knn_hard_negatives(spark, sf_dir) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per probe,
+    the 5 most-similar vectors with a DIFFERENT label — contrastive-
+    training negatives. Broadcast probes, label filter BEFORE the
+    per-probe partial top-k."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    probes = e.filter(F.col("vec_id") < 3)
+    corpus = e.filter(F.col("vec_id") >= 3)
+    return SIM.hard_negatives(corpus, probes, k=5)
+
+
+_Q_HARD_NEG_SQL = f"""
+    WITH p AS (
+        SELECT vec_id AS probe_id, label AS pl, embedding AS pv
+        FROM embeddings WHERE vec_id < 3
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS cl, embedding AS cv
+        FROM embeddings WHERE vec_id >= 3
+    ),
+    scored AS (
+        SELECT p.probe_id, c.neighbor_id,
+               round({SIM.duck_cosine('pv', 'cv')}, 6) AS sim
+        FROM c CROSS JOIN p
+        WHERE cl <> pl
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+           sim
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5164,6 +5203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_quantile_sketch": q_orders_quantile_sketch,
     "doc_quality_model": q_doc_quality_model,
     "doc_vocab_coverage": q_doc_vocab_coverage,
+    "knn_hard_negatives": q_knn_hard_negatives,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5312,6 +5352,7 @@ ORACLES: dict[str, str] = {
     "orders_quantile_sketch": _Q_QUANTILE_SKETCH_SQL,
     "doc_quality_model": _q_doc_quality_model_sql(),
     "doc_vocab_coverage": _q_doc_vocab_coverage_sql(),
+    "knn_hard_negatives": _Q_HARD_NEG_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
