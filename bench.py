@@ -109,6 +109,21 @@ def main() -> None:
         evaluate(spark, ex, insts, matcher, num_triangles=10, parallelism=4)
         dt = time.time() - t0
         timings["explains_per_min_x4"] = round(len(insts) * 60.0 / dt, 1)
+
+        # set-oriented batch explain: fused candidate scans (one corpus
+        # pass + one model round per 8-instance chunk, chunk pipelines
+        # overlapped) — the multi-instance path the reference's
+        # per-instance loop cannot express
+        lrows16 = cust.orderBy("id").limit(16).collect()
+        rrows16 = supp.orderBy("id").limit(16).collect()
+        insts16 = [
+            (dict(zip(cust.columns, a)), dict(zip(supp.columns, b)))
+            for a, b in zip(lrows16, rrows16)
+        ]
+        t0 = time.time()
+        ex.explain_batch(insts16, matcher, num_triangles=10, parallelism=8)
+        dt = time.time() - t0
+        timings["explains_per_min_batch16"] = round(len(insts16) * 60.0 / dt, 1)
     except Exception as e:  # noqa: BLE001
         print(f"bench error in flagship_explain: {e}", file=sys.stderr)
         timings["flagship_explain"] = -1.0

@@ -103,7 +103,7 @@ def scan_candidates(
 def scan_candidates_dual(
     parts: list[tuple[DataFrame, str, str, int, str]],
     matcher: Matcher,
-    find_positives: bool,
+    find_positives: bool | dict[str, bool],
     num_candidates: int,
     max_predict: int = -1,
     batched: bool = True,
@@ -121,6 +121,16 @@ def scan_candidates_dual(
     saves the two count() jobs the balancing step used to run).
     Returns (qualifying rows with _side_tag, {side_tag: n_qualifying}).
     """
+    # per-tag polarity: a plain bool applies to every part (the
+    # single-instance path); a {tag: bool} dict lets one fused scan
+    # serve a BATCH of instances whose predicted classes differ
+    # (explain_batch) — ordering rides a sign-folded score column and
+    # the qualifying test becomes tag-conditional.
+    if isinstance(find_positives, dict):
+        fp = dict(find_positives)
+    else:
+        fp = {tag: find_positives for *_, tag in parts}
+
     batch = num_candidates * 4
     frames = []
     for pairs, pfx, ptext, seed, tag in parts:
@@ -139,22 +149,35 @@ def scan_candidates_dual(
         frames.append(
             df.withColumn(
                 "_score", bow_cosine(F.lit(ptext), _text_expr(side_cols))
-            ).withColumn("_side_tag", F.lit(tag))
+            )
+            .withColumn("_side_tag", F.lit(tag))
+            # ascending sort of the sign-folded score == the per-part
+            # direction (desc for find-positives); ties fall to the id
+            # tiebreak either way, so ranks match the per-direction sort
+            .withColumn(
+                "_sord", F.col("_score") * F.lit(-1.0 if fp[tag] else 1.0)
+            )
         )
     allc = frames[0]
     for f in frames[1:]:
         allc = allc.unionByName(f)
 
     id_cols = [c for c in parts[0][0].columns if c.endswith("_id") or c.endswith("id")]
-    order = [F.col("_score").asc() if not find_positives else F.col("_score").desc()]
+    order = [F.col("_sord").asc()]
     # deterministic tiebreak (pandas sort ties are arbitrary; we pin them)
     order += [F.col(c).asc() for c in id_cols]
-    qual = (
-        F.col("match_score") > 0.5 if find_positives else F.col("match_score") < 0.5
-    )
+    pos_tags = [t for t, v in fp.items() if v]
+    if len(pos_tags) == len(fp):
+        qual = F.col("match_score") > 0.5
+    elif not pos_tags:
+        qual = F.col("match_score") < 0.5
+    else:
+        qual = F.when(
+            F.col("_side_tag").isin(pos_tags), F.col("match_score") > 0.5
+        ).otherwise(F.col("match_score") < 0.5)
 
     if not batched:
-        predicted = matcher.predict(allc.drop("_score"))
+        predicted = matcher.predict(allc.drop("_score", "_sord"))
         result = predicted.filter(qual)
         counts = {
             r["_side_tag"]: r["n"]
@@ -171,7 +194,7 @@ def scan_candidates_dual(
         .filter(F.col("_rn") < batch * MAX_BATCHES)
         .withColumn("_batch", (F.col("_rn") / F.lit(batch)).cast("int"))
     )
-    predicted = matcher.predict(ranked.drop("_score")).withColumn(
+    predicted = matcher.predict(ranked.drop("_score", "_sord")).withColumn(
         "_q", qual.cast("int")
     )
     # one narrow materialization; lineage truncated for the driver loop
@@ -377,3 +400,145 @@ def support_predictions(
         support_rows.withColumn("_ord", F.lit(1))
     )
     return support_pairs, copies_left, copies_right
+
+
+def support_predictions_batch(
+    spark: SparkSession,
+    instances: list[tuple[dict, dict]],
+    lsource: DataFrame,
+    rsource: DataFrame,
+    matcher: Matcher,
+    classes_to_explain: list[int],
+    num_triangles: int = 100,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+    max_predict: int = -1,
+    seed: int = 42,
+) -> tuple[DataFrame, list[int]]:
+    """Set-oriented support assembly for a BATCH of explained pairs —
+    the capability the reference's per-instance loop cannot express:
+    ONE corpus scan, ONE TopK window pass, and ONE model round cover
+    every instance's candidate search, instead of k sequential scans.
+
+    Mechanics: each instance contributes its two probe parts tagged
+    ``"{i}:q"``/``"{i}:w"`` to a single :func:`scan_candidates_dual`
+    call (the per-tag machinery — ranking windows, stop-rule batch
+    counts, qualifying totals — is already keyed by the tag, and the
+    per-tag ``find_positives`` dict handles instances whose predicted
+    classes differ). Balancing, thresholding, the deterministic
+    permutation, and the head/tail cap then run per instance over the
+    SHARED checkpointed scan output, with the same seeds the
+    single-instance path uses — ``explain_batch([x]) == explain(x)``
+    by construction (parity-tested).
+
+    Returns ``(support_pairs_all, n_support_per_instance)`` where
+    ``support_pairs_all`` carries a ``_probe`` column (instance index;
+    filter + drop it to obtain each instance's frame — row 0 semantics
+    preserved per instance via ``_ord``). Instances whose support
+    falls short of ``num_triangles`` (the DA-fallback path) are NOT
+    assembled here — callers detect them via the returned counts and
+    run the single-instance :func:`support_predictions` for those.
+    """
+    from certa_spark.operators.pairs import pair_row
+
+    num_candidates = int(num_triangles / 2)
+
+    def probe_text(rec: dict) -> str:
+        return " ".join(str(v) for k, v in rec.items() if k not in ("id", "label"))
+
+    parts = []
+    fp_by_tag: dict[str, bool] = {}
+    for i, (r1, r2) in enumerate(instances):
+        find_positives = classes_to_explain[i] == 0
+        c1 = candidate_pairs(r1, rsource, "left", lprefix, rprefix)
+        parts.append((c1, rprefix, probe_text(r1), seed, f"{i}:q"))
+        fp_by_tag[f"{i}:q"] = find_positives
+        c2 = candidate_pairs(r2, lsource, "right", lprefix, rprefix)
+        parts.append((c2, lprefix, probe_text(r2), seed + 1, f"{i}:w"))
+        fp_by_tag[f"{i}:w"] = find_positives
+
+    scanned, n_qual = scan_candidates_dual(
+        parts, matcher, fp_by_tag, num_candidates, max_predict, batched=True
+    )
+
+    # per-instance balancing caps (local_explain.py:182-185), applied on
+    # the shared frame via a tag -> cap literal map
+    caps: dict[str, int] = {}
+    n_support: list[int] = []
+    for i in range(len(instances)):
+        cq, cw = n_qual[f"{i}:q"], n_qual[f"{i}:w"]
+        max_len = min(cq, cw) or max(cq, cw)
+        caps[f"{i}:q"] = caps[f"{i}:w"] = max_len
+        n_support.append(min(cq, max_len) + min(cw, max_len))
+    cap_map = F.create_map(
+        *[F.lit(x) for kv in caps.items() for x in kv]
+    )
+    wb = Window.partitionBy("_side_tag").orderBy(
+        "_h", lprefix + "id", rprefix + "id"
+    )
+    balanced = (
+        scanned.withColumn(
+            "_h",
+            hash32(
+                composite_id(F.col(lprefix + "id"), F.col(rprefix + "id")),
+                seed,
+            ),
+        )
+        .withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= F.element_at(cap_map, F.col("_side_tag")))
+        .drop("_h", "_bn")
+    )
+    candidates = (
+        balanced.withColumn(
+            "_probe", F.split(F.col("_side_tag"), ":").getItem(0).cast("int")
+        )
+        .drop("_side_tag")
+        .withColumn(
+            "id", composite_id(F.col(lprefix + "id"), F.col(rprefix + "id"))
+        )
+    )
+
+    # deterministic permutation + per-instance head/tail cap
+    # (local_explain.py:63-64,186) — windows per _probe
+    permuted = candidates.withColumn("_h", hash32(F.col("id"), seed + 13))
+    over = [i for i, n in enumerate(n_support) if n > num_triangles]
+    if over:
+        half = int(num_triangles / 2)
+        w_asc = Window.partitionBy("_probe").orderBy(F.col("_h").asc(), "id")
+        w_desc = Window.partitionBy("_probe").orderBy(F.col("_h").desc(), "id")
+        keep = (
+            ~F.col("_probe").isin(over)
+            | (F.col("_ra") <= half)
+            | (F.col("_rd") <= half)
+        )
+        permuted = (
+            permuted.withColumn("_ra", F.row_number().over(w_asc))
+            .withColumn("_rd", F.row_number().over(w_desc))
+            .filter(keep)
+            .drop("_ra", "_rd")
+        )
+    support_rows = (
+        permuted.drop("_h")
+        .withColumn("label", F.round(F.col("match_score")).cast("int"))
+        .drop("match_score", "nomatch_score")
+    )
+
+    heads = None
+    for i, (r1, r2) in enumerate(instances):
+        head = (
+            pair_row(spark, r1, r2, lprefix, rprefix)
+            .withColumn(
+                "id", composite_id(F.col(lprefix + "id"), F.col(rprefix + "id"))
+            )
+            .withColumn("label", F.lit(int(classes_to_explain[i])))
+        )
+        for c in support_rows.columns:
+            if c not in head.columns and c != "_probe":
+                head = head.withColumn(c, F.lit(None).cast("string"))
+        head = head.withColumn("_probe", F.lit(i)).select(*support_rows.columns)
+        heads = head if heads is None else heads.unionByName(head)
+
+    support_pairs = heads.withColumn("_ord", F.lit(0)).unionByName(
+        support_rows.withColumn("_ord", F.lit(1))
+    )
+    return support_pairs, n_support

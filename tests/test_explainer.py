@@ -187,3 +187,55 @@ def test_explain_on_demand_fallback_expands_copies(spark, er_tables):
         num_triangles=2,
     )
     assert isinstance(res.triangles, list)
+
+
+def test_explain_batch_matches_per_instance(spark, er_tables):
+    """Set-oriented explain_batch must reproduce per-instance explain
+    outputs exactly — saliency, PSS, counterfactual sets, triangles —
+    including a batch whose instances get DIFFERENT predicted classes
+    (the per-tag polarity path through the fused scan)."""
+    rows_a, rows_b, A, B = er_tables
+    ex = CertaExplainer(spark, A, B, data_augmentation="no")
+    m = NativeCosineMatcher()
+    insts = [
+        (dict(zip(COLS, rows_a[0])), dict(zip(COLS, rows_b[0]))),  # match
+        (dict(zip(COLS, rows_a[1])), dict(zip(COLS, rows_b[1]))),
+        (dict(zip(COLS, rows_a[2])), dict(zip(COLS, rows_b[40]))),  # likely non-match
+    ]
+    batch = ex.explain_batch(insts, m, num_triangles=10, parallelism=3)
+    for inst, got in zip(insts, batch):
+        want = ex.explain(inst[0], inst[1], m, num_triangles=10)
+        assert got.saliency_dict == want.saliency_dict
+        assert sorted(got.triangles) == sorted(want.triangles)
+        assert dict(got.pss) == dict(want.pss)
+        assert dict(got.cf_summary) == dict(want.cf_summary)
+        wcf = want.counterfactuals
+        gcf = got.counterfactuals
+        assert len(wcf) == len(gcf)
+        if len(wcf):
+            key = ["alteredAttributes", "droppedValues"]
+            assert sorted(map(tuple, gcf[key].values.tolist())) == sorted(
+                map(tuple, wcf[key].values.tolist())
+            )
+
+
+def test_explain_batch_chunked_parity(spark, er_tables):
+    """Batches above scan_batch_size split into overlapped chunk
+    pipelines — outputs must be ordered and identical across the chunk
+    boundary."""
+    rows_a, rows_b, A, B = er_tables
+    ex = CertaExplainer(spark, A, B, data_augmentation="no")
+    m = NativeCosineMatcher()
+    insts = [
+        (dict(zip(COLS, rows_a[i])), dict(zip(COLS, rows_b[i])))
+        for i in range(9)
+    ]
+    batch = ex.explain_batch(
+        insts, m, num_triangles=10, parallelism=4, scan_batch_size=4
+    )
+    assert len(batch) == 9
+    for i in (0, 5, 8):  # first chunk, middle chunk, last partial chunk
+        want = ex.explain(insts[i][0], insts[i][1], m, num_triangles=10)
+        assert batch[i].saliency_dict == want.saliency_dict
+        assert sorted(batch[i].triangles) == sorted(want.triangles)
+        assert dict(batch[i].pss) == dict(want.pss)
