@@ -53,7 +53,14 @@ def main() -> None:
     # (PLANS.md "Round-2 bench summary"); min-of-2 measures the plan,
     # not the compiler.
     RUNS = 2
+    # flagship_batch_saliency runs two full explains through the fused
+    # scan — its machinery is already timed by the dedicated
+    # flagship_explain / explains_per_min metrics below; double-running
+    # it here would add ~20s of duplicate measurement
+    SKIP = {"flagship_batch_saliency"}
     for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
         best = None
         for _ in range(RUNS):
             t0 = time.time()

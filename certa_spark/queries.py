@@ -5081,6 +5081,55 @@ _Q_HARD_NEG_SQL = f"""
 """
 
 
+def q_flagship_batch_saliency(spark, sf_dir) -> DataFrame:
+    """Set-oriented batch explain under the correctness gate: two
+    instances through ONE fused candidate scan + model round
+    (CertaExplainer.explain_batch), per-attribute saliencies out.
+    Deterministic end-to-end (content-hash scan seeds, native
+    matcher), so the oracle is a captured sf0.01 golden — and the
+    batch path is parity-tested against explain() in
+    tests/test_explainer.py."""
+    from certa_spark.explainer import CertaExplainer
+    from certa_spark.matching import NativeCosineMatcher
+
+    left, right = _er_sources(spark, sf_dir)
+    ex = CertaExplainer(spark, left, right, data_augmentation="no")
+    lrows = left.orderBy("id").limit(2).collect()
+    rrows = right.orderBy("id").limit(2).collect()
+    insts = [
+        (dict(zip(left.columns, a)), dict(zip(right.columns, b)))
+        for a, b in zip(lrows, rrows)
+    ]
+    res = ex.explain_batch(
+        insts, NativeCosineMatcher(), num_triangles=10, parallelism=2
+    )
+    rows = [
+        (i, attr, round(float(v), 6))
+        for i, r in enumerate(res)
+        for attr, v in sorted(r.saliency_dict.items())
+    ]
+    return spark.createDataFrame(
+        rows, "instance long, attr string, saliency double"
+    )
+
+
+# Captured golden for the sf0.01 fixture
+# (tools/gen_batch_golden.py); deterministic end-to-end.
+_Q_FLAGSHIP_BATCH_GOLDEN_SQL = """
+    SELECT instance, attr, CAST(saliency AS DOUBLE) AS saliency
+    FROM (VALUES
+        (0, 'ltable_name', 0.433333),
+        (0, 'ltable_type', 0.433333),
+        (0, 'rtable_name', 0.566667),
+        (0, 'rtable_type', 0.566667),
+        (1, 'ltable_name', 0.466667),
+        (1, 'ltable_type', 0.466667),
+        (1, 'rtable_name', 0.533333),
+        (1, 'rtable_type', 0.533333)
+    ) AS t(instance, attr, saliency)
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5204,6 +5253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_model": q_doc_quality_model,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "knn_hard_negatives": q_knn_hard_negatives,
+    "flagship_batch_saliency": q_flagship_batch_saliency,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5353,6 +5403,7 @@ ORACLES: dict[str, str] = {
     "doc_quality_model": _q_doc_quality_model_sql(),
     "doc_vocab_coverage": _q_doc_vocab_coverage_sql(),
     "knn_hard_negatives": _Q_HARD_NEG_SQL,
+    "flagship_batch_saliency": _Q_FLAGSHIP_BATCH_GOLDEN_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
@@ -5361,4 +5412,5 @@ ORACLES: dict[str, str] = {
 # reporting a guaranteed-false mismatch.
 GOLDEN_SF001: frozenset[str] = frozenset({
     "mojito_token_saliency", "shap_token_saliency",
+    "flagship_batch_saliency",
 })
