@@ -21,3 +21,10 @@ def test_entry_module_exposes_registries():
     assert set(entry.oracle_sql()) == set(ORACLES)
     assert all(callable(f) for f in entry.queries().values())
     assert all(isinstance(s, str) and s.strip() for s in entry.oracle_sql().values())
+
+
+def test_goldens_are_registered_queries():
+    from certa_spark.queries import GOLDEN_SF001
+
+    assert GOLDEN_SF001 <= set(QUERIES)
+    assert GOLDEN_SF001 <= set(ORACLES)
