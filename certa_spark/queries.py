@@ -5130,6 +5130,155 @@ _Q_FLAGSHIP_BATCH_GOLDEN_SQL = """
 """
 
 
+def q_orders_psi_drift(spark, sf_dir) -> DataFrame:
+    """Population-stability-index drift report between two order-year
+    slices — the distribution-shift monitor an ML data pipeline runs
+    before retraining: shared 16-bin histogram over both slices,
+    Laplace-smoothed bin shares, per-bin PSI terms. One scan for the
+    binning, everything after on 16-row frames."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("_y"), "o_totalprice"
+    )
+    f = o.filter(F.col("_y").isin(1994, 1995))
+    ext = f.agg(
+        F.min("o_totalprice").alias("_mn"), F.max("o_totalprice").alias("_mx")
+    )
+    width = (F.col("_mx") - F.col("_mn")) / 16.0
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("_mn")) / width).cast("long"),
+        F.lit(15).cast("long"),
+    )
+    counts = (
+        f.crossJoin(F.broadcast(ext))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("_y") == 1994, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("_y") == 1995, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    grid = spark.range(16).select(F.col("id").alias("bin"))
+    full = (
+        grid.join(counts, "bin", "left")
+        .na.fill(0, ["ca", "cb"])
+        .localCheckpoint()
+    )
+    tot = full.agg(F.sum("ca").alias("_na"), F.sum("cb").alias("_nb"))
+    pa = (F.col("ca") + 1) / (F.col("_na") + F.lit(16.0))
+    pb = (F.col("cb") + 1) / (F.col("_nb") + F.lit(16.0))
+    return full.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ca",
+        "cb",
+        F.round((pa - pb) * F.log(pa / pb), 8).alias("psi_term"),
+    )
+
+
+_Q_PSI_DRIFT_SQL = """
+    WITH f AS (
+        SELECT year(o_orderdate) AS y, o_totalprice FROM orders
+        WHERE year(o_orderdate) IN (1994, 1995)
+    ),
+    ext AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM f),
+    counts AS (
+        SELECT LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / 16.0))
+                          AS BIGINT), 15) AS bin,
+               CAST(sum(CASE WHEN y = 1994 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM f CROSS JOIN ext GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(0, 16)) AS bin),
+    full_g AS (
+        SELECT g.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        FROM grid g LEFT JOIN counts c USING (bin)
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM full_g)
+    SELECT bin, ca, cb,
+           round((((ca + 1) / (na + 16.0)) - ((cb + 1) / (nb + 16.0)))
+                 * ln(((ca + 1) / (na + 16.0)) / ((cb + 1) / (nb + 16.0))),
+                 8) AS psi_term
+    FROM full_g CROSS JOIN tot
+"""
+
+
+def q_events_resample_ffill(spark, sf_dir) -> DataFrame:
+    """Time-grid resampling with forward fill — the gap-filling
+    operator Spark lacks natively: per user, hourly mean value on a
+    dense hour grid between the user's first and last events, missing
+    hours carried forward from the last observation. Hour keys are
+    INTEGER epoch-hour indexes (``ts_ns div 3600e9``) so grid
+    generation is a pure-arithmetic sequence/explode (no timestamp
+    arithmetic on the shuffle); the fill is one per-user window."""
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            F.expr("ts_ns div 3600000000000").alias("hidx"),
+            "value",
+        )
+    )
+    hourly = e.groupBy("user_id", "hidx").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hidx").alias("_mn"), F.max("hidx").alias("_mx")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("_mn", "_mx")).alias("hidx")
+    )
+    j = grid.join(hourly, ["user_id", "hidx"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hidx",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_fill"),
+        F.col("v").isNull().cast("long").alias("gap"),
+    )
+
+
+_Q_RESAMPLE_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 3600000000000 AS hidx, value
+        FROM events WHERE user_id < 5
+    ),
+    hourly AS (
+        SELECT user_id, hidx,
+               round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / count(*), 6) AS v
+        FROM e GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, min(hidx) AS mn, max(hidx) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx)) AS hidx FROM b
+    ),
+    j AS (
+        SELECT g.user_id, g.hidx, h.v
+        FROM grid g LEFT JOIN hourly h USING (user_id, hidx)
+    )
+    SELECT user_id, hidx,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hidx
+               ROWS UNBOUNDED PRECEDING), 6) AS v_fill,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap
+    FROM j
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5254,6 +5403,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "knn_hard_negatives": q_knn_hard_negatives,
     "flagship_batch_saliency": q_flagship_batch_saliency,
+    "orders_psi_drift": q_orders_psi_drift,
+    "events_resample_ffill": q_events_resample_ffill,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5404,6 +5555,8 @@ ORACLES: dict[str, str] = {
     "doc_vocab_coverage": _q_doc_vocab_coverage_sql(),
     "knn_hard_negatives": _Q_HARD_NEG_SQL,
     "flagship_batch_saliency": _Q_FLAGSHIP_BATCH_GOLDEN_SQL,
+    "orders_psi_drift": _Q_PSI_DRIFT_SQL,
+    "events_resample_ffill": _Q_RESAMPLE_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
