@@ -251,12 +251,16 @@ def pagerank(
     :func:`pagerank_dangling` for the lost-mass-corrected variant.
     """
     partitions = _default_partitions(edges, partitions)
+    # one-pass edge+degree build: repartition by source, window count
+    # over the clustered partitions, ONE checkpoint. (A groupBy-degree
+    # + join-back build was measured 1.5-2s SLOWER at sf0.1 despite
+    # fewer exchanges — two full materializations beat one exchange
+    # pair; see PLANS.md round-3 notes.)
     w_deg = Window.partitionBy("s")
     ed = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .repartition(partitions, "s")
         .withColumn("_deg", F.count(F.lit(1)).over(w_deg).cast("double"))
-        .repartition(partitions, "t")
         .localCheckpoint()
     )
     nodes = (
@@ -337,12 +341,12 @@ def pagerank_dangling(
     :func:`pagerank` so a chained-CTE SQL oracle reproduces it.
     """
     partitions = _default_partitions(edges, partitions)
+    # same one-pass window edge+degree build as :func:`pagerank`
     w_deg = Window.partitionBy("s")
     ed = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .repartition(partitions, "s")
         .withColumn("_deg", F.count(F.lit(1)).over(w_deg).cast("double"))
-        .repartition(partitions, "t")
         .localCheckpoint()
     )
     nodes = (

@@ -5130,6 +5130,66 @@ _Q_FLAGSHIP_BATCH_GOLDEN_SQL = """
 """
 
 
+def q_er_fuzzy_levenshtein(spark, sf_dir) -> DataFrame:
+    """Char-level fuzzy matching inside blocks — the edit-distance
+    complement to the token-Jaccard verifier (er_blocking_pairs):
+    block on (first name token, type), keep cross-source pairs whose
+    names are within edit distance 12, report the distance and a
+    normalized similarity. Same block-then-verify shape; levenshtein
+    is an integer DP, bit-identical across engines."""
+    left, right = _er_sources(spark, sf_dir)
+
+    def keyed(df, idc, namec):
+        toks = F.array_remove(F.split(F.lower(F.col("name")), r"\s+"), "")
+        return df.select(
+            F.col("id").alias(idc),
+            F.lower(F.col("name")).alias(namec),
+            F.concat_ws(
+                "|", F.element_at(toks, 1), F.lower(F.col("type"))
+            ).alias("bkey"),
+        )
+
+    l = keyed(left.filter(F.col("id") % 7 == 0), "lid", "lname")
+    r = keyed(right, "rid", "rname")
+    dist = F.levenshtein(F.col("lname"), F.col("rname"))
+    sim = F.round(
+        F.lit(1.0)
+        - dist / F.greatest(F.length("lname"), F.length("rname")),
+        6,
+    )
+    return (
+        l.join(r, "bkey")
+        .withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") <= 12)
+        .select("lid", "rid", "dist", sim.alias("sim"))
+    )
+
+
+_Q_FUZZY_LEV_SQL = """
+    WITH l AS (
+        SELECT p_partkey AS lid, lower(p_name) AS lname,
+               list_filter(regexp_split_to_array(lower(p_name), '\\s+'),
+                           x -> x <> '')[1]
+               || '|' || lower(p_type) AS bkey
+        FROM part WHERE p_partkey % 7 = 0
+    ),
+    r AS (
+        SELECT p_partkey AS rid,
+               lower(regexp_replace(p_name, '\\s+\\S+\\s*$', '')) AS rname,
+               list_filter(regexp_split_to_array(
+                   lower(regexp_replace(p_name, '\\s+\\S+\\s*$', '')),
+                   '\\s+'), x -> x <> '')[1]
+               || '|' || lower(p_type) AS bkey
+        FROM part
+    )
+    SELECT lid, rid, CAST(levenshtein(lname, rname) AS BIGINT) AS dist,
+           round(1.0 - levenshtein(lname, rname)
+                 / greatest(length(lname), length(rname)), 6) AS sim
+    FROM l JOIN r USING (bkey)
+    WHERE levenshtein(lname, rname) <= 12
+"""
+
+
 def q_orders_psi_drift(spark, sf_dir) -> DataFrame:
     """Population-stability-index drift report between two order-year
     slices — the distribution-shift monitor an ML data pipeline runs
@@ -5403,6 +5463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "knn_hard_negatives": q_knn_hard_negatives,
     "flagship_batch_saliency": q_flagship_batch_saliency,
+    "er_fuzzy_levenshtein": q_er_fuzzy_levenshtein,
     "orders_psi_drift": q_orders_psi_drift,
     "events_resample_ffill": q_events_resample_ffill,
 }
@@ -5555,6 +5616,7 @@ ORACLES: dict[str, str] = {
     "doc_vocab_coverage": _q_doc_vocab_coverage_sql(),
     "knn_hard_negatives": _Q_HARD_NEG_SQL,
     "flagship_batch_saliency": _Q_FLAGSHIP_BATCH_GOLDEN_SQL,
+    "er_fuzzy_levenshtein": _Q_FUZZY_LEV_SQL,
     "orders_psi_drift": _Q_PSI_DRIFT_SQL,
     "events_resample_ffill": _Q_RESAMPLE_SQL,
 }
