@@ -5190,6 +5190,37 @@ _Q_FUZZY_LEV_SQL = """
 """
 
 
+def q_orders_scd2(spark, sf_dir) -> DataFrame:
+    """SCD-type-2 history build — turn a change log into validity
+    intervals (the warehouse twin of orders_upsert's latest-wins
+    SCD1): per customer, each order's price is valid from its order
+    date until the next order; the open interval is flagged current.
+    One per-key window, no self-join."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().cast("long").alias("is_current"),
+    )
+
+
+_Q_ORDERS_SCD2_SQL = """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM orders
+    WHERE o_custkey < 500
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_orders_psi_drift(spark, sf_dir) -> DataFrame:
     """Population-stability-index drift report between two order-year
     slices — the distribution-shift monitor an ML data pipeline runs
@@ -5464,6 +5495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_hard_negatives": q_knn_hard_negatives,
     "flagship_batch_saliency": q_flagship_batch_saliency,
     "er_fuzzy_levenshtein": q_er_fuzzy_levenshtein,
+    "orders_scd2": q_orders_scd2,
     "orders_psi_drift": q_orders_psi_drift,
     "events_resample_ffill": q_events_resample_ffill,
 }
@@ -5617,6 +5649,7 @@ ORACLES: dict[str, str] = {
     "knn_hard_negatives": _Q_HARD_NEG_SQL,
     "flagship_batch_saliency": _Q_FLAGSHIP_BATCH_GOLDEN_SQL,
     "er_fuzzy_levenshtein": _Q_FUZZY_LEV_SQL,
+    "orders_scd2": _Q_ORDERS_SCD2_SQL,
     "orders_psi_drift": _Q_PSI_DRIFT_SQL,
     "events_resample_ffill": _Q_RESAMPLE_SQL,
 }
