@@ -141,6 +141,97 @@ def duck_hll_sql(table: str, expr: str, p: int = 10) -> str:
     """
 
 
+def hll_sliding_by(
+    df: DataFrame,
+    col: str,
+    bucket_col: str,
+    window: int,
+    p: int = 10,
+) -> DataFrame:
+    """Trailing-window distinct estimate per integer time bucket:
+    ``(bucket_col, hll_estimate)`` where each estimate covers the
+    ``window`` buckets ending at (and including) that one. Only
+    buckets actually present in the data are emitted.
+
+    This is THE case where mergeable sketches beat exact distinct at
+    scale: a 24h-trailing exact count re-shuffles every (hour, key)
+    pair into 24 windows; here the raw data is sketched ONCE into
+    per-hour registers (map-side combine, <= hours * 2^p rows), the
+    tiny register table is exploded forward to the <=``window`` target
+    hours each register serves, and the merge is a max over
+    (hour, bucket). Total shuffle: hours * 2^p * window register rows,
+    independent of input size."""
+    regs = hll_registers_by(df, col, [bucket_col], p)
+    present = regs.select(bucket_col).distinct()
+    targets = regs.select(
+        F.explode(
+            F.sequence(
+                F.col(bucket_col), F.col(bucket_col) + F.lit(window - 1)
+            )
+        ).alias(bucket_col),
+        "bucket",
+        "m",
+    )
+    merged = (
+        targets.join(F.broadcast(present), bucket_col)
+        .groupBy(bucket_col, "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    return hll_estimate_by(merged, [bucket_col], p)
+
+
+def duck_hll_sliding_sql(
+    table: str, expr: str, bucket_expr: str, window: int, p: int = 10
+) -> str:
+    """DuckDB oracle for :func:`hll_sliding_by` (backward range join —
+    equivalent to the forward explode + present-bucket semi-join)."""
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    top = 1 << (wbits + 1)
+    h = duck_hash64(expr)
+    raw = (
+        f"(0.7213/(1.0 + 1.079/{float(m)})) * {float(m)} * {float(m)}"
+        f" * {float(top)}"
+        f" / CAST(sum_present + ({m} - n_buckets) * {top} AS DOUBLE)"
+    )
+    return f"""
+    WITH src AS (
+        SELECT ({bucket_expr}) AS tb, {expr} AS v FROM {table}
+    ),
+    regs AS (
+        SELECT tb, ({duck_hash64('v')} >> {wbits}) AS bucket,
+               max(CASE WHEN ({duck_hash64('v')} & {(1 << wbits) - 1}) = 0
+                        THEN {wbits + 1}
+                        ELSE {wbits + 1}
+                             - length(bin(({duck_hash64('v')}
+                                           & {(1 << wbits) - 1})::BIGINT))
+                   END) AS m
+        FROM src GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT tb FROM src),
+    merged AS (
+        SELECT t.tb, r.bucket, max(r.m) AS m
+        FROM hours t JOIN regs r
+          ON r.tb BETWEEN t.tb - {window - 1} AND t.tb
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT tb,
+               CAST(sum(1::BIGINT << ({wbits + 1} - m)) AS BIGINT)
+                   AS sum_present,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM merged GROUP BY 1
+    )
+    SELECT tb,
+           round(CASE WHEN {raw} <= 2.5 * {m} AND ({m} - n_buckets) > 0
+                 THEN {float(m)} * ln({float(m)}
+                          / CAST({m} - n_buckets AS DOUBLE))
+                 ELSE {raw}
+                 END, 4) AS hll_estimate
+    FROM agg
+    """
+
+
 # ------------------------------------------------------------------
 # Count-min sketch: mergeable heavy-hitter / frequency primitive.
 # ------------------------------------------------------------------

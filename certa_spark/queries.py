@@ -5370,6 +5370,191 @@ _Q_RESAMPLE_SQL = """
 """
 
 
+def q_events_funnel(spark, sf_dir) -> DataFrame:
+    """Strict ordered funnel view -> click -> purchase within 72h of
+    the previous step. Chain of user-keyed shrinking joins — see
+    operators/funnel.py for the scale design."""
+    from certa_spark.operators.funnel import funnel_steps
+
+    e = _events(spark, sf_dir)
+    return funnel_steps(
+        e, ["view", "click", "purchase"], horizon_hours=72
+    )
+
+
+_Q_EVENTS_FUNNEL_SQL = """
+    WITH s1 AS (
+        SELECT user_id AS u, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.u
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+          AND e.ts <= s1.t + INTERVAL 72 HOURS
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.u
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          AND e.ts <= s2.t + INTERVAL 72 HOURS
+        GROUP BY 1
+    ),
+    counts AS (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+               CAST(count(*) AS BIGINT) AS users FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM s3
+    ),
+    first AS (SELECT users AS first_users FROM counts WHERE step = 1)
+    SELECT step, event_type, users,
+           round(CAST(users AS DOUBLE) / first_users, 6) AS pct_of_first
+    FROM counts CROSS JOIN first
+"""
+
+
+def q_events_retention(spark, sf_dir) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by the 7-day
+    period (anchored at 2024-01-01) of their first event; distinct
+    active users per (cohort, offset) bucket."""
+    from certa_spark.operators.funnel import cohort_retention
+
+    r = cohort_retention(_events(spark, sf_dir), bucket_days=7)
+    return r.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "offset",
+        "users",
+    )
+
+
+_Q_EVENTS_RETENTION_SQL = """
+    WITH first AS (
+        SELECT user_id AS u, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ),
+    cohorts AS (
+        SELECT u, CAST(first_day - CAST((first_day - DATE '2024-01-01') % 7
+                               AS INTEGER) AS DATE) AS cohort_day
+        FROM first
+    ),
+    hits AS (
+        SELECT DISTINCT e.user_id AS u, c.cohort_day,
+               CAST((CAST(e.ts AS DATE) - c.cohort_day) // 7 AS BIGINT)
+                   AS "offset"
+        FROM events e JOIN cohorts c ON e.user_id = c.u
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, "offset",
+           CAST(count(*) AS BIGINT) AS users
+    FROM hits GROUP BY 1, 2
+"""
+
+
+def q_orders_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Snapshot reconciliation: diff two deterministic versions of
+    orders (rows dropped on each side by modulo, price/priority
+    perturbed on the new side) and summarize by change type and
+    changed column. One full-outer SMJ on the unique key; see
+    operators/diff.py."""
+    from certa_spark.operators.diff import diff_summary, snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.lit("9-RECHECK")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    d = snapshot_diff(
+        old, new, ["o_orderkey"],
+        ["o_totalprice", "o_orderpriority", "o_orderstatus"],
+    )
+    return diff_summary(d)
+
+
+_Q_SNAPSHOT_DIFF_SQL = """
+    WITH old_s AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new_s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 13 = 0 THEN '9-RECHECK'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    cls AS (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                      OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                      OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                    THEN 'changed' ELSE 'unchanged' END AS change_type,
+               (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS cp,
+               (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND o.o_orderpriority IS DISTINCT FROM n.o_orderpriority) AS cr,
+               (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS cs
+        FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, CAST(NULL AS VARCHAR) AS changed_col,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cls GROUP BY 1
+    UNION ALL
+    SELECT 'changed', 'o_totalprice', CAST(count(*) AS BIGINT)
+    FROM cls WHERE change_type = 'changed' AND cp HAVING count(*) > 0
+    UNION ALL
+    SELECT 'changed', 'o_orderpriority', CAST(count(*) AS BIGINT)
+    FROM cls WHERE change_type = 'changed' AND cr HAVING count(*) > 0
+    UNION ALL
+    SELECT 'changed', 'o_orderstatus', CAST(count(*) AS BIGINT)
+    FROM cls WHERE change_type = 'changed' AND cs HAVING count(*) > 0
+"""
+
+
+def q_events_sliding_hll(spark, sf_dir) -> DataFrame:
+    """Trailing-24h distinct users per hour via forward-exploded HLL
+    register merge (operators/sketch.hll_sliding_by): the raw events
+    are sketched ONCE into per-hour registers; the sliding merge moves
+    only hours * 2^p * 24 register rows — at 100 TB an exact trailing
+    distinct would replicate every (hour, user) pair 24x instead."""
+    from certa_spark.operators import sketch as SK
+
+    e = _events(spark, sf_dir).select(
+        F.expr("ts_ns div 3600000000000").alias("hidx"), "user_id"
+    )
+    return SK.hll_sliding_by(e, "user_id", "hidx", window=24, p=10)
+
+
+def _q_events_sliding_hll_sql() -> str:
+    from certa_spark.operators.sketch import duck_hll_sliding_sql
+
+    inner = duck_hll_sliding_sql(
+        "events",
+        "CAST(user_id AS VARCHAR)",
+        "epoch_ns(ts) // 3600000000000",
+        window=24,
+        p=10,
+    )
+    return f"SELECT tb AS hidx, hll_estimate FROM ({inner})"
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5498,6 +5683,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_scd2": q_orders_scd2,
     "orders_psi_drift": q_orders_psi_drift,
     "events_resample_ffill": q_events_resample_ffill,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "orders_snapshot_diff": q_orders_snapshot_diff,
+    "events_sliding_hll": q_events_sliding_hll,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5652,6 +5841,10 @@ ORACLES: dict[str, str] = {
     "orders_scd2": _Q_ORDERS_SCD2_SQL,
     "orders_psi_drift": _Q_PSI_DRIFT_SQL,
     "events_resample_ffill": _Q_RESAMPLE_SQL,
+    "events_funnel": _Q_EVENTS_FUNNEL_SQL,
+    "events_retention": _Q_EVENTS_RETENTION_SQL,
+    "orders_snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
+    "events_sliding_hll": _q_events_sliding_hll_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -150,3 +150,43 @@ def test_bloom_semi_join_exact(spark):
         right.select(F.col("rk").alias("k")).distinct(), "k", "left_semi"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_hll_sliding_matches_exact_on_small_cardinalities(spark):
+    """Linear counting makes the estimate near-exact at tiny
+    cardinality: trailing-3 sliding estimates must match the exact
+    trailing distinct within 5%, and only present buckets emit."""
+    from certa_spark.operators.sketch import hll_sliding_by
+    from pyspark.sql import functions as F
+
+    # buckets 0,1,2,4 present (3 missing); keys overlap across buckets
+    rows = [(b, k) for b in [0, 1, 2, 4] for k in range(b * 10, b * 10 + 20)]
+    rows += [(1, 5), (2, 5), (4, 45)]  # cross-bucket repeats
+    df = spark.createDataFrame(rows, ["tb", "k"]).withColumn(
+        "k", F.col("k").cast("string")
+    )
+    est = {r["tb"]: r["hll_estimate"] for r in
+           hll_sliding_by(df, "k", "tb", window=3, p=10).collect()}
+    assert set(est) == {0, 1, 2, 4}
+    pdf = df.toPandas()
+    for tb in [0, 1, 2, 4]:
+        exact = pdf[(pdf.tb >= tb - 2) & (pdf.tb <= tb)].k.nunique()
+        assert abs(est[tb] - exact) / exact < 0.05, (tb, est[tb], exact)
+
+
+def test_hll_sliding_window1_equals_grouped(spark):
+    """window=1 degenerates to the per-bucket grouped estimate."""
+    from certa_spark.operators.sketch import (
+        hll_estimate_by, hll_registers_by, hll_sliding_by,
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 500)
+        .select((F.col("id") % 5).alias("tb"),
+                (F.col("id") % 97).cast("string").alias("k"))
+    )
+    slid = sorted(map(tuple, hll_sliding_by(df, "k", "tb", 1).collect()))
+    grouped = sorted(map(tuple, hll_estimate_by(
+        hll_registers_by(df, "k", ["tb"]), ["tb"]).collect()))
+    assert slid == grouped
