@@ -1,0 +1,189 @@
+"""Distributed covariance / PCA over an embedding column.
+
+Architecture mirrors MLlib's RowMatrix PCA: the d x d Gramian is
+aggregated DISTRIBUTED (here: one Arrow-batched ``mapInPandas`` pass
+emitting per-batch partial outer products — d*(d+1)/2 rows per batch,
+independent of batch row count), the tiny d x d eigenproblem is solved
+on the driver with numpy, and the projection back over the data is a
+map-side integer dot product against the broadcast component matrix.
+
+Cross-engine determinism: floating-point summation is order-dependent,
+so a naive double-sum covariance can never hash-match a sequential
+DuckDB oracle. Instead every element is quantized ONCE to an integer
+grid (``floor(x * Q + 0.5)`` — identical in numpy and SQL), all
+aggregation happens on exact integers (decimal(38,0) sums in Spark,
+HUGEINT sums in DuckDB), and the single float division at the end is
+the same expression tree on both engines — bit-identical doubles, no
+tolerance needed. The same trick makes the PCA projection exact: the
+driver-side eigenvectors are quantized to integers before the
+distributed dot product.
+
+Overflow bounds (documented contract): with |x| <= B, the Gramian sum
+term is <= B^2 * Q^2 per row; the int64 per-batch partial holds up to
+~9.2e18, so batches of 10k rows are safe for B*Q <= 3e7 (B ~ 30 at
+Q = 1e6). The cross-batch sums are decimal(38,0)/HUGEINT — exact at
+any row count.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_IN = 10**6  # input-element quantization grid
+Q_W = 10**9   # eigenvector quantization grid
+
+
+def covariance_moments(
+    df: DataFrame, vec_col: str, dim: int, q: int = Q_IN
+) -> DataFrame:
+    """Exact-integer second-moment table ``(i, j, sxy, si, sj, n)`` for
+    0 <= i <= j < dim, where sxy = sum over rows of qx_i * qx_j on the
+    ``q`` grid. One pass over the data; the shuffle carries only
+    d*(d+1)/2 rows per Arrow batch."""
+    tri_i, tri_j = np.triu_indices(dim)
+
+    def _moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qx = np.floor(x * q + 0.5).astype(np.int64)
+            g = qx.T @ qx  # d x d int64 — exact for |x|*q <= 3e7 @ 10k rows
+            s = qx.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": tri_i.astype(np.int32),
+                    "j": tri_j.astype(np.int32),
+                    "sxy": g[tri_i, tri_j],
+                    "si": s[tri_i],
+                    "sj": s[tri_j],
+                    "n": np.int64(len(pdf)),
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        _moments, "i int, j int, sxy long, si long, sj long, n long"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("si").cast("decimal(38,0)")).alias("si"),
+        F.sum(F.col("sj").cast("decimal(38,0)")).alias("sj"),
+        F.sum("n").cast("long").alias("n"),
+    )
+
+
+def covariance_expr(q: int = Q_IN):
+    """The shared covariance formula over the exact moment columns —
+    spelled once so Spark and the SQL oracle share the expression tree:
+    ``(sxy/q^2 - (si/q)*(sj/q)/n) / n``."""
+    qd = float(q)
+    return (
+        (
+            F.col("sxy").cast("double") / F.lit(qd * qd)
+            - (F.col("si").cast("double") / F.lit(qd))
+            * (F.col("sj").cast("double") / F.lit(qd))
+            / F.col("n").cast("double")
+        )
+        / F.col("n").cast("double")
+    )
+
+
+def covariance(df: DataFrame, vec_col: str, dim: int, q: int = Q_IN) -> DataFrame:
+    """Upper-triangle covariance matrix ``(i, j, cov)``."""
+    return covariance_moments(df, vec_col, dim, q).select(
+        "i", "j", covariance_expr(q).alias("cov")
+    )
+
+
+def duck_covariance_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q: int = Q_IN,
+) -> str:
+    """DuckDB oracle: same quantization, exact HUGEINT sums, same final
+    expression tree. Yields bit-identical doubles to :func:`covariance`."""
+    qd = float(q)
+    return f"""
+    WITH ex AS (
+        SELECT {id_col}, CAST(u.i AS INT) AS i,
+               CAST(floor(CAST({vec_col}[CAST(u.i AS INT) + 1] AS DOUBLE)
+                          * {q} + 0.5) AS BIGINT) AS qx
+        FROM {table}, UNNEST(range(0, len({vec_col}))) AS u(i)
+    ),
+    mom AS (
+        SELECT a.i AS i, b.i AS j,
+               sum(a.qx * b.qx) AS sxy, sum(a.qx) AS si, sum(b.qx) AS sj,
+               count(*) AS n
+        FROM ex a JOIN ex b
+          ON a.{id_col} = b.{id_col} AND a.i <= b.i
+        GROUP BY 1, 2
+    )
+    SELECT i, j,
+           (CAST(sxy AS DOUBLE) / {qd * qd}
+            - (CAST(si AS DOUBLE) / {qd}) * (CAST(sj AS DOUBLE) / {qd})
+              / CAST(n AS DOUBLE))
+           / CAST(n AS DOUBLE) AS cov
+    FROM mom
+    """
+
+
+def principal_components(
+    cov_rows: list[tuple[int, int, float]], dim: int, k: int, qw: int = Q_W
+) -> list[list[int]]:
+    """Driver-side eigensolve of the (tiny) covariance matrix. Returns
+    the top-``k`` eigenvectors quantized to the ``qw`` integer grid,
+    sign-fixed so the largest-magnitude entry is positive (eigh's sign
+    is otherwise arbitrary). Deterministic for identical input."""
+    c = np.zeros((dim, dim))
+    for i, j, v in cov_rows:
+        c[i, j] = v
+        c[j, i] = v
+    vals, vecs = np.linalg.eigh(c)
+    order = np.argsort(vals)[::-1][:k]
+    out = []
+    for idx in order:
+        w = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(w)))
+        if w[pivot] < 0:
+            w = -w
+        out.append([int(v) for v in np.floor(w * qw + 0.5).astype(np.int64)])
+    return out
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    comps_q: list[list[int]],
+    q: int = Q_IN,
+    qw: int = Q_W,
+    scale: int = 6,
+) -> DataFrame:
+    """Project every row onto the quantized components: exact integer
+    dot product (qx_i * w_ci summed with a sequential array fold — no
+    shuffle, no float order-dependence), one final float division.
+    Output: ``(id_col, pc1..pck)``."""
+    qx = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * q + F.lit(0.5)).cast("long"),
+    )
+    row = df.select(F.col(id_col), qx.alias("_qx"))
+    cols = []
+    for c, w in enumerate(comps_q):
+        wlit = F.array(*[F.lit(v) for v in w])
+        dotq = F.aggregate(
+            F.zip_with(F.col("_qx"), wlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cols.append(
+            F.round(dotq.cast("double") / F.lit(float(q) * float(qw)), scale)
+            .alias(f"pc{c + 1}")
+        )
+    return row.select(id_col, *cols)

@@ -5555,6 +5555,83 @@ def _q_events_sliding_hll_sql() -> str:
     return f"SELECT tb AS hidx, hll_estimate FROM ({inner})"
 
 
+_EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+def q_embedding_covariance(spark, sf_dir) -> DataFrame:
+    """Distributed d x d covariance of the embedding column
+    (operators/linalg.py): one mapInPandas pass emits per-batch integer
+    partial outer products (d*(d+1)/2 rows per batch regardless of row
+    count), exact decimal sums, one final float expression — the
+    MLlib-RowMatrix Gramian architecture, made bit-reproducible."""
+    from certa_spark.operators import linalg as LA
+
+    return LA.covariance(
+        _t(spark, sf_dir, "embeddings"), "embedding", _EMB_DIM
+    )
+
+
+def _q_embedding_covariance_sql() -> str:
+    from certa_spark.operators.linalg import duck_covariance_sql
+
+    return duck_covariance_sql()
+
+
+def q_embedding_pca_project(spark, sf_dir) -> DataFrame:
+    """PCA projection onto the top-2 principal axes: covariance
+    aggregated distributed, eigensolve on the driver (d x d is tiny —
+    same split as MLlib PCA), components quantized to integers and
+    broadcast, projection = exact map-side integer dot product."""
+    from certa_spark.operators import linalg as LA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = LA.covariance(emb, "embedding", _EMB_DIM).collect()
+    comps = LA.principal_components(
+        [(r["i"], r["j"], r["cov"]) for r in cov], _EMB_DIM, k=2
+    )
+    return LA.pca_project(emb, "embedding", "vec_id", comps)
+
+
+def _q_embedding_pca_sql() -> str:
+    """GOLDEN (sf0.01): the eigenvectors cannot be derived in SQL, so
+    the generator recomputes the covariance with DuckDB (bit-identical
+    to Spark's by construction — see linalg.py) and runs the SAME
+    driver-side eigensolve, then embeds the quantized components as
+    SQL literals for an exact integer-dot-product projection."""
+    import duckdb
+
+    from certa_spark.operators import linalg as LA
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    rows = con.execute(LA.duck_covariance_sql()).fetchall()
+    con.close()
+    comps = LA.principal_components(rows, _EMB_DIM, k=2)
+    q, qw = float(LA.Q_IN), float(LA.Q_W)
+    proj_cols = []
+    for c, w in enumerate(comps):
+        wlit = "[" + ", ".join(str(v) for v in w) + "]"
+        proj_cols.append(
+            f"round(CAST(list_aggregate(list_transform("
+            f"range(1, {_EMB_DIM + 1}), i -> v[CAST(i AS INT)]"
+            f" * {wlit}[CAST(i AS INT)]), 'sum') AS DOUBLE)"
+            f" / {q * qw}, 6) AS pc{c + 1}"
+        )
+    return f"""
+    WITH qx AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {LA.Q_IN} + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    )
+    SELECT vec_id, {', '.join(proj_cols)} FROM qx
+    """
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5687,6 +5764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "events_sliding_hll": q_events_sliding_hll,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_pca_project": q_embedding_pca_project,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5845,6 +5924,8 @@ ORACLES: dict[str, str] = {
     "events_retention": _Q_EVENTS_RETENTION_SQL,
     "orders_snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "events_sliding_hll": _q_events_sliding_hll_sql(),
+    "embedding_covariance": _q_embedding_covariance_sql(),
+    "embedding_pca_project": _q_embedding_pca_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
@@ -5853,5 +5934,5 @@ ORACLES: dict[str, str] = {
 # reporting a guaranteed-false mismatch.
 GOLDEN_SF001: frozenset[str] = frozenset({
     "mojito_token_saliency", "shap_token_saliency",
-    "flagship_batch_saliency",
+    "flagship_batch_saliency", "embedding_pca_project",
 })

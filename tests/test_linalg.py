@@ -1,0 +1,74 @@
+"""Covariance / PCA operator tests (operators/linalg.py)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _mat(n=40, d=5):
+    # deterministic, full-rank-ish synthetic matrix
+    i = np.arange(n)[:, None]
+    j = np.arange(d)[None, :]
+    return np.sin(i * 0.37 + j * 1.1) + 0.1 * j
+
+
+def _df(spark, x):
+    return spark.createDataFrame(
+        [(int(k), [float(v) for v in row]) for k, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_covariance_matches_numpy(spark):
+    from certa_spark.operators.linalg import covariance
+
+    x = _mat()
+    got = covariance(_df(spark, x), "embedding", x.shape[1]).collect()
+    want = np.cov(x.astype(np.float32).astype(np.float64).T, bias=True)
+    for r in got:
+        assert abs(r["cov"] - want[r["i"], r["j"]]) < 5e-6, (r, want[r["i"], r["j"]])
+    assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
+
+
+def test_covariance_partition_invariant(spark):
+    from certa_spark.operators.linalg import covariance
+
+    x = _mat(60, 4)
+    df = _df(spark, x)
+    a = sorted(map(tuple, covariance(df, "embedding", 4).collect()))
+    b = sorted(map(tuple, covariance(df.repartition(7), "embedding", 4).collect()))
+    assert a == b  # exact-integer aggregation: bit-identical under any split
+
+
+def test_principal_components_deterministic_sign(spark):
+    from certa_spark.operators.linalg import covariance, principal_components
+
+    x = _mat()
+    rows = [
+        (r["i"], r["j"], r["cov"])
+        for r in covariance(_df(spark, x), "embedding", x.shape[1]).collect()
+    ]
+    c1 = principal_components(rows, x.shape[1], 2)
+    c2 = principal_components(rows, x.shape[1], 2)
+    assert c1 == c2
+    # largest-|.| entry of each component is positive after the sign fix
+    for w in c1:
+        assert max(w, key=abs) > 0
+
+
+def test_pca_project_matches_numpy(spark):
+    from certa_spark.operators import linalg as LA
+
+    x = _mat()
+    df = _df(spark, x)
+    rows = [
+        (r["i"], r["j"], r["cov"])
+        for r in LA.covariance(df, "embedding", x.shape[1]).collect()
+    ]
+    comps = LA.principal_components(rows, x.shape[1], 2)
+    got = {r["vec_id"]: (r["pc1"], r["pc2"])
+           for r in LA.pca_project(df, "embedding", "vec_id", comps).collect()}
+    w = np.array(comps, dtype=np.float64) / LA.Q_W
+    want = x.astype(np.float32).astype(np.float64) @ w.T
+    for k, (p1, p2) in got.items():
+        assert abs(p1 - want[k, 0]) < 1e-4
+        assert abs(p2 - want[k, 1]) < 1e-4
