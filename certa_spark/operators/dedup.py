@@ -466,3 +466,143 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("est_jaccard") >= threshold)
         .select("corpus_id", "batch_id", "est_jaccard")
     )
+
+
+# ------------------------------------------------------------------
+# Cross-document duplicated-run detection (ExactSubstr-style dedup,
+# cf. Lee et al. 2022 "Deduplicating Training Data Makes Language
+# Models Better"): find pairs of documents sharing a run of >= R
+# consecutive k-token shingles (= R + k - 1 shared consecutive
+# tokens). A suffix array is the single-machine tool; the Spark-first
+# shape is a positional shingle inverted index + anti-diagonal
+# island detection:
+#
+#   1. positional k-shingle hashes (doc, pos, h) — map-side only;
+#   2. document-frequency cap on h (2 <= df <= max_df): drops both
+#      unpaired shingles and stop-shingles BEFORE the pair join, which
+#      bounds the join fan-out to max_df^2 per surviving hash — the
+#      same sub-quadratic discipline as ngram_jaccard_pairs;
+#   3. postings self-join on h (doc_a < doc_b) -> (a, b, pa, pb);
+#   4. runs: within (a, b, pa - pb), consecutive pa values form
+#      islands (pa - row_number() is constant inside a run) — the
+#      windows partition by (pair, diagonal), so no global sort.
+#
+# Shuffle volume is capped-postings only; hashes are longs.
+# ------------------------------------------------------------------
+
+def positional_shingles(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id_col, pos, h)`` — hash of the k-token shingle starting at
+    0-based token position ``pos``. Documents shorter than k tokens
+    emit nothing."""
+    from certa_spark.functions.hashing import hash64
+    from certa_spark.functions.textstats import words
+
+    w = words(F.col(text_col))
+    m = F.size(w) - (k - 1)
+    acc = F.slice(w, 1, m)
+    for i in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(w, 1 + i, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return (
+        docs.select(F.col(id_col), F.when(m >= 1, acc).alias("_sh"))
+        .filter(F.col("_sh").isNotNull())
+        .select(id_col, F.posexplode("_sh").alias("pos", "_s"))
+        .select(id_col, "pos", hash64(F.col("_s")).alias("h"))
+    )
+
+
+def duplicated_runs(
+    docs: DataFrame,
+    k: int = 5,
+    min_run: int = 3,
+    max_df: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per ordered doc pair sharing >= ``min_run`` consecutive
+    k-shingles: ``(doc_a, doc_b, longest_run_tokens, n_runs,
+    dup_shingles)``."""
+    from pyspark.sql.window import Window
+
+    p = positional_shingles(docs, k, id_col, text_col)
+    df_ok = (
+        p.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("h")
+    )
+    p = p.join(df_ok, "h")
+    a = p.select(F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = p.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "h")
+    pairs = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    runs = (
+        pairs.withColumn("_isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("_diag"), "_isl")
+        .agg(F.count("*").alias("_len"))
+        .filter(F.col("_len") >= min_run)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("_len") + F.lit(k - 1)).cast("long").alias("longest_run_tokens"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("_len").cast("long").alias("dup_shingles"),
+    )
+
+
+def duck_duplicated_runs_sql(
+    table: str = "documents",
+    k: int = 5,
+    min_run: int = 3,
+    max_df: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle mirroring :func:`duplicated_runs` exactly."""
+    from certa_spark.functions.hashing import duck_hash64
+    from certa_spark.functions.textstats import duck_words
+
+    w = duck_words(text_col)
+    shingle = " || ' ' || ".join(f"w[i + {d}]" for d in range(k))
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, {w} AS w FROM {table}
+    ),
+    p AS (
+        SELECT {id_col}, CAST(i - 1 AS INT) AS pos,
+               {duck_hash64(f"({shingle})")} AS h
+        FROM toks, UNNEST(range(1, len(w) - {k - 2})) AS u(i)
+        WHERE len(w) >= {k}
+    ),
+    ok AS (
+        SELECT h FROM p GROUP BY h
+        HAVING count(DISTINCT {id_col}) BETWEEN 2 AND {max_df}
+    ),
+    pf AS (SELECT p.* FROM p JOIN ok USING (h)),
+    pairs AS (
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+               a.pos AS pa, b.pos AS pb
+        FROM pf a JOIN pf b ON a.h = b.h AND a.{id_col} < b.{id_col}
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, count(*) AS _len
+        FROM (
+            SELECT doc_a, doc_b, pa, pb,
+                   pa - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+                   ) AS _isl
+            FROM pairs
+        )
+        GROUP BY doc_a, doc_b, pa - pb, _isl
+        HAVING count(*) >= {min_run}
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(_len) + {k - 1} AS BIGINT) AS longest_run_tokens,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(_len) AS BIGINT) AS dup_shingles
+    FROM runs GROUP BY 1, 2
+    """

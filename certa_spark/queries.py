@@ -5632,6 +5632,26 @@ def _q_embedding_pca_sql() -> str:
     """
 
 
+def q_doc_span_dedup(spark, sf_dir) -> DataFrame:
+    """ExactSubstr-style duplicated-run detection (Lee et al. 2022):
+    doc pairs sharing >= 3 consecutive 5-token shingles (>= 7 shared
+    consecutive tokens), via a df-capped positional shingle inverted
+    index + anti-diagonal island windows (operators/dedup.py:
+    duplicated_runs) — the sub-quadratic Spark shape of a suffix
+    array."""
+    from certa_spark.operators import dedup as DD
+
+    return DD.duplicated_runs(
+        _t(spark, sf_dir, "documents"), k=5, min_run=3, max_df=16
+    )
+
+
+def _q_doc_span_dedup_sql() -> str:
+    from certa_spark.operators.dedup import duck_duplicated_runs_sql
+
+    return duck_duplicated_runs_sql(k=5, min_run=3, max_df=16)
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5766,6 +5786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_hll": q_events_sliding_hll,
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca_project": q_embedding_pca_project,
+    "doc_span_dedup": q_doc_span_dedup,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5926,6 +5947,7 @@ ORACLES: dict[str, str] = {
     "events_sliding_hll": _q_events_sliding_hll_sql(),
     "embedding_covariance": _q_embedding_covariance_sql(),
     "embedding_pca_project": _q_embedding_pca_sql(),
+    "doc_span_dedup": _q_doc_span_dedup_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

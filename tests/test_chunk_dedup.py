@@ -40,3 +40,43 @@ def test_fully_duplicate_doc_empties(spark):
     res = _run(spark, [(1, "a b c d"), (2, "a b c d")])
     assert res[2]["clean_text"] == ""
     assert res[2]["n_kept"] == 0 and res[2]["n_dropped"] == 2
+
+
+def test_duplicated_runs_finds_shared_span(spark):
+    from certa_spark.operators.dedup import duplicated_runs
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e f g h y1 y2"),
+            (2, "z1 a b c d e f g h z2 z3"),
+            (3, "q1 q2 q3 q4 q5 q6 q7 q8"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicated_runs(docs, k=3, min_run=2, max_df=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # "a b c d e f g h" = 8 shared tokens = 6 consecutive 3-shingles
+    assert r["longest_run_tokens"] == 8
+    assert r["n_runs"] == 1
+    assert r["dup_shingles"] == 6
+
+
+def test_duplicated_runs_df_cap_drops_stop_shingles(spark):
+    from certa_spark.operators.dedup import duplicated_runs
+    # the same span in 5 docs; max_df=4 suppresses every pair
+    docs = spark.createDataFrame(
+        [(i, f"f{i} a b c d e g{i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    assert duplicated_runs(docs, k=3, min_run=2, max_df=4).count() == 0
+    # raising the cap surfaces all 10 pairs
+    assert duplicated_runs(docs, k=3, min_run=2, max_df=8).count() == 10
+
+
+def test_duplicated_runs_short_docs_skipped(spark):
+    from certa_spark.operators.dedup import duplicated_runs
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    assert duplicated_runs(docs, k=3, min_run=1).count() == 0
