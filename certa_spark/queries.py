@@ -5652,6 +5652,26 @@ def _q_doc_span_dedup_sql() -> str:
     return duck_duplicated_runs_sql(k=5, min_run=3, max_df=16)
 
 
+def q_doc_bpe_merges(spark, sf_dir) -> DataFrame:
+    """BPE-style vocabulary induction (operators/vocab.py): three
+    rounds of most-frequent-adjacent-pair merging over the corpus —
+    a driver-coordinated loop whose per-round cost is one bigram
+    count shuffle + one regexp rewrite scan."""
+    from certa_spark.operators.vocab import learn_merges
+
+    merges, _ = learn_merges(_t(spark, sf_dir, "documents"), iters=3)
+    return spark.createDataFrame(
+        [(int(i), p, int(n)) for i, p, n in merges],
+        "iter long, pair string, n long",
+    )
+
+
+def _q_doc_bpe_merges_sql() -> str:
+    from certa_spark.operators.vocab import duck_learn_merges_sql
+
+    return duck_learn_merges_sql(iters=3)
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5787,6 +5807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca_project": q_embedding_pca_project,
     "doc_span_dedup": q_doc_span_dedup,
+    "doc_bpe_merges": q_doc_bpe_merges,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5948,6 +5969,7 @@ ORACLES: dict[str, str] = {
     "embedding_covariance": _q_embedding_covariance_sql(),
     "embedding_pca_project": _q_embedding_pca_sql(),
     "doc_span_dedup": _q_doc_span_dedup_sql(),
+    "doc_bpe_merges": _q_doc_bpe_merges_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
