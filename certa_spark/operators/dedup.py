@@ -527,17 +527,38 @@ def duplicated_runs(
     dup_shingles)``."""
     from pyspark.sql.window import Window
 
+    # ONE groupBy(h) shuffle builds each hash's posting list; the
+    # document-frequency cap and the pair expansion both happen inside
+    # the grouped row (HOF transforms, fan-out bounded by max_df) —
+    # no second scan of the shingle expression, no postings self-join.
+    # Same chunked co-occurrence idiom as the pagerank pair build
+    # (queries.py) — the grouped list is bounded because hashes above
+    # the df cap are discarded before expansion.
     p = positional_shingles(docs, k, id_col, text_col)
-    df_ok = (
+    g = (
         p.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("_df"))
-        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
-        .select("h")
+        .agg(F.collect_list(F.struct(id_col, "pos")).alias("_lst"))
+        .filter(
+            F.size(
+                F.array_distinct(F.transform("_lst", lambda x: x[id_col]))
+            ).between(2, max_df)
+        )
     )
-    p = p.join(df_ok, "h")
-    a = p.select(F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "h")
-    b = p.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "h")
-    pairs = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    pair_expr = F.flatten(
+        F.transform(
+            "_lst",
+            lambda a: F.transform(
+                F.filter("_lst", lambda b: a[id_col] < b[id_col]),
+                lambda b: F.struct(
+                    a[id_col].alias("doc_a"),
+                    b[id_col].alias("doc_b"),
+                    a["pos"].alias("pa"),
+                    b["pos"].alias("pb"),
+                ),
+            ),
+        )
+    )
+    pairs = g.select(F.explode(pair_expr).alias("_pr")).select("_pr.*")
     w = Window.partitionBy(
         "doc_a", "doc_b", F.col("pa") - F.col("pb")
     ).orderBy("pa")
