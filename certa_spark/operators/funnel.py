@@ -96,6 +96,57 @@ def funnel_steps(
     )
 
 
+def session_sequences(
+    events: DataFrame,
+    n: int = 3,
+    gap_ns: int = 30 * 60 * 1_000_000_000,
+    top: int = 10,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_ns_col: str = "ts_ns",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top-``top`` most frequent length-``n`` event-type sequences
+    inside gap-based sessions: ``(seq, n)`` with ``seq`` like
+    ``"view>click>purchase"``.
+
+    Scale shape: gap-sessionize with the standard lag + running-sum
+    boundary windows, then build the n-grams with ``lead()`` windows
+    over the SAME (user)-keyed sort — no per-session arrays, no
+    collect_list, so a pathological mega-session costs nothing extra.
+    All three window passes share one shuffle partitioning; the final
+    count is a map-side-combined groupBy on the sequence string, and
+    the top-k is a TakeOrdered (count DESC, seq ASC — total order)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_ns_col, order_tiebreak)
+    prev = F.lag(ts_ns_col).over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col(ts_ns_col) - prev > gap_ns), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.withColumn("_sess", F.sum(boundary).over(w))
+    ws = Window.partitionBy(user_col, "_sess").orderBy(
+        ts_ns_col, order_tiebreak
+    )
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(ws) for i in range(1, n)
+    ]
+    seq = F.concat_ws(">", *parts)
+    # seq and the completeness guard MUST share one projection: a
+    # filter between two Window operators would re-evaluate the leads
+    # over the already-filtered partition and corrupt tail n-grams.
+    return (
+        sess.select(seq.alias("seq"), parts[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("seq")
+        .groupBy("seq")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("seq").asc())
+        .limit(top)
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     *,

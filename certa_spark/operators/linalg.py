@@ -39,13 +39,18 @@ Q_W = 10**9   # eigenvector quantization grid
 
 
 def covariance_moments(
-    df: DataFrame, vec_col: str, dim: int, q: int = Q_IN
+    df: DataFrame, vec_col: str, dim: int, q: int = Q_IN,
+    diag_only: bool = False,
 ) -> DataFrame:
     """Exact-integer second-moment table ``(i, j, sxy, si, sj, n)`` for
     0 <= i <= j < dim, where sxy = sum over rows of qx_i * qx_j on the
     ``q`` grid. One pass over the data; the shuffle carries only
-    d*(d+1)/2 rows per Arrow batch."""
-    tri_i, tri_j = np.triu_indices(dim)
+    d*(d+1)/2 rows per Arrow batch (``d`` with ``diag_only`` — enough
+    for per-dimension mean/variance)."""
+    if diag_only:
+        tri_i = tri_j = np.arange(dim)
+    else:
+        tri_i, tri_j = np.triu_indices(dim)
 
     def _moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -53,13 +58,17 @@ def covariance_moments(
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             qx = np.floor(x * q + 0.5).astype(np.int64)
-            g = qx.T @ qx  # d x d int64 — exact for |x|*q <= 3e7 @ 10k rows
+            if diag_only:
+                sxy = (qx * qx).sum(axis=0)
+            else:
+                # d x d int64 — exact for |x|*q <= 3e7 @ 10k rows
+                sxy = (qx.T @ qx)[tri_i, tri_j]
             s = qx.sum(axis=0)
             yield pd.DataFrame(
                 {
                     "i": tri_i.astype(np.int32),
                     "j": tri_j.astype(np.int32),
-                    "sxy": g[tri_i, tri_j],
+                    "sxy": sxy,
                     "si": s[tri_i],
                     "sj": s[tri_j],
                     "n": np.int64(len(pdf)),
@@ -130,6 +139,91 @@ def duck_covariance_sql(
               / CAST(n AS DOUBLE))
            / CAST(n AS DOUBLE) AS cov
     FROM mom
+    """
+
+
+def standardize(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    q: int = Q_IN,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-dimension z-scoring of the embedding column:
+    ``(id_col, zvec)`` with ``z_i = round((x_i - mean_i) / std_i)``.
+
+    The per-dim stats come from the exact-integer diagonal moments
+    (one map-side pass, ``dim`` rows per batch), are folded into ONE
+    broadcast row of (mean[], std[]) arrays, and the scoring itself is
+    a shuffle-free ``zip_with`` — the whole mean/std/score expression
+    tree is spelled identically in the DuckDB oracle, so results are
+    bit-identical. Zero-variance dimensions z-score to 0."""
+    qd = float(q)
+    mom = covariance_moments(df, vec_col, dim, q, diag_only=True)
+    mean = F.col("si").cast("double") / F.lit(qd) / F.col("n").cast("double")
+    var = covariance_expr(q)
+    stats = (
+        mom.select("i", mean.alias("m"), F.sqrt(var).alias("s"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "m", "s"))).alias("_a")
+        )
+        .select(
+            F.transform("_a", lambda x: x["m"]).alias("_ms"),
+            F.transform("_a", lambda x: x["s"]).alias("_ss"),
+        )
+    )
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.col("_ms"),
+        lambda x, m: x - m,
+    )
+    z = F.zip_with(
+        centered,
+        F.col("_ss"),
+        lambda d, s: F.round(F.when(s > 0, d / s).otherwise(F.lit(0.0)), scale),
+    )
+    return df.select(id_col, vec_col).crossJoin(F.broadcast(stats)).select(
+        id_col, z.alias("zvec")
+    )
+
+
+def duck_standardize_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q: int = Q_IN,
+    scale: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`standardize`, EXPLODED to
+    ``(id_col, i, z)`` rows (element-wise floats hash-compare safely;
+    a stringified double array would be formatting-sensitive)."""
+    qd = float(q)
+    mean = f"(CAST(si AS DOUBLE) / {qd} / CAST(n AS DOUBLE))"
+    var = (
+        f"((CAST(sxy AS DOUBLE) / {qd * qd}"
+        f" - (CAST(si AS DOUBLE) / {qd}) * (CAST(si AS DOUBLE) / {qd})"
+        f" / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+    WITH ex AS (
+        SELECT {id_col}, CAST(u.i AS INT) AS i,
+               CAST({vec_col}[CAST(u.i AS INT) + 1] AS DOUBLE) AS x,
+               CAST(floor(CAST({vec_col}[CAST(u.i AS INT) + 1] AS DOUBLE)
+                          * {q} + 0.5) AS BIGINT) AS qx
+        FROM {table}, UNNEST(range(0, len({vec_col}))) AS u(i)
+    ),
+    mom AS (
+        SELECT i, sum(qx * qx) AS sxy, sum(qx) AS si, count(*) AS n
+        FROM ex GROUP BY 1
+    ),
+    stats AS (
+        SELECT i, {mean} AS m, sqrt({var}) AS s FROM mom
+    )
+    SELECT e.{id_col}, e.i,
+           round(CASE WHEN st.s > 0 THEN (e.x - st.m) / st.s
+                      ELSE 0.0 END, {scale}) AS z
+    FROM ex e JOIN stats st USING (i)
     """
 
 

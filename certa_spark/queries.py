@@ -5672,6 +5672,68 @@ def _q_doc_bpe_merges_sql() -> str:
     return duck_learn_merges_sql(iters=3)
 
 
+def q_events_session_sequences(spark, sf_dir) -> DataFrame:
+    """Top-10 most frequent 3-step event-type sequences within
+    gap-based sessions (operators/funnel.session_sequences): all
+    session + n-gram windows share one user-keyed shuffle; no
+    per-session arrays, so mega-sessions cost nothing extra."""
+    from certa_spark.operators.funnel import session_sequences
+
+    return session_sequences(_events(spark, sf_dir), n=3, top=10)
+
+
+_Q_SESSION_SEQ_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, event_type, ts_ns,
+               CASE WHEN lag(ts_ns) OVER w IS NULL
+                         OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                    THEN 1 ELSE 0 END AS b
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    ),
+    t AS (
+        SELECT user_id, event_id, event_type, ts_ns,
+               sum(b) OVER (PARTITION BY user_id
+                            ORDER BY ts_ns, event_id) AS sess
+        FROM s
+    ),
+    g AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER ws
+                          || '>' || lead(event_type, 2) OVER ws AS seq,
+               lead(event_type, 2) OVER ws AS lst
+        FROM t
+        WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts_ns, event_id)
+    )
+    SELECT seq, CAST(count(*) AS BIGINT) AS n
+    FROM g WHERE lst IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, seq ASC LIMIT 10
+"""
+
+
+def q_embedding_standardize(spark, sf_dir) -> DataFrame:
+    """Per-dimension z-scoring (operators/linalg.standardize): exact
+    diagonal moments -> one broadcast (mean[], std[]) row -> shuffle-
+    free zip_with scoring. Output exploded per element for the
+    float-safe oracle compare."""
+    from certa_spark.operators import linalg as LA
+
+    z = LA.standardize(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", _EMB_DIM
+    )
+    return z.select(
+        "vec_id", F.posexplode("zvec").alias("i", "z")
+    )
+
+
+def _q_embedding_standardize_sql() -> str:
+    from certa_spark.operators.linalg import duck_standardize_sql
+
+    return duck_standardize_sql()
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5808,6 +5870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_project": q_embedding_pca_project,
     "doc_span_dedup": q_doc_span_dedup,
     "doc_bpe_merges": q_doc_bpe_merges,
+    "events_session_sequences": q_events_session_sequences,
+    "embedding_standardize": q_embedding_standardize,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -5970,6 +6034,8 @@ ORACLES: dict[str, str] = {
     "embedding_pca_project": _q_embedding_pca_sql(),
     "doc_span_dedup": _q_doc_span_dedup_sql(),
     "doc_bpe_merges": _q_doc_bpe_merges_sql(),
+    "events_session_sequences": _Q_SESSION_SEQ_SQL,
+    "embedding_standardize": _q_embedding_standardize_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -99,3 +99,41 @@ def test_snapshot_diff_null_safe(spark):
     new = spark.createDataFrame([(1, None)], "k long, v string")
     r = snapshot_diff(old, new, ["k"], ["v"]).collect()[0]
     assert r["change_type"] == "unchanged"
+
+
+def test_session_sequences_respects_gaps(spark):
+    from certa_spark.operators.funnel import session_sequences
+
+    ns = 1_000_000_000
+    rows = [
+        # one session: A B C D -> trigrams A>B>C, B>C>D
+        (1, 1, "A", 0 * ns), (1, 2, "B", 60 * ns),
+        (1, 3, "C", 120 * ns), (1, 4, "D", 180 * ns),
+        # gap > 30min splits: no trigram spans it
+        (2, 5, "A", 0 * ns), (2, 6, "B", 60 * ns),
+        (2, 7, "C", 10_000 * ns),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ns long"
+    )
+    out = {r["seq"]: r["n"] for r in session_sequences(e, n=3, top=10).collect()}
+    assert out == {"A>B>C": 1, "B>C>D": 1}
+
+
+def test_session_sequences_top_order_deterministic(spark):
+    from certa_spark.operators.funnel import session_sequences
+
+    ns = 1_000_000_000
+    rows = []
+    eid = 0
+    for u, kinds in [(1, "ABAB"), (2, "ABAB"), (3, "XYXY")]:
+        for i, t in enumerate(kinds):
+            rows.append((u, eid, t, i * 60 * ns))
+            eid += 1
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ns long"
+    )
+    got = session_sequences(e, n=2, top=2).collect()
+    # A>B appears 4x; ties below broken by seq ASC
+    assert (got[0]["seq"], got[0]["n"]) == ("A>B", 4)
+    assert (got[1]["seq"], got[1]["n"]) == ("B>A", 2)

@@ -72,3 +72,23 @@ def test_pca_project_matches_numpy(spark):
     for k, (p1, p2) in got.items():
         assert abs(p1 - want[k, 0]) < 1e-4
         assert abs(p2 - want[k, 1]) < 1e-4
+
+
+def test_standardize_zero_mean_unit_std(spark):
+    from certa_spark.operators.linalg import standardize
+
+    x = _mat(50, 4)
+    z = standardize(_df(spark, x), "embedding", "vec_id", 4).collect()
+    cols = np.array([r["zvec"] for r in sorted(z, key=lambda r: r["vec_id"])])
+    assert cols.shape == (50, 4)
+    assert np.abs(cols.mean(axis=0)).max() < 1e-4
+    assert np.abs(cols.std(axis=0) - 1.0).max() < 1e-4
+
+
+def test_standardize_constant_dim_scores_zero(spark):
+    from certa_spark.operators.linalg import standardize
+
+    x = _mat(20, 3)
+    x[:, 1] = 2.5  # zero variance
+    z = standardize(_df(spark, x), "embedding", "vec_id", 3).collect()
+    assert all(r["zvec"][1] == 0.0 for r in z)
