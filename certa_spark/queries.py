@@ -5734,6 +5734,76 @@ def _q_embedding_standardize_sql() -> str:
     return duck_standardize_sql()
 
 
+_PITL_DATES = [
+    "1993-06-30", "1994-06-30", "1995-06-30",
+    "1996-06-30", "1997-06-30", "1998-06-30",
+]
+
+
+def q_orders_scd2_pitl(spark, sf_dir) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history: which price was
+    in effect for each customer at six fixed probe dates. Runs as an
+    AS-OF join (operators/asof.py union+window, ONE shuffle) instead
+    of a BETWEEN interval join — the oracle uses the interval join, so
+    the two formulations verify each other. Zero-length intervals
+    (same-date orders) resolve to the highest orderkey on both paths."""
+    from certa_spark.operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    dim = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    probes = (
+        dim.select("o_custkey")
+        .distinct()
+        .select(
+            "o_custkey",
+            F.explode(
+                F.array(
+                    *[F.lit(d).cast("timestamp") for d in _PITL_DATES]
+                )
+            ).alias("ts"),
+        )
+    )
+    res = asof_join(
+        probes, dim, on=["o_custkey"], ts_col="ts",
+        payload_cols=["o_orderkey", "price"], tiebreak_col="o_orderkey",
+    )
+    return res.select(
+        "o_custkey",
+        F.date_format("ts", "yyyy-MM-dd").alias("probe_date"),
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_price").alias("asof_price"),
+    )
+
+
+_Q_SCD2_PITL_SQL = f"""
+    WITH scd AS (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS valid_to
+        FROM orders WHERE o_custkey < 500
+    ),
+    keys AS (SELECT DISTINCT o_custkey FROM scd),
+    probes AS (
+        SELECT o_custkey,
+               unnest([{', '.join(f"TIMESTAMP '{d}'" for d in _PITL_DATES)}])
+                   AS ts
+        FROM keys
+    )
+    SELECT p.o_custkey, strftime(p.ts, '%Y-%m-%d') AS probe_date,
+           s.o_orderkey AS asof_orderkey, s.price AS asof_price
+    FROM probes p LEFT JOIN scd s
+      ON p.o_custkey = s.o_custkey AND s.valid_from <= p.ts
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5872,6 +5942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_merges": q_doc_bpe_merges,
     "events_session_sequences": q_events_session_sequences,
     "embedding_standardize": q_embedding_standardize,
+    "orders_scd2_pitl": q_orders_scd2_pitl,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6036,6 +6107,7 @@ ORACLES: dict[str, str] = {
     "doc_bpe_merges": _q_doc_bpe_merges_sql(),
     "events_session_sequences": _Q_SESSION_SEQ_SQL,
     "embedding_standardize": _q_embedding_standardize_sql(),
+    "orders_scd2_pitl": _Q_SCD2_PITL_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

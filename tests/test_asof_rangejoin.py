@@ -105,3 +105,49 @@ def test_range_join_overlapping_intervals_multi_match(spark):
 
 def test_range_join_key_isolation(spark):
     assert _rj(spark, [(2, 15, 1)], [(1, 10, 20, 7)], 5) == []
+
+
+def test_asof_pitl_matches_interval_join(spark):
+    """The as-of formulation of SCD2 point-in-time lookup must equal
+    the BETWEEN interval join, including zero-length same-ts intervals
+    (highest tiebreak wins) and probes before any interval (nulls)."""
+    from certa_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    dim_rows = [
+        (1, 101, 10.0, 100), (1, 102, 20.0, 200),
+        # zero-length: two versions at ts=200 -> 103 dominates
+        (1, 103, 30.0, 200), (1, 104, 40.0, 300),
+        (2, 201, 5.0, 150),
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "k long, ver long, price double, ts long"
+    )
+    probes = spark.createDataFrame(
+        [(1, 50), (1, 100), (1, 200), (1, 250), (1, 999), (2, 150)],
+        "k long, ts long",
+    )
+    got = {
+        (r["k"], r["ts"]): (r["asof_ver"], r["asof_price"])
+        for r in asof_join(
+            probes, dim, on=["k"], ts_col="ts",
+            payload_cols=["ver", "price"], tiebreak_col="ver",
+        ).collect()
+    }
+    # interval twin
+    w = Window.partitionBy("k").orderBy("ts", "ver")
+    iv = dim.select("k", "ver", "price", F.col("ts").alias("f"),
+                    F.lead("ts").over(w).alias("t"))
+    want = {
+        (r["k"], r["ts"]): (r["ver"], r["price"])
+        for r in probes.join(
+            iv,
+            (probes.k == iv.k) & (iv.f <= probes.ts)
+            & (iv.t.isNull() | (probes.ts < iv.t)),
+            "left",
+        ).select(probes.k, probes.ts, iv.ver, iv.price).collect()
+    }
+    assert got == want
+    assert got[(1, 50)] == (None, None)
+    assert got[(1, 200)] == (103, 30.0)

@@ -33,6 +33,18 @@ QUERIES_UNDER_TEST = [
     "part_pagerank_dangling",
     "part_triangles",
     "doc_bigram_lm",  # DECIMAL-routed log-prob sums
+    # late round 3: integer-grid linear algebra must be exact under any
+    # partitioning (decimal moment sums); span-dedup rides grouped
+    # in-row pair expansion + island windows; BPE merges are a
+    # driver-coordinated loop whose top-pair pick must not depend on
+    # the shuffle; the funnel/sequence ops ride chained windows
+    "embedding_covariance",
+    "embedding_standardize",
+    "doc_span_dedup",
+    "doc_bpe_merges",
+    "events_funnel",
+    "events_session_sequences",
+    "events_sliding_hll",
 ]
 
 
