@@ -415,6 +415,7 @@ def triangle_counts(
     src: str = "src",
     dst: str = "dst",
     partitions: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED simple graph (pass
     canonical a<b edges; duplicates are deduped here). Returns
@@ -433,14 +434,19 @@ def triangle_counts(
     explode + aggregate.
     """
     partitions = _default_partitions(edges, partitions)
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if dedup:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    else:
+        # caller guarantees canonical a<b simple edges (e.g. an already
+        # materialized frame) — skip the dedup shuffle
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -487,4 +493,55 @@ def triangle_counts(
         tris.select(F.explode(F.array("p", "u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("triangles"))
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Local clustering coefficient per node:
+    ``cc = 2*T / (d * (d-1))`` for every node with degree >= 2 (nodes
+    in no triangle report 0.0). Rides :func:`triangle_counts` (degree-
+    ordered orientation — hub-safe) plus one degree aggregation and a
+    left join; the degree table is node-cardinality, so the extra cost
+    over triangle counting is one small join."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # materialize ONCE: the degree branch and the triangle branch
+        # would otherwise each replay the upstream pair build + dedup
+        # shuffle (Catalyst does not CSE across join branches)
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tris = triangle_counts(
+        und, src="a", dst="b", partitions=partitions, dedup=False
+    )
+    d = F.col("degree").cast("double")
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tris, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+            .alias("triangles"),
+            F.round(
+                (F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0)))
+                / (d * (d - F.lit(1.0))),
+                6,
+            ).alias("cc"),
+        )
     )

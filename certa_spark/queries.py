@@ -5804,6 +5804,57 @@ _Q_SCD2_PITL_SQL = f"""
 """
 
 
+def q_part_clustering_coeff(spark, sf_dir) -> DataFrame:
+    """Local clustering coefficient over the part co-purchase graph
+    (operators/graph.clustering_coefficient): triangle counts via the
+    hub-safe degree-ordered orientation + one degree join; zero-
+    triangle nodes report 0.0."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    return GR.clustering_coefficient(pairs, src="pa", dst="pb")
+
+
+_Q_CLUSTERING_SQL = """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 3 = 0
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT xy.a AS x, xy.b AS y, xz.b AS z
+        FROM e xy
+        JOIN e xz ON xy.a = xz.a AND xy.b < xz.b
+        JOIN e yz ON yz.a = xy.b AND yz.b = xz.b
+    ),
+    tc AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        FROM (
+            SELECT x AS node FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t
+        ) GROUP BY 1
+    )
+    SELECT d.node, d.degree,
+           CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+           round((2.0 * coalesce(tc.triangles, 0))
+                 / (CAST(d.degree AS DOUBLE)
+                    * (CAST(d.degree AS DOUBLE) - 1.0)), 6) AS cc
+    FROM deg d LEFT JOIN tc USING (node)
+    WHERE d.degree >= 2
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5943,6 +5994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_sequences": q_events_session_sequences,
     "embedding_standardize": q_embedding_standardize,
     "orders_scd2_pitl": q_orders_scd2_pitl,
+    "part_clustering_coeff": q_part_clustering_coeff,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6108,6 +6160,7 @@ ORACLES: dict[str, str] = {
     "events_session_sequences": _Q_SESSION_SEQ_SQL,
     "embedding_standardize": _q_embedding_standardize_sql(),
     "orders_scd2_pitl": _Q_SCD2_PITL_SQL,
+    "part_clustering_coeff": _Q_CLUSTERING_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -113,3 +113,23 @@ def test_triangle_counts_hand_checked(spark):
     assert {
         r["node"]: r["triangles"] for r in triangle_counts(noisy).collect()
     } == got
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from certa_spark.operators.graph import clustering_coefficient
+    from pyspark.sql import functions as F
+
+    # K4 on {1,2,3,4} (cc=1 everywhere) plus pendant 5-1 and wedge 5-6
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (5, 6)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    # node 1: degree 4 (2,3,4,5), triangles 3 -> 2*3/(4*3) = 0.5
+    assert out[1]["degree"] == 4 and out[1]["triangles"] == 3
+    assert out[1]["cc"] == 0.5
+    for n in (2, 3, 4):
+        assert out[n]["degree"] == 3 and out[n]["triangles"] == 3
+        assert out[n]["cc"] == 1.0
+    # node 5: degree 2 (1 and 6), no triangle -> cc 0.0
+    assert out[5]["triangles"] == 0 and out[5]["cc"] == 0.0
+    # node 6: degree 1 -> excluded
+    assert 6 not in out
