@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from certa_spark import tmpcache
 from certa_spark.matching import Matcher, NativeCosineMatcher
 from certa_spark.operators import triangles as T
 from certa_spark.operators.augment import generate_modified
@@ -87,6 +88,20 @@ class CertaExplainer:
         max_predict: int = -1,
         debug: bool = False,
     ) -> Explanation:
+        # every short-lived cache below registers with this scope and
+        # is unpersisted when the explanation (pure driver-side data)
+        # is returned — see tmpcache.py for why leaking them degrades
+        # long sessions
+        with tmpcache.scope():
+            return self._explain_scoped(
+                l_tuple, r_tuple, matcher, left, right, attr_length,
+                num_triangles, lprefix, rprefix, max_predict, debug,
+            )
+
+    def _explain_scoped(
+        self, l_tuple, r_tuple, matcher, left, right, attr_length,
+        num_triangles, lprefix, rprefix, max_predict, debug,
+    ) -> Explanation:
         spark = self.spark
         if matcher is None:
             matcher = NativeCosineMatcher(lprefix, rprefix)
@@ -110,7 +125,7 @@ class CertaExplainer:
         # dominated wall-clock (28s of a 42s explain). Each extra
         # localCheckpoint costs one materialization job (~0.3s), so only
         # the cuts below the big scans keep one.
-        support_pairs = support_pairs.repartition(1).cache()
+        support_pairs = tmpcache.track(support_pairs.repartition(1).cache())
         # Everything after the (checkpointed) scans runs on frames of
         # <= 3*num_triangles rows, where AQE only multiplies jobs: each
         # tiny exchange materializes as its own adaptive stage-job
@@ -226,6 +241,12 @@ class CertaExplainer:
         try:
 
             def one(i: int) -> Explanation:
+                # per-thread scope: each worker owns exactly the caches
+                # its post-scan micro-phases create
+                with tmpcache.scope():
+                    return _one_scoped(i)
+
+            def _one_scoped(i: int) -> Explanation:
                 if n_support[i] < num_triangles:
                     # DA fallback needs the augmentation rescan — the
                     # single-instance path owns that machinery
@@ -236,7 +257,7 @@ class CertaExplainer:
                         lprefix=lprefix, rprefix=rprefix,
                         max_predict=max_predict,
                     )
-                support_i = (
+                support_i = tmpcache.track(
                     all_support.filter(F.col("_probe") == i)
                     .drop("_probe")
                     .repartition(1)
@@ -266,13 +287,16 @@ class CertaExplainer:
         # left source, copies of r1 extend the right source.
         ext_l, ext_r = self.lsource, self.rsource
         if copies_right is not None:
-            ext_l = ext_l.unionByName(copies_right.select(*ext_l.columns))
+            ext_l = tmpcache.track(
+                ext_l.unionByName(copies_right.select(*ext_l.columns)).cache()
+            )
         if copies_left is not None:
-            ext_r = ext_r.unionByName(copies_left.select(*ext_r.columns))
-        ext_l, ext_r = ext_l.cache(), ext_r.cache()
+            ext_r = tmpcache.track(
+                ext_r.unionByName(copies_left.select(*ext_r.columns)).cache()
+            )
 
         # 4. triangle enumeration (triangles_method.py:25-53)
-        tri = T.mixed_triangles(support_pairs).repartition(1).cache()
+        tri = tmpcache.track(T.mixed_triangles(support_pairs).repartition(1).cache())
         tri_rows = tri.collect()
         n_triangles = len(tri_rows)
         if n_triangles == 0:
@@ -283,16 +307,16 @@ class CertaExplainer:
             spark, tri, ext_l, ext_r, matcher, pc, attr_length, lprefix, rprefix
         )
         pre_nf = getattr(flipped, "_precomputed_n_flipped", None)
-        flipped = flipped.repartition(2).cache()
-        rankings = rankings.repartition(1).cache()
+        flipped = tmpcache.track(flipped.repartition(2).cache())
+        rankings = tmpcache.track(rankings.repartition(1).cache())
         n_flipped = pre_nf if pre_nf is not None else flipped.count()
 
-        explanation = T.aggregate_rankings(rankings, n_triangles, attr_length).repartition(1).cache()
+        explanation = tmpcache.track(T.aggregate_rankings(rankings, n_triangles, attr_length).repartition(1).cache())
         attributes = [lprefix + c for c in self.lsource.columns if c != "id"] + [
             rprefix + c for c in self.rsource.columns if c != "id"
         ]
         sal = T.saliency(rankings, attributes, n_triangles, n_flipped)
-        summary = T.cf_summary(explanation).repartition(1).cache()
+        summary = tmpcache.track(T.cf_summary(explanation).repartition(1).cache())
         cfs = T.counterfactuals(flipped, summary)
 
         lattices: list = []

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from certa_spark import tmpcache
 from pyspark.sql.window import Window
 
 from certa_spark.functions.hashing import hash32
@@ -333,10 +334,10 @@ def support_predictions(
     from certa_spark.operators.pairs import pair_row
 
     find_positives = class_to_explain == 0
-    support = get_support(
+    support = tmpcache.track(get_support(
         spark, r1, r2, lsource, rsource, matcher, find_positives,
         num_triangles, lprefix, rprefix, use_w, use_q, max_predict, use_all, seed,
-    ).cache()
+    ).cache())
     n_support = support.count()
 
     copies_left = copies_right = None
@@ -345,13 +346,14 @@ def support_predictions(
         # probes themselves, paired through the same scan.
         n_l, n_r = lsource.count(), rsource.count()
         copies_left, copies_right = expand_copies(spark, r1, r2, n_l, n_r)
-        copies_left, copies_right = copies_left.cache(), copies_right.cache()
+        copies_left = tmpcache.track(copies_left.cache())
+        copies_right = tmpcache.track(copies_right.cache())
         support2 = get_support(
             spark, r1, r2, copies_right, copies_left, matcher, find_positives,
             num_triangles, lprefix, rprefix, use_w, use_q, max_predict, use_all,
             seed + 7,
         )
-        support = support.unionByName(support2).cache()
+        support = tmpcache.track(support.unionByName(support2).cache())
         n_support = support.count()
 
     if n_support == 0:

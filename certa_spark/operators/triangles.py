@@ -32,6 +32,7 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from certa_spark import tmpcache
 
 from certa_spark.matching import SCORE_COLS, Matcher
 from certa_spark.schema import LPREFIX, RPREFIX
@@ -292,7 +293,7 @@ def perturb_predict(
         (the S3 prediction log; synthesized depths excluded, matching
         the reference which only logs real predictions).
     """
-    triangles = triangles.cache()
+    triangles = tmpcache.track(triangles.cache())
     # resolve triangle-member records ONCE (3 broadcast joins per side),
     # collapse to a few partitions (the frame is <= 3*num_triangles
     # rows), and reuse across every depth — the per-depth work is then
@@ -322,7 +323,7 @@ def perturb_predict(
             resolved, lsource, rsource, depth, class_to_explain, lprefix, rprefix
         )
         if not all_good:
-            predicted = matcher.predict(pert).cache()
+            predicted = tmpcache.track(matcher.predict(pert).cache())
             stats = predicted.agg(
                 F.count("*").alias("n"),
                 F.sum(flip_condition(class_to_explain).cast("long")).alias("nf"),
@@ -337,9 +338,9 @@ def perturb_predict(
             # synthesized scores: everything counts as flipped
             # (triangles_method.py:309-319)
             match_syn = 1.0 if class_to_explain == 0 else 0.0
-            predicted = pert.withColumn(
+            predicted = tmpcache.track(pert.withColumn(
                 "match_score", F.lit(match_syn)
-            ).withColumn("nomatch_score", F.lit(1.0 - match_syn)).cache()
+            ).withColumn("nomatch_score", F.lit(1.0 - match_syn)).cache())
             n_pert = predicted.count()
             if n_pert == 0:
                 continue
@@ -414,7 +415,7 @@ def _perturb_predict_fused(
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
-    predicted = matcher.predict(allp).cache()
+    predicted = tmpcache.track(matcher.predict(allp).cache())
     flip = flip_condition(class_to_explain)
     stats = {
         r["depth"]: (r["n"], r["nf"])
@@ -514,10 +515,10 @@ def cf_summary(explanation: DataFrame) -> DataFrame:
     "a/b"-joined strings (a latent bug); we implement the documented
     intent — attr-*set* containment.
     """
-    top = explanation.filter(
+    top = tmpcache.track(explanation.filter(
         F.col("pss")
         == explanation.agg(F.max("pss").alias("m")).select("m").collect()[0]["m"]
-    ).cache()
+    ).cache())
     a = top.select(
         F.col("alteredAttributes").alias("a_set"), F.col("pss"), F.col("attr_set")
     )
