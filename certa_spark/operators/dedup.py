@@ -627,3 +627,81 @@ def duck_duplicated_runs_sql(
            CAST(sum(_len) AS BIGINT) AS dup_shingles
     FROM runs GROUP BY 1, 2
     """
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's DISTINCT
+    n-token shingles that appear in no other document —
+    ``(id_col, n_shingles, n_shared, novelty)``. The complement of
+    near-dup detection: a corpus-curation score for "how much of this
+    document is boilerplate copied from elsewhere".
+
+    Shape: one explode of the distinct-shingle array (hashed to longs
+    before the shuffle), one document-frequency aggregation, one join
+    back, one per-doc count — all map-side-combinable.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
+    ).select(id_col, hash64(F.col("_s")).alias("h"))
+    dfreq = ex.groupBy("h").agg(
+        F.count_distinct(id_col).cast("long").alias("_df")
+    )
+    per_doc = (
+        ex.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_df") >= 2).cast("long")).cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_shared",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_shared").cast("double")
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
+def duck_shingle_novelty_sql(
+    table: str = "documents",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`shingle_novelty`."""
+    return f"""
+    WITH ex AS (
+        SELECT {id_col}, {duck_hash64('s')} AS h
+        FROM (
+            SELECT {id_col}, unnest({duck_shingles(text_col, n)}) AS s
+            FROM {table}
+        )
+    ),
+    dfreq AS (
+        SELECT h, CAST(count(DISTINCT {id_col}) AS BIGINT) AS df
+        FROM ex GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT e.{id_col},
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM ex e JOIN dfreq d USING (h)
+        GROUP BY 1
+    )
+    SELECT {id_col}, n_shingles, n_shared,
+           round(1.0 - CAST(n_shared AS DOUBLE)
+                 / CAST(n_shingles AS DOUBLE), 6) AS novelty
+    FROM per_doc
+    """

@@ -29,28 +29,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def funnel_steps(
+def _step_frames(
     events: DataFrame,
     steps: list[str],
-    *,
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    horizon_hours: int | None = None,
-) -> DataFrame:
-    """Strict ordered funnel: a user counts for step i only if their
-    earliest qualifying step-i event is strictly after the timestamp
-    that qualified them for step i-1 (and, with ``horizon_hours``,
-    within that horizon of it).
-
-    Returns one row per step: ``(step, event_type, users, pct_of_first)``
-    with ``pct_of_first`` rounded to 6 decimals.
-    """
-    if not steps:
-        raise ValueError("funnel needs at least one step")
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    horizon_hours: int | None,
+) -> list[tuple[str, DataFrame]]:
+    """The shared funnel chain: per step, the (u, t_step) frame of
+    users who reached it (earliest qualifying event)."""
     reached: list[tuple[str, DataFrame]] = []
     prev: DataFrame | None = None
-    for i, step in enumerate(steps):
+    for step in steps:
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("u"), F.col(ts_col).alias("t")
         )
@@ -71,6 +62,31 @@ def funnel_steps(
             )
         reached.append((step, cur))
         prev = cur
+    return reached
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_hours: int | None = None,
+) -> DataFrame:
+    """Strict ordered funnel: a user counts for step i only if their
+    earliest qualifying step-i event is strictly after the timestamp
+    that qualified them for step i-1 (and, with ``horizon_hours``,
+    within that horizon of it).
+
+    Returns one row per step: ``(step, event_type, users, pct_of_first)``
+    with ``pct_of_first`` rounded to 6 decimals.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached = _step_frames(
+        events, steps, user_col, type_col, ts_col, horizon_hours
+    )
 
     counts = None
     for i, (step, df) in enumerate(reached):
@@ -94,6 +110,29 @@ def funnel_steps(
             ).alias("pct_of_first"),
         )
     )
+
+
+def funnel_user_times(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_hours: int | None = None,
+) -> DataFrame:
+    """Per-user step timestamps for users completing EVERY funnel
+    step: ``(u, t_1 .. t_k)``. The step frames are the shrinking
+    per-user aggregates of the funnel chain, so the final assembly is
+    k-1 small co-partitioned joins on the user key."""
+    reached = _step_frames(
+        events, steps, user_col, type_col, ts_col, horizon_hours
+    )
+    out = None
+    for i, (_, df) in enumerate(reached):
+        cur = df.select("u", F.col("t_step").alias(f"t_{i + 1}"))
+        out = cur if out is None else out.join(cur, "u")
+    return out
 
 
 def session_sequences(

@@ -5855,6 +5855,140 @@ _Q_CLUSTERING_SQL = """
 """
 
 
+def q_doc_novelty(spark, sf_dir) -> DataFrame:
+    """Per-document novelty score (dedup.shingle_novelty): fraction of
+    the doc's distinct 3-shingles unique to it — the curation-side
+    complement of near-dup detection; hashed-long postings, one df
+    aggregation + one join back."""
+    from certa_spark.operators.dedup import shingle_novelty
+
+    return shingle_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+def _q_doc_novelty_sql() -> str:
+    from certa_spark.operators.dedup import duck_shingle_novelty_sql
+
+    return duck_shingle_novelty_sql(n=3)
+
+
+_MAD_K = 3 * 1.4826  # 3-sigma-equivalent MAD multiplier
+
+
+def q_events_robust_outliers(spark, sf_dir) -> DataFrame:
+    """Robust per-type outlier report: median / MAD (the
+    outlier-resistant twin of events_running_zscore's mean/stddev) and
+    the count of values beyond 3 sigma-equivalents. Exact grouped
+    percentiles both engines (quantile_cont parity); at 100 TB the
+    drop-in is approx_percentile, same plan shape."""
+    e = _events(spark, sf_dir).select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("_dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("_dev"), F.lit(0.5)), 6).alias("mad"),
+        F.max("med").alias("med"),
+    )
+    out = (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(_MAD_K) * F.col("mad")
+                ).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+    return out
+
+
+_Q_ROBUST_OUTLIERS_SQL = f"""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(d, 0.5), 6) AS mad,
+               max(med) AS med
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, max(m.med) AS med, max(m.mad) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(d.value - m.med) > {_MAD_K!r} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM (SELECT event_type, value FROM dev) d JOIN mad m USING (event_type)
+    GROUP BY 1
+"""
+
+
+def q_events_funnel_latency(spark, sf_dir) -> DataFrame:
+    """Conversion-latency percentiles for funnel completers
+    (funnel.funnel_user_times): p50/p90 seconds from first view to the
+    qualifying purchase, over users completing view->click->purchase
+    within 72h per step."""
+    from certa_spark.operators.funnel import funnel_user_times
+
+    ft = funnel_user_times(
+        _events(spark, sf_dir), ["view", "click", "purchase"],
+        horizon_hours=72,
+    )
+    secs = (
+        (
+            F.unix_micros(F.col("t_3").cast("timestamp"))
+            - F.unix_micros(F.col("t_1").cast("timestamp"))
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    return ft.agg(
+        F.round(F.percentile(secs, F.lit(0.5)), 4).alias("p50_sec"),
+        F.round(F.percentile(secs, F.lit(0.9)), 4).alias("p90_sec"),
+        F.count("*").cast("long").alias("completers"),
+    )
+
+
+_Q_FUNNEL_LATENCY_SQL = """
+    WITH s1 AS (
+        SELECT user_id AS u, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.u
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+          AND e.ts <= s1.t + INTERVAL 72 HOURS
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.u
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          AND e.ts <= s2.t + INTERVAL 72 HOURS
+        GROUP BY 1
+    ),
+    lat AS (
+        SELECT (epoch_us(s3.t) - epoch_us(s1.t)) / 1000000.0 AS secs
+        FROM s3 JOIN s1 USING (u)
+    )
+    SELECT round(quantile_cont(secs, 0.5), 4) AS p50_sec,
+           round(quantile_cont(secs, 0.9), 4) AS p90_sec,
+           CAST(count(*) AS BIGINT) AS completers
+    FROM lat
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5995,6 +6129,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_standardize": q_embedding_standardize,
     "orders_scd2_pitl": q_orders_scd2_pitl,
     "part_clustering_coeff": q_part_clustering_coeff,
+    "doc_novelty": q_doc_novelty,
+    "events_robust_outliers": q_events_robust_outliers,
+    "events_funnel_latency": q_events_funnel_latency,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6161,6 +6298,9 @@ ORACLES: dict[str, str] = {
     "embedding_standardize": _q_embedding_standardize_sql(),
     "orders_scd2_pitl": _Q_SCD2_PITL_SQL,
     "part_clustering_coeff": _Q_CLUSTERING_SQL,
+    "doc_novelty": _q_doc_novelty_sql(),
+    "events_robust_outliers": _Q_ROBUST_OUTLIERS_SQL,
+    "events_funnel_latency": _Q_FUNNEL_LATENCY_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -137,3 +137,38 @@ def test_session_sequences_top_order_deterministic(spark):
     # A>B appears 4x; ties below broken by seq ASC
     assert (got[0]["seq"], got[0]["n"]) == ("A>B", 4)
     assert (got[1]["seq"], got[1]["n"]) == ("B>A", 2)
+
+
+def test_funnel_user_times_complete_only(spark):
+    from certa_spark.operators.funnel import funnel_user_times
+
+    rows = [
+        (1, "A", _ts(1)), (1, "B", _ts(2)), (1, "C", _ts(3)),
+        (2, "A", _ts(1)), (2, "B", _ts(2)),   # never reaches C
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = funnel_user_times(e, ["A", "B", "C"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["u"] == 1
+    assert r["t_1"] < r["t_2"] < r["t_3"]
+
+
+def test_shingle_novelty_bounds(spark):
+    from certa_spark.operators.dedup import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # shares "a b c"-region with doc 2
+            (2, "a b c d x"),
+            (3, "p q r s t"),       # fully unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in shingle_novelty(docs, n=3).collect()}
+    assert out[3]["novelty"] == 1.0 and out[3]["n_shared"] == 0
+    # docs 1/2 share shingles "a b c" and "b c d" -> 2 of 3 shared
+    for d in (1, 2):
+        assert out[d]["n_shingles"] == 3
+        assert out[d]["n_shared"] == 2
+        assert abs(out[d]["novelty"] - (1 / 3)) < 1e-6
