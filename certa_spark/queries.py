@@ -5989,6 +5989,90 @@ _Q_FUNNEL_LATENCY_SQL = """
 """
 
 
+def q_embedding_woe_bins(spark, sf_dir) -> DataFrame:
+    """Weight-of-evidence feature binning — the credit-scoring-style
+    encoder over the labeled embeddings: L2-norm feature, exact
+    quintile boundaries (broadcast — binning itself is map-side, no
+    ntile global sort), Laplace-smoothed WOE per bin for the binary
+    target label < 5. The feature (first component — the vectors are
+    unit-normalized, so the norm is constant) is rounded to 6dp before
+    binning so boundary comparisons are cross-engine deterministic."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") < 5).cast("long").alias("pos"),
+        # first embedding component as the scored feature (the vectors
+        # are unit-normalized, so the norm itself is constant)
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("nrm"),
+    )
+    bnd = emb.agg(
+        F.expr(
+            "percentile(nrm, array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("_b")
+    )
+    binned = emb.crossJoin(F.broadcast(bnd)).select(
+        "pos",
+        (
+            (F.col("nrm") > F.col("_b")[0]).cast("long")
+            + (F.col("nrm") > F.col("_b")[1]).cast("long")
+            + (F.col("nrm") > F.col("_b")[2]).cast("long")
+            + (F.col("nrm") > F.col("_b")[3]).cast("long")
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    tot = counts.agg(
+        F.sum("n_pos").alias("_tp"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("_tn"),
+    )
+    pos_rate = (F.col("n_pos").cast("double") + 0.5) / (
+        F.col("_tp").cast("double") + 2.5
+    )
+    neg_rate = (
+        (F.col("n") - F.col("n_pos")).cast("double") + 0.5
+    ) / (F.col("_tn").cast("double") + 2.5)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.log(pos_rate / neg_rate), 8).alias("woe"),
+    )
+
+
+_Q_WOE_SQL = """
+    WITH emb AS (
+        SELECT CAST(CASE WHEN label < 5 THEN 1 ELSE 0 END AS BIGINT) AS pos,
+               round(CAST(embedding[1] AS DOUBLE), 6) AS nrm
+        FROM embeddings
+    ),
+    bnd AS (
+        SELECT quantile_cont(nrm, [0.2, 0.4, 0.6, 0.8]) AS b FROM emb
+    ),
+    binned AS (
+        SELECT pos,
+               CAST(CASE WHEN nrm > b[1] THEN 1 ELSE 0 END
+                  + CASE WHEN nrm > b[2] THEN 1 ELSE 0 END
+                  + CASE WHEN nrm > b[3] THEN 1 ELSE 0 END
+                  + CASE WHEN nrm > b[4] THEN 1 ELSE 0 END AS BIGINT) AS bin
+        FROM emb CROSS JOIN bnd
+    ),
+    counts AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM binned GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n_pos) AS tp, sum(n - n_pos) AS tn FROM counts
+    )
+    SELECT bin, n, n_pos,
+           round(ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                     / (CAST(tp AS DOUBLE) + 2.5))
+                    / ((CAST(n - n_pos AS DOUBLE) + 0.5)
+                       / (CAST(tn AS DOUBLE) + 2.5))), 8) AS woe
+    FROM counts CROSS JOIN tot
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6132,6 +6216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_novelty": q_doc_novelty,
     "events_robust_outliers": q_events_robust_outliers,
     "events_funnel_latency": q_events_funnel_latency,
+    "embedding_woe_bins": q_embedding_woe_bins,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6301,6 +6386,7 @@ ORACLES: dict[str, str] = {
     "doc_novelty": _q_doc_novelty_sql(),
     "events_robust_outliers": _Q_ROBUST_OUTLIERS_SQL,
     "events_funnel_latency": _Q_FUNNEL_LATENCY_SQL,
+    "embedding_woe_bins": _Q_WOE_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
