@@ -201,3 +201,49 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — Spark's second first-class columnar format (Hive
+    interop). Predicate pushdown / column pruning / vectorized read
+    work exactly as for parquet; prefer parquet for new data, read ORC
+    where the lake already has it."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (zstd by default — smaller and faster to decode than
+    the zlib default on every modern CPU)."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_mb`` each and return the output file count. The silent
+    scale killer this fixes: a 100TB table written by 10k tasks x 1k
+    micro-batches is 10M files, and every subsequent scan pays
+    per-file open/footer costs plus a driver listing that can OOM.
+
+    Sizing reads the SOURCE byte size from the files themselves (no
+    data pass), then `repartition(n)` — a full shuffle, which is the
+    point: it rebalances skewed input files instead of glueing them
+    (`coalesce` would keep skew and can starve parallelism upstream).
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    summary = fs.getContentSummary(jvm_path)
+    n_files = max(1, math.ceil(summary.getLength() / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return n_files

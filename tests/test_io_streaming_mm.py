@@ -697,3 +697,38 @@ def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
     r = read_jsonl(spark, str(bad), schema=schema).cache()
     assert r.filter("_corrupt_record IS NOT NULL").count() == 1
     assert r.filter("doc_id = 3").count() == 1
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from certa_spark.io import read_orc, write_orc
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    p = str(tmp_path / "orc_t")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # pushdown reaches the ORC scan
+    plan = back.filter(F.col("k") == 3).select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushed" in plan.lower()
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+    from certa_spark.io import compact_parquet
+
+    src = str(tmp_path / "many")
+    # many tiny files (hash repartition leaves some partitions empty,
+    # which write no file — dozens is plenty for the test)
+    spark.range(0, 64).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) > 20
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_mb=128)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/part-*")) == 1
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == b
