@@ -128,6 +128,7 @@ def cooccurrence_pairs(
     key: str,
     item: str,
     chunk: int = 64,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Distinct unordered item pairs co-occurring under a key (the
     co-purchase edge build): returns ``(pa, pb)`` with ``pa < pb``.
@@ -209,7 +210,11 @@ def cooccurrence_pairs(
         )
         .select("e.pa", "e.pb")
     )
-    return small.unionByName(intra).unionByName(cross).distinct()
+    out = small.unionByName(intra).unionByName(cross)
+    # distinct_pairs=False keeps one row per (key, pair) occurrence —
+    # the stream a co-occurrence COUNT (e.g. PMI) aggregates; the
+    # default dedups globally for edge-set consumers (pagerank, CC)
+    return out.distinct() if distinct_pairs else out
 
 
 def pagerank(

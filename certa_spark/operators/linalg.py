@@ -281,3 +281,129 @@ def pca_project(
             .alias(f"pc{c + 1}")
         )
     return row.select(id_col, *cols)
+
+
+def label_centroid_sums(
+    df: DataFrame, vec_col: str, label_col: str, q: int = Q_IN
+) -> DataFrame:
+    """Exact per-label component sums on the ``q`` integer grid:
+    ``(label, i, s, n)``. posexplode + map-side-combined groupBy — the
+    standard distributed column-sum shape (d rows per input row before
+    the partial aggregate collapses them to labels x d)."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * q + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        ).alias("i", "qx"),
+    )
+    return ex.groupBy("label", "i").agg(
+        F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    q: int = Q_IN,
+) -> DataFrame:
+    """Nearest-centroid classifier evaluation: assign every vector to
+    its closest label centroid (squared L2, ties to the smaller
+    label), return the confusion matrix ``(true_label, pred_label,
+    n)``.
+
+    Architecture: exact integer centroid sums (one aggregation),
+    means derived on the driver with the SAME float expression the
+    SQL oracle uses (bit-identical), broadcast as literal arrays; the
+    assignment pass is shuffle-free — per row, ``labels`` sequential
+    zip_with/aggregate folds (deterministic summation order on both
+    engines) and an array_sort argmin."""
+    cent_rows = label_centroid_sums(df, vec_col, label_col, q).collect()
+    by_label: dict[int, list[float]] = {}
+    for r in cent_rows:
+        lab = int(r["label"])
+        arr = by_label.setdefault(lab, [0.0] * dim)
+        # same expression tree as the oracle: s / (q * 1.0 * n)
+        arr[int(r["i"])] = int(r["s"]) / (float(q) * int(r["n"]))
+    labels = sorted(by_label)
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cands = []
+    for lab in labels:
+        clit = F.array(*[F.lit(v) for v in by_label[lab]])
+        d2 = F.aggregate(
+            F.zip_with(xd, clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cands.append(
+            F.struct(d2.alias("d"), F.lit(lab).cast("int").alias("l"))
+        )
+    pred = F.array_sort(F.array(*cands))[0]["l"]
+    return (
+        df.select(
+            F.col(label_col).alias("true_label"), pred.alias("pred_label")
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def duck_nearest_centroid_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    q: int = Q_IN,
+) -> str:
+    """DuckDB oracle for :func:`nearest_centroid_confusion` — the
+    centroid means come from the same exact integer sums, the
+    per-element distance fold is list_aggregate (sequential, same
+    order as Spark's aggregate HOF), argmin via list_sort on
+    (d, label) structs (lexicographic on both engines)."""
+    qd = float(q)
+    return f"""
+    WITH ex AS (
+        SELECT {label_col} AS label, CAST(u.i AS INT) AS i,
+               CAST(floor(CAST({vec_col}[CAST(u.i AS INT) + 1] AS DOUBLE)
+                          * {q} + 0.5) AS BIGINT) AS qx
+        FROM {table}, UNNEST(range(0, len({vec_col}))) AS u(i)
+    ),
+    cent AS (
+        SELECT label, i,
+               CAST(sum(qx) AS DOUBLE) / ({qd} * count(*)) AS c
+        FROM ex GROUP BY 1, 2
+    ),
+    cvec AS (
+        SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1
+    ),
+    dists AS (
+        SELECT t.{label_col} AS true_label, cv.label AS cand,
+               list_aggregate(
+                   list_transform(range(1, len(t.{vec_col}) + 1),
+                       i -> (CAST(t.{vec_col}[CAST(i AS INT)] AS DOUBLE)
+                             - cv.cv[CAST(i AS INT)])
+                            * (CAST(t.{vec_col}[CAST(i AS INT)] AS DOUBLE)
+                               - cv.cv[CAST(i AS INT)])),
+                   'sum') AS d,
+               row_number() OVER (
+                   PARTITION BY t.{id_col} ORDER BY list_aggregate(
+                       list_transform(range(1, len(t.{vec_col}) + 1),
+                           i -> (CAST(t.{vec_col}[CAST(i AS INT)] AS DOUBLE)
+                                 - cv.cv[CAST(i AS INT)])
+                                * (CAST(t.{vec_col}[CAST(i AS INT)] AS DOUBLE)
+                                   - cv.cv[CAST(i AS INT)])),
+                       'sum'), cv.label
+               ) AS rk
+        FROM {table} t CROSS JOIN cvec cv
+    )
+    SELECT true_label, cand AS pred_label, CAST(count(*) AS BIGINT) AS n
+    FROM dists WHERE rk = 1
+    GROUP BY 1, 2
+    """

@@ -6073,6 +6073,172 @@ _Q_WOE_SQL = """
 """
 
 
+def q_part_pmi(spark, sf_dir) -> DataFrame:
+    """Pointwise-mutual-information association scores over part
+    co-purchases — the statistical lift behind 'bought together':
+    PMI = ln(n_ab * N / (n_a * n_b)) for pairs co-occurring >= 3
+    times. Pair counts ride the chunked co-occurrence build; marginals
+    are one order-count aggregation; N (order count) broadcasts as a
+    scalar. Top-50 by (PMI, pair) for a stable result set."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    # distinct (order, part): a part repeated in one order counts once
+    # (cooccurrence_pairs collect_sets per key, so its pair stream is
+    # already per-order-distinct — one row per (order, pair))
+    lp = l.distinct()
+    pair_counts = (
+        GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey",
+                              distinct_pairs=False)
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    marg = lp.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").cast("long").alias("n_p")
+    )
+    n_orders = lp.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    scored = (
+        pair_counts.filter(F.col("n_ab") >= 3)
+        .join(marg.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")), "pa")
+        .join(marg.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_orders").cast("double")
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                8,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "pa", "pb").limit(50)
+
+
+_Q_PART_PMI_SQL = """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 2 = 0
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n_p
+        FROM lp GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lp
+    )
+    SELECT pa, pb, n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                    / (CAST(ma.n_p AS DOUBLE) * CAST(mb.n_p AS DOUBLE))),
+                 8) AS pmi
+    FROM pairs
+    JOIN marg ma ON pairs.pa = ma.p
+    JOIN marg mb ON pairs.pb = mb.p
+    CROSS JOIN tot
+    WHERE n_ab >= 3
+    ORDER BY pmi DESC, pa, pb LIMIT 50
+"""
+
+
+def q_events_markov_transitions(spark, sf_dir) -> DataFrame:
+    """First-order Markov transition matrix over within-session event
+    types: P(next | current) with one lead window sharing the
+    sessionize shuffle (operators/funnel-style) — the behavioral-model
+    summary next to events_session_sequences' raw n-grams."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("ts_ns").over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col("ts_ns") - prev > 1800 * 1_000_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = e.withColumn("_sess", F.sum(boundary).over(w))
+    ws = Window.partitionBy("user_id", "_sess").orderBy("ts_ns", "event_id")
+    bi = sess.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(ws).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = bi.groupBy("cur", "nxt").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counts.groupBy("cur").agg(F.sum("n").cast("long").alias("_t"))
+    return counts.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", "n",
+        F.round(F.col("n").cast("double") / F.col("_t").cast("double"), 6)
+        .alias("p"),
+    )
+
+
+_Q_MARKOV_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, event_type, ts_ns,
+               CASE WHEN lag(ts_ns) OVER w IS NULL
+                         OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                    THEN 1 ELSE 0 END AS b
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    ),
+    t AS (
+        SELECT user_id, event_id, event_type, ts_ns,
+               sum(b) OVER (PARTITION BY user_id
+                            ORDER BY ts_ns, event_id) AS sess
+        FROM s
+    ),
+    bi AS (
+        SELECT event_type AS cur, lead(event_type) OVER ws AS nxt
+        FROM t
+        WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts_ns, event_id)
+    ),
+    counts AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM bi WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1)
+    SELECT c.cur, c.nxt, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS p
+    FROM counts c JOIN tot USING (cur)
+"""
+
+
+def q_embedding_centroid_eval(spark, sf_dir) -> DataFrame:
+    """Nearest-centroid classifier evaluation over the labeled
+    embeddings (linalg.nearest_centroid_confusion): exact integer
+    centroid sums, driver-derived means broadcast as literals,
+    shuffle-free assignment fold, confusion-matrix aggregate."""
+    from certa_spark.operators import linalg as LA
+
+    return LA.nearest_centroid_confusion(
+        _t(spark, sf_dir, "embeddings"), "embedding", "label", _EMB_DIM
+    )
+
+
+def _q_embedding_centroid_eval_sql() -> str:
+    from certa_spark.operators.linalg import duck_nearest_centroid_sql
+
+    return duck_nearest_centroid_sql()
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6217,6 +6383,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_robust_outliers": q_events_robust_outliers,
     "events_funnel_latency": q_events_funnel_latency,
     "embedding_woe_bins": q_embedding_woe_bins,
+    "part_pmi": q_part_pmi,
+    "events_markov_transitions": q_events_markov_transitions,
+    "embedding_centroid_eval": q_embedding_centroid_eval,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6387,6 +6556,9 @@ ORACLES: dict[str, str] = {
     "events_robust_outliers": _Q_ROBUST_OUTLIERS_SQL,
     "events_funnel_latency": _Q_FUNNEL_LATENCY_SQL,
     "embedding_woe_bins": _Q_WOE_SQL,
+    "part_pmi": _Q_PART_PMI_SQL,
+    "events_markov_transitions": _Q_MARKOV_SQL,
+    "embedding_centroid_eval": _q_embedding_centroid_eval_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -92,3 +92,34 @@ def test_standardize_constant_dim_scores_zero(spark):
     x[:, 1] = 2.5  # zero variance
     z = standardize(_df(spark, x), "embedding", "vec_id", 3).collect()
     assert all(r["zvec"][1] == 0.0 for r in z)
+
+
+def test_nearest_centroid_separable_clusters(spark):
+    from certa_spark.operators.linalg import nearest_centroid_confusion
+
+    # two well-separated clusters -> perfect diagonal
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 0.0, 0.0], 0))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3) * 0.1, 0.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {(r["true_label"], r["pred_label"]): r["n"]
+           for r in nearest_centroid_confusion(df, "embedding", "label", 3).collect()}
+    assert out == {(0, 0): 20, (1, 1): 20}
+
+
+def test_nearest_centroid_tie_prefers_smaller_label(spark):
+    from certa_spark.operators.linalg import nearest_centroid_confusion
+
+    # identical centroids for labels 3 and 7 -> every point ties ->
+    # deterministic assignment to label 3
+    rows = [(i, [1.0, 2.0], 3) for i in range(5)]
+    rows += [(10 + i, [1.0, 2.0], 7) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {(r["true_label"], r["pred_label"]): r["n"]
+           for r in nearest_centroid_confusion(df, "embedding", "label", 2).collect()}
+    assert out == {(3, 3): 5, (7, 3): 5}
