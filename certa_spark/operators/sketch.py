@@ -44,6 +44,21 @@ from certa_spark.functions.hashing import duck_hash32, duck_hash64, hash32, hash
 _HASH_BITS = 60
 
 
+def hll_bucket_rho(col: str, p: int = 10):
+    """The (bucket, rho) expression pair shared by every HLL builder —
+    batch, grouped, sliding, and streaming."""
+    wbits = _HASH_BITS - p
+    h = hash64(F.col(col))
+    bucket = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    return bucket, rho
+
+
 def hll_registers(df: DataFrame, col: str, p: int = 10) -> DataFrame:
     """Sketch one column into 2^p HLL registers: ``(bucket, m)`` with
     ``m`` = max leading-zero rank seen in the bucket. Map-side partial

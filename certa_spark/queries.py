@@ -6239,6 +6239,89 @@ def _q_embedding_centroid_eval_sql() -> str:
     return duck_nearest_centroid_sql()
 
 
+def q_orders_profile(spark, sf_dir) -> DataFrame:
+    """Column profiler — the data-quality report an ingest pipeline
+    runs before accepting a drop: per column null count, exact
+    distinct, numeric min/max or string min/max. ONE scan: the
+    multi-column count_distinct agg plans as a single expand+partial
+    aggregate, not k passes; the long-format reshape is a driver-free
+    stack over the one-row result."""
+    o = _t(spark, sf_dir, "orders")
+    num_cols = ["o_custkey", "o_totalprice"]
+    str_cols = ["o_orderpriority", "o_orderstatus"]
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_null_{c}"),
+            F.count_distinct(c).cast("long").alias(f"_nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    one = o.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            f"'{c}', _n, _null_{c}, _nd_{c}, _mn_{c}, _mx_{c}, "
+            f"CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        rows.append(
+            f"'{c}', _n, _null_{c}, _nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), _mn_{c}, _mx_{c}"
+        )
+    stack = (
+        f"stack({len(rows)}, "
+        + ", ".join(rows)
+        + ") as (column, n, n_null, n_distinct, min_num, max_num,"
+        " min_str, max_str)"
+    )
+    return one.selectExpr(stack)
+
+
+_Q_ORDERS_PROFILE_SQL = """
+    WITH one AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_ck,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+               CAST(min(o_custkey) AS DOUBLE) AS mn_ck,
+               CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_tp,
+               CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+               CAST(min(o_totalprice) AS DOUBLE) AS mn_tp,
+               CAST(max(o_totalprice) AS DOUBLE) AS mx_tp,
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_op,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_op,
+               min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_cl,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_cl,
+               min(o_orderstatus) AS mn_cl, max(o_orderstatus) AS mx_cl
+        FROM orders
+    )
+    SELECT 'o_custkey' AS "column", n, null_ck AS n_null, nd_ck AS n_distinct,
+           mn_ck AS min_num, mx_ck AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM one
+    UNION ALL
+    SELECT 'o_totalprice', n, null_tp, nd_tp, mn_tp, mx_tp, NULL, NULL
+    FROM one
+    UNION ALL
+    SELECT 'o_orderpriority', n, null_op, nd_op, NULL, NULL, mn_op, mx_op
+    FROM one
+    UNION ALL
+    SELECT 'o_orderstatus', n, null_cl, nd_cl, NULL, NULL, mn_cl, mx_cl
+    FROM one
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6386,6 +6469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_pmi": q_part_pmi,
     "events_markov_transitions": q_events_markov_transitions,
     "embedding_centroid_eval": q_embedding_centroid_eval,
+    "orders_profile": q_orders_profile,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6559,6 +6643,7 @@ ORACLES: dict[str, str] = {
     "part_pmi": _Q_PART_PMI_SQL,
     "events_markov_transitions": _Q_MARKOV_SQL,
     "embedding_centroid_eval": _q_embedding_centroid_eval_sql(),
+    "orders_profile": _Q_ORDERS_PROFILE_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -371,3 +371,35 @@ def enrich_stream_static(
     the only knob is keeping the dim broadcast-sized or pre-bucketing
     both sides."""
     return stream.join(F.broadcast(dim), key, how)
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 10,
+) -> DataFrame:
+    """Streaming per-window HLL register maintenance: the mergeable-
+    sketch property is exactly what makes COUNT DISTINCT streamable —
+    state per (window, bucket) is ONE long (the max rho), bounded at
+    2^p rows per window regardless of stream volume, and late events
+    inside the watermark fold in with a max (commutative, idempotent —
+    replays are harmless). Feed the sink table to
+    ``sketch.hll_estimate_by`` for estimates; registers from the
+    stream are bit-identical to a batch ``hll_registers_by`` over the
+    same data (tested)."""
+    from certa_spark.operators.sketch import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(col, p)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(F.col("w.start").alias("window_start"), "bucket")
+        .agg(F.max("rho").alias("m"))
+    )

@@ -732,3 +732,46 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     a = sorted(r["id"] for r in spark.read.parquet(src).collect())
     b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Streaming register maintenance == batch sketch over the same
+    data (mergeable-sketch property), including the estimate."""
+    from certa_spark.operators.sketch import hll_estimate_by, hll_registers_by
+    from certa_spark.streaming.events import streaming_hll_registers
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "hll_src")
+    rows = [
+        (f"2024-01-01 10:{m:02d}:00", f"u{m % 37}") for m in range(60)
+    ] + [
+        (f"2024-01-01 11:{m:02d}:00", f"u{m % 11}") for m in range(60)
+    ]
+    batch = spark.createDataFrame(rows, ["ts", "user"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    regs = streaming_hll_registers(stream, "user", window_duration="1 hour")
+    q = (
+        regs.writeStream.format("memory").queryName("hll_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hll_regs")
+
+    want = hll_registers_by(
+        batch.withColumn(
+            "window_start", F.date_trunc("hour", "ts")
+        ),
+        "user",
+        ["window_start"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    est = {
+        str(r["window_start"]): r["hll_estimate"]
+        for r in hll_estimate_by(got, ["window_start"]).collect()
+    }
+    # 37 and 11 distinct users; linear counting is near-exact here
+    assert abs(est["2024-01-01 10:00:00"] - 37) < 2
+    assert abs(est["2024-01-01 11:00:00"] - 11) < 1
