@@ -550,3 +550,85 @@ def clustering_coefficient(
             ).alias("cc"),
         )
     )
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank: the teleport vector concentrates on the
+    ``seeds`` set instead of spreading uniformly — the standard
+    related-items / local-relevance ranking (rank mass diffuses
+    outward from the seeds through the link structure).
+
+    Same loop discipline as :func:`pagerank` (one checkpointed
+    edge+degree invariant, broadcast-rank join under 4M nodes,
+    DECIMAL-routed contributions, lazy iterations with periodic
+    checkpoints); the only differences are the seed-conditional
+    teleport term and the seed-concentrated initial vector. Non-seed
+    nodes unreachable from the seeds correctly converge to rank 0.
+    """
+    partitions = _default_partitions(edges, partitions)
+    w_deg = Window.partitionBy("s")
+    ed = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .repartition(partitions, "s")
+        .withColumn("_deg", F.count(F.lit(1)).over(w_deg).cast("double"))
+        .localCheckpoint()
+    )
+    nodes = (
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    no_in = nodes.join(
+        ed.select(F.col("t").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint()
+    has_no_in = no_in.count() > 0
+    bcast = n_nodes <= 4_000_000
+    if not bcast:
+        ed = ed.repartition(partitions, "s").localCheckpoint()
+
+    inv_s = 1.0 / float(len(seeds))
+    tele_val = (1.0 - damping) * inv_s  # same IEEE ops as the oracle
+
+    def teleport(node_col):
+        return F.when(
+            node_col.isin(seeds), F.lit(tele_val)
+        ).otherwise(F.lit(0.0))
+
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node").isin(seeds), F.lit(inv_s))
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    )
+    for i in range(iterations):
+        contrib = F.round(F.col("r") / F.col("_deg"), 12).cast("decimal(38,18)")
+        ranks = (
+            ed.join(F.broadcast(ranks) if bcast else ranks, ed.s == ranks.node)
+            .groupBy(F.col("t").alias("node"))
+            .agg(
+                F.round(
+                    teleport(F.col("t"))
+                    + F.lit(damping) * F.sum(contrib).cast("double"),
+                    12,
+                ).alias("r")
+            )
+        )
+        if has_no_in:
+            ranks = ranks.unionByName(
+                no_in.select(
+                    "node", F.round(teleport(F.col("node")), 12).alias("r")
+                )
+            )
+        if i % 2 == 1 and i < iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -6322,6 +6322,80 @@ _Q_ORDERS_PROFILE_SQL = """
 """
 
 
+def q_part_pagerank_personalized(spark, sf_dir) -> DataFrame:
+    """Personalized PageRank from the 5 smallest part nodes of the
+    co-purchase subgraph (orderkey % 3) — related-parts ranking by
+    seed-concentrated teleport (graph.pagerank_personalized). The
+    oracle unrolls the same 3 iterations with the seed-conditional
+    teleport as chained CTEs; seeds derive from the same ORDER BY
+    rule on both engines."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    edges = pairs.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+    ).localCheckpoint()  # seeds collect + PR invariant share one build
+    seeds = [
+        int(r["s"])
+        for r in edges.select("s").distinct().orderBy("s").limit(5).collect()
+    ]
+    ranks = GR.pagerank_personalized(
+        edges, seeds, src="s", dst="t", damping=0.85, iterations=3
+    )
+    return ranks.select("node", F.round("r", 8).alias("rank"))
+
+
+def _q_part_pagerank_personalized_sql() -> str:
+    base = """
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 3 = 0
+    ),
+    edges AS (
+        SELECT pa AS s, pb AS t FROM pairs
+        UNION ALL
+        SELECT pb AS s, pa AS t FROM pairs
+    ),
+    deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS dg FROM edges GROUP BY s),
+    seeds AS (SELECT s AS node FROM deg ORDER BY s LIMIT 5),
+    r0 AS (
+        SELECT s AS node,
+               CASE WHEN s IN (SELECT node FROM seeds)
+                    THEN 1.0 / 5.0 ELSE 0.0 END AS r
+        FROM deg
+    )
+    """
+    step = """
+    r{k} AS (
+        SELECT e.t AS node,
+               round((CASE WHEN e.t IN (SELECT node FROM seeds)
+                           THEN (1.0 - 0.85) * (1.0 / 5.0) ELSE 0.0 END)
+                     + 0.85 * CAST(sum(
+                   CAST(round(p.r / deg.dg, 12) AS DECIMAL(38,18))
+               ) AS DOUBLE), 12) AS r
+        FROM edges e
+        JOIN r{j} p ON e.s = p.node
+        JOIN deg ON e.s = deg.s
+        GROUP BY e.t
+    )
+    """
+    steps = "".join(
+        step.format(k=k, j=k - 1) + ("," if k < 3 else "") for k in (1, 2, 3)
+    )
+    return (
+        "WITH " + base + "," + steps
+        + "SELECT node, round(r, 8) AS rank FROM r3"
+    )
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6470,6 +6544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_transitions": q_events_markov_transitions,
     "embedding_centroid_eval": q_embedding_centroid_eval,
     "orders_profile": q_orders_profile,
+    "part_pagerank_personalized": q_part_pagerank_personalized,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6644,6 +6719,7 @@ ORACLES: dict[str, str] = {
     "events_markov_transitions": _Q_MARKOV_SQL,
     "embedding_centroid_eval": _q_embedding_centroid_eval_sql(),
     "orders_profile": _Q_ORDERS_PROFILE_SQL,
+    "part_pagerank_personalized": _q_part_pagerank_personalized_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -133,3 +133,24 @@ def test_clustering_coefficient_known_graph(spark):
     assert out[5]["triangles"] == 0 and out[5]["cc"] == 0.0
     # node 6: degree 1 -> excluded
     assert 6 not in out
+
+
+def test_personalized_pagerank_mass_near_seeds(spark):
+    from certa_spark.operators.graph import pagerank_personalized
+    from pyspark.sql import functions as F
+
+    # path graph 1-2-3-4-5-6 (symmetrized); seed {1}
+    edges = []
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]:
+        edges += [(a, b), (b, a)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    r = {row["node"]: row["r"]
+         for row in pagerank_personalized(e, [1], iterations=4).collect()}
+    # total mass bounded by 1; rank decays with distance from the seed
+    assert abs(sum(r.values())) <= 1.0 + 1e-9
+    assert r[1] > r[3] > r[5]
+    # unreachable component gets zero
+    e2 = spark.createDataFrame(edges + [(10, 11), (11, 10)], ["src", "dst"])
+    r2 = {row["node"]: row["r"]
+          for row in pagerank_personalized(e2, [1], iterations=3).collect()}
+    assert r2[10] == 0.0 and r2[11] == 0.0
