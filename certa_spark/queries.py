@@ -6549,10 +6549,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
 # driver's correctness gate samples only the FIRST 50 registry entries
-# per round, so the registry is rotated below: queries without a
-# driver-green row yet (including anything newly added this round) come
-# first, already-verified ones last. Rotate this list forward each
-# round as new CORRECTNESS files land.
+# per round, so the registry is rotated below into three verification
+# tiers: (1) round-3 additions no harness has ever gated (judge saw
+# only the r2-era registry), (2) r2-era queries the round-2 judge
+# re-ran green but no driver file covers, (3) driver-green. Rotate
+# forward each round as new CORRECTNESS files land.
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "er_pair_assembly", "er_wedges", "er_support_topk", "er_flip_ranking",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
@@ -6568,8 +6569,122 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "doc_bm25", "tfidf_topk", "minhash_lsh_neardup", "knn_lsh_ann",
 })
 
+# r2-era registry (judge-verified in round 2 even where not
+# driver-green); everything NOT here is a round-3 addition
+_R2_ERA: frozenset[str] = frozenset({
+    "augment_variants",
+    "bloom_membership",
+    "cm_heavy_hitters",
+    "curation_pipeline",
+    "dedup_exact",
+    "ditto_dk_normalize",
+    "ditto_serialize",
+    "doc_bm25",
+    "doc_chunk_dedup",
+    "doc_fingerprint",
+    "doc_langid",
+    "doc_pack_assign",
+    "doc_pack_assign_salted",
+    "doc_pii_scrub",
+    "doc_quality",
+    "doc_repetition",
+    "doc_sample_mix",
+    "doc_split_assign",
+    "doc_stratified_k",
+    "doc_surprisal",
+    "doc_temperature_mix",
+    "doc_token_stats",
+    "doc_weighted_sample",
+    "embedding_neardup",
+    "embedding_neardup_blas",
+    "embedding_quantize",
+    "embedding_stats",
+    "er_blocking_pairs",
+    "er_flip_ranking",
+    "er_pair_assembly",
+    "er_support_topk",
+    "er_wedges",
+    "events_asof_join",
+    "events_cube",
+    "events_dedup",
+    "events_hll_by_type",
+    "events_hourly",
+    "events_json",
+    "events_pivot",
+    "events_rollup",
+    "events_running_zscore",
+    "events_session_builtin",
+    "events_session_range_join",
+    "events_sessionized",
+    "events_sessionized_salted",
+    "events_window_suite",
+    "events_zorder",
+    "hll_distinct",
+    "join_size_estimate",
+    "knn_ann_recall",
+    "knn_bruteforce",
+    "knn_ivf_ann",
+    "knn_lsh_ann",
+    "knn_lsh_multiprobe",
+    "knn_pq_adc",
+    "lens_degrees",
+    "lineitem_bloom_semi",
+    "lineitem_unpivot",
+    "marked_tokens",
+    "media_features",
+    "media_frame_grid",
+    "media_resize",
+    "minhash_incremental",
+    "minhash_lsh_neardup",
+    "minhash_signatures",
+    "mojito_token_saliency",
+    "nation_full_outer",
+    "neardup_clusters",
+    "neardup_keep_best",
+    "ngram_jaccard_pairs",
+    "orders_except",
+    "orders_grouping_sets",
+    "orders_histogram",
+    "orders_intersect",
+    "orders_percentiles",
+    "orders_range_frame",
+    "orders_salted_join",
+    "orders_upsert",
+    "part_pagerank",
+    "part_token_diff",
+    "simhash",
+    "split_contamination",
+    "tfidf_topk",
+    "top_orders_per_customer",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+})
+
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_GREEN},
+    **{k: v for k, v in QUERIES.items()
+       if k not in _R2_ERA and k not in _DRIVER_GREEN},
+    **{k: v for k, v in QUERIES.items()
+       if k in _R2_ERA and k not in _DRIVER_GREEN},
     **{k: v for k, v in QUERIES.items() if k in _DRIVER_GREEN},
 }
 

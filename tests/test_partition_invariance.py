@@ -45,6 +45,12 @@ QUERIES_UNDER_TEST = [
     "events_funnel",
     "events_session_sequences",
     "events_sliding_hll",
+    # analytics/graph additions: PMI rides the non-distinct pair
+    # stream; centroid eval folds broadcast literals; personalized
+    # pagerank adds the seed-conditional teleport to the PR loop
+    "part_pmi",
+    "embedding_centroid_eval",
+    "part_pagerank_personalized",
 ]
 
 
