@@ -6396,6 +6396,91 @@ def _q_part_pagerank_personalized_sql() -> str:
     )
 
 
+def q_er_golden_record(spark, sf_dir) -> DataFrame:
+    """MDM golden-record construction: blocked+verified ER matches ->
+    connected-component entity clusters -> per-cluster canonical
+    attribute consensus (longest name, ties lexicographic; min type).
+    Composes er_blocking_pairs + graph.assign_clusters; the consensus
+    is one struct-min aggregate — no per-cluster sorts. The oracle
+    replays the closure as a recursive CTE and the consensus as a
+    windowed rank."""
+    from certa_spark.operators import graph as GR
+
+    left, right = _er_sources(spark, sf_dir)
+    pairs = q_er_blocking_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("lid").alias("src"),
+        (F.col("rid") + F.lit(1_000_000)).alias("dst"),
+    )
+    members = (
+        left.filter(F.col("id") % 5 == 0)
+        .select(F.col("id").alias("node"), "name", "type")
+        .unionByName(
+            right.select(
+                (F.col("id") + F.lit(1_000_000)).alias("node"), "name", "type"
+            )
+        )
+    )
+    cc = GR.assign_clusters(members, edges, "node", src="src", dst="dst")
+    g = members.join(cc.withColumnRenamed("node", "node"), "node")
+    best = F.min(
+        F.struct(
+            (-F.length("name")).alias("_nl"), F.col("name").alias("name")
+        )
+    )
+    return (
+        g.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            best["name"].alias("canonical_name"),
+            F.min("type").alias("canonical_type"),
+        )
+    )
+
+
+def _q_er_golden_record_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_q_er_blocking_sql()}),
+    l AS (
+        SELECT p_partkey AS node, p_name AS name, p_type AS type FROM part
+        WHERE p_partkey % 5 = 0
+    ),
+    r AS (
+        SELECT p_partkey + 1000000 AS node,
+               regexp_replace(p_name, '\\s+\\S+\\s*$', '') AS name,
+               p_type AS type
+        FROM part
+    ),
+    members AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+    edges AS (
+        SELECT lid AS a, rid + 1000000 AS b FROM pairs
+        UNION
+        SELECT rid + 1000000 AS a, lid AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT node, node FROM members
+        UNION
+        SELECT e.a, x.lab FROM edges e JOIN reach x ON e.b = x.node
+    ),
+    cc AS (
+        SELECT node, CAST(min(lab) AS BIGINT) AS cluster
+        FROM reach GROUP BY node
+    ),
+    gm AS (
+        SELECT cc.cluster, m.name, m.type,
+               row_number() OVER (
+                   PARTITION BY cc.cluster
+                   ORDER BY length(m.name) DESC, m.name ASC
+               ) AS rk
+        FROM members m JOIN cc USING (node)
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+           max(CASE WHEN rk = 1 THEN name END) AS canonical_name,
+           min(type) AS canonical_type
+    FROM gm GROUP BY cluster
+    """
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6545,6 +6630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroid_eval": q_embedding_centroid_eval,
     "orders_profile": q_orders_profile,
     "part_pagerank_personalized": q_part_pagerank_personalized,
+    "er_golden_record": q_er_golden_record,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6835,6 +6921,7 @@ ORACLES: dict[str, str] = {
     "embedding_centroid_eval": _q_embedding_centroid_eval_sql(),
     "orders_profile": _Q_ORDERS_PROFILE_SQL,
     "part_pagerank_personalized": _q_part_pagerank_personalized_sql(),
+    "er_golden_record": _q_er_golden_record_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
