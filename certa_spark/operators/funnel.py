@@ -105,9 +105,16 @@ def funnel_steps(
             "step",
             "event_type",
             "users",
-            F.round(
-                F.col("users").cast("double") / F.col("first_users"), 6
-            ).alias("pct_of_first"),
+            # first_users can legitimately be 0 (no step-1 events at
+            # all) — every step is then 0 users and the rate is 0.0
+            F.when(
+                F.col("first_users") > 0,
+                F.round(
+                    F.col("users").cast("double") / F.col("first_users"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_of_first"),
         )
     )
 

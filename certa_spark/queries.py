@@ -5411,7 +5411,9 @@ _Q_EVENTS_FUNNEL_SQL = """
     ),
     first AS (SELECT users AS first_users FROM counts WHERE step = 1)
     SELECT step, event_type, users,
-           round(CAST(users AS DOUBLE) / first_users, 6) AS pct_of_first
+           CASE WHEN first_users > 0
+                THEN round(CAST(users AS DOUBLE) / first_users, 6)
+                ELSE 0.0 END AS pct_of_first
     FROM counts CROSS JOIN first
 """
 

@@ -1,0 +1,78 @@
+"""Property-based invariants (hypothesis) for the behavioral operators.
+
+Few examples + tiny frames: each example pays Spark job latency, so
+the value is in the generated edge cases (ties, empty steps, all-dup
+snapshots), not in volume.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EV = st.lists(
+    st.tuples(
+        st.integers(1, 4),                 # user
+        st.sampled_from(["A", "B", "C"]),  # type
+        st.integers(0, 500),               # minutes offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=_EV)
+@_SETTINGS
+def test_funnel_counts_monotone(spark, rows):
+    from certa_spark.operators.funnel import funnel_steps
+
+    ev = [
+        (u, i, t, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m))
+        for i, (u, t, m) in enumerate(rows)
+    ]
+    e = spark.createDataFrame(
+        ev, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    out = {r["step"]: r["users"] for r in funnel_steps(e, ["A", "B", "C"]).collect()}
+    assert out[1] >= out[2] >= out[3]
+    # step-1 count is exactly the distinct users with an A event
+    want = len({u for (u, t, m) in rows if t == "A"})
+    assert out[1] == want
+
+
+@given(
+    old_keys=st.sets(st.integers(0, 12), max_size=8),
+    new_keys=st.sets(st.integers(0, 12), max_size=8),
+    flips=st.sets(st.integers(0, 12), max_size=6),
+)
+@_SETTINGS
+def test_snapshot_diff_partitions_key_space(spark, old_keys, new_keys, flips):
+    from certa_spark.operators.diff import snapshot_diff
+
+    if not old_keys and not new_keys:
+        return
+    old = spark.createDataFrame(
+        [(k, float(k)) for k in old_keys] or [(None, None)],
+        "k long, v double",
+    ).filter("k IS NOT NULL")
+    new = spark.createDataFrame(
+        [(k, float(k) + (1.0 if k in flips else 0.0)) for k in new_keys]
+        or [(None, None)],
+        "k long, v double",
+    ).filter("k IS NOT NULL")
+    d = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    # every key classified exactly once; classes partition the key space
+    assert len(d) == len(old_keys | new_keys)
+    by_type = {}
+    for r in d:
+        by_type.setdefault(r["change_type"], set()).add(r["k"])
+    assert by_type.get("added", set()) == new_keys - old_keys
+    assert by_type.get("removed", set()) == old_keys - new_keys
+    assert by_type.get("changed", set()) == (old_keys & new_keys) & flips
+    assert by_type.get("unchanged", set()) == (old_keys & new_keys) - flips
