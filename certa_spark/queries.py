@@ -6483,6 +6483,61 @@ def _q_er_golden_record_sql() -> str:
     """
 
 
+def q_doc_source_overlap(spark, sf_dir) -> DataFrame:
+    """Provenance-leakage matrix: which SOURCES copy from which —
+    duplicated-run doc pairs (doc_span_dedup machinery) rolled up to
+    canonical source pairs with pair counts and total duplicated
+    shingles. The report a curation team reads before deciding which
+    feed to trust."""
+    from certa_spark.operators.dedup import duplicated_runs
+
+    d = _t(spark, sf_dir, "documents")
+    runs = duplicated_runs(d, k=5, min_run=3, max_df=16)
+    src = d.select("doc_id", "source")
+    j = (
+        runs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("dup_shingles").cast("long").alias("dup_shingles"),
+            F.max("longest_run_tokens").cast("long").alias("max_run_tokens"),
+        )
+    )
+
+
+def _q_doc_source_overlap_sql() -> str:
+    from certa_spark.operators.dedup import duck_duplicated_runs_sql
+
+    return f"""
+    WITH runs AS ({duck_duplicated_runs_sql(k=5, min_run=3, max_df=16)})
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(runs.dup_shingles) AS BIGINT) AS dup_shingles,
+           CAST(max(runs.longest_run_tokens) AS BIGINT) AS max_run_tokens
+    FROM runs
+    JOIN documents sa ON runs.doc_a = sa.doc_id
+    JOIN documents sb ON runs.doc_b = sb.doc_id
+    GROUP BY 1, 2
+    """
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6633,6 +6688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_profile": q_orders_profile,
     "part_pagerank_personalized": q_part_pagerank_personalized,
     "er_golden_record": q_er_golden_record,
+    "doc_source_overlap": q_doc_source_overlap,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6924,6 +6980,7 @@ ORACLES: dict[str, str] = {
     "orders_profile": _Q_ORDERS_PROFILE_SQL,
     "part_pagerank_personalized": _q_part_pagerank_personalized_sql(),
     "er_golden_record": _q_er_golden_record_sql(),
+    "doc_source_overlap": _q_doc_source_overlap_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
