@@ -224,6 +224,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 3,
     partitions: int | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (symmetrize
     first for undirected graphs): returns ``(node, r)``.
@@ -278,10 +279,15 @@ def pagerank(
     inv_n = 1.0 / float(n_nodes)
     # one-time fill for nodes with no in-edges (empty on symmetrized
     # graphs): their rank is the constant teleport term every iteration
-    no_in = nodes.join(
-        ed.select(F.col("t").alias("node")).distinct(), "node", "left_anti"
-    ).localCheckpoint()
-    has_no_in = no_in.count() > 0
+    if symmetric:
+        # caller guarantees every node has an in-edge (symmetrized
+        # graph) — skip the anti-join + count + checkpoint jobs
+        no_in, has_no_in = None, False
+    else:
+        no_in = nodes.join(
+            ed.select(F.col("t").alias("node")).distinct(), "node", "left_anti"
+        ).localCheckpoint()
+        has_no_in = no_in.count() > 0
     # ranks is one row per node; below ~4M nodes (~64MB of (long,
     # double) pairs) ship it broadcast so the |E|-row edge table never
     # re-shuffles per iteration — halves iteration wall time. Bigger
@@ -560,6 +566,7 @@ def pagerank_personalized(
     damping: float = 0.85,
     iterations: int = 3,
     partitions: int | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: the teleport vector concentrates on the
     ``seeds`` set instead of spreading uniformly — the standard
@@ -588,10 +595,15 @@ def pagerank_personalized(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
-    no_in = nodes.join(
-        ed.select(F.col("t").alias("node")).distinct(), "node", "left_anti"
-    ).localCheckpoint()
-    has_no_in = no_in.count() > 0
+    if symmetric:
+        # caller guarantees every node has an in-edge (symmetrized
+        # graph) — skip the anti-join + count + checkpoint jobs
+        no_in, has_no_in = None, False
+    else:
+        no_in = nodes.join(
+            ed.select(F.col("t").alias("node")).distinct(), "node", "left_anti"
+        ).localCheckpoint()
+        has_no_in = no_in.count() > 0
     bcast = n_nodes <= 4_000_000
     if not bcast:
         ed = ed.repartition(partitions, "s").localCheckpoint()

@@ -1562,7 +1562,10 @@ def q_part_pagerank(spark, sf_dir) -> DataFrame:
     edges = pairs.select(
         F.col("pa").alias("s"), F.col("pb").alias("t")
     ).unionByName(pairs.select(F.col("pb").alias("s"), F.col("pa").alias("t")))
-    ranks = GR.pagerank(edges, src="s", dst="t", damping=0.85, iterations=3)
+    ranks = GR.pagerank(
+        edges, src="s", dst="t", damping=0.85, iterations=3,
+        symmetric=True,  # edges unioned both directions above
+    )
     return ranks.select("node", F.round("r", 8).alias("rank"))
 
 
@@ -6349,7 +6352,8 @@ def q_part_pagerank_personalized(spark, sf_dir) -> DataFrame:
         for r in edges.select("s").distinct().orderBy("s").limit(5).collect()
     ]
     ranks = GR.pagerank_personalized(
-        edges, seeds, src="s", dst="t", damping=0.85, iterations=3
+        edges, seeds, src="s", dst="t", damping=0.85, iterations=3,
+        symmetric=True,
     )
     return ranks.select("node", F.round("r", 8).alias("rank"))
 
