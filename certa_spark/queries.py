@@ -6427,6 +6427,9 @@ def q_er_golden_record(spark, sf_dir) -> DataFrame:
             )
         )
     )
+    # measured: this entity graph converges in few rounds (hub-like
+    # blocks, not chains), so plain propagation beats the pointer-
+    # jumping variant's extra per-round checkpoint (5.0s vs 6.2s sf0.1)
     cc = GR.assign_clusters(members, edges, "node", src="src", dst="dst")
     g = members.join(cc.withColumnRenamed("node", "node"), "node")
     best = F.min(

@@ -154,3 +154,24 @@ def test_personalized_pagerank_mass_near_seeds(spark):
     r2 = {row["node"]: row["r"]
           for row in pagerank_personalized(e2, [1], iterations=3).collect()}
     assert r2[10] == 0.0 and r2[11] == 0.0
+
+
+def test_cc_shortcut_matches_plain_on_long_chain(spark):
+    """Pointer jumping must reach the same fixpoint as plain
+    propagation, including on its worst case (a long chain)."""
+    from certa_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 30)] + [(100, 101)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    # the default max_iter=25 guard truncates PLAIN propagation on a
+    # 30-node chain (rounds = diameter); raise it for the reference run
+    plain = sorted(
+        map(tuple, connected_components(e, max_iter=60).collect())
+    )
+    # pointer jumping needs only O(log diameter) rounds — max_iter=8
+    # suffices where plain needed ~30
+    fast = sorted(
+        map(tuple, connected_components(e, shortcut=True, max_iter=8).collect())
+    )
+    assert plain == fast
+    assert all(c == 1 for n, c in fast if n < 100)
