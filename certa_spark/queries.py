@@ -6545,6 +6545,137 @@ def _q_doc_source_overlap_sql() -> str:
     """
 
 
+def q_events_incremental_rollup(spark, sf_dir) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view story
+    at 100 TB: history days are reduced to per-(day, type) partials
+    ONCE; a new day's increment aggregates alone and merges by
+    partial-sum union, never rescanning history. The query materializes
+    the history partials (checkpoint = yesterday's stored MV), folds
+    in the last day, and emits the merged rollup; the oracle is the
+    full recompute — proving merge == recompute."""
+    e = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    cutoff = F.lit("2024-01-30").cast("date")
+    hist = (
+        e.filter(F.col("day") < cutoff)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_sv"),
+        )
+        .localCheckpoint()  # the stored MV: history never rescanned
+    )
+    inc = (
+        e.filter(F.col("day") >= cutoff)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_sv"),
+        )
+    )
+    merged = (
+        hist.unionByName(inc)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum("_sv"), 4).cast("double").alias("sum_value"),
+        )
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+_Q_INCR_ROLLUP_SQL = """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 4) AS DOUBLE)
+               AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_doc_split_balance(spark, sf_dir) -> DataFrame:
+    """Chi-square balance check for the deterministic train/val/test
+    split: per (split, source) observed vs expected counts and the
+    chi-square terms — the statistical gate that a hash split didn't
+    systematically skew any source. One scan + broadcast marginals."""
+    from certa_spark.functions.hashing import hash32
+
+    h = F.pmod(hash32(F.col("doc_id")), F.lit(100))
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        split.alias("split"), "source"
+    )
+    obs = d.groupBy("split", "source").agg(
+        F.count("*").cast("long").alias("n_obs")
+    )
+    by_split = obs.groupBy("split").agg(F.sum("n_obs").alias("_ns"))
+    by_src = obs.groupBy("source").agg(F.sum("n_obs").alias("_nr"))
+    total = obs.agg(F.sum("n_obs").alias("_nt"))
+    exp = (
+        F.col("_ns").cast("double")
+        * F.col("_nr").cast("double")
+        / F.col("_nt").cast("double")
+    )
+    return (
+        obs.join(F.broadcast(by_split), "split")
+        .join(F.broadcast(by_src), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "source",
+            "n_obs",
+            F.round(exp, 6).alias("n_exp"),
+            F.round(
+                (F.col("n_obs").cast("double") - exp)
+                * (F.col("n_obs").cast("double") - exp)
+                / exp,
+                8,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def _q_doc_split_balance_sql() -> str:
+    from certa_spark.functions.hashing import duck_hash32
+
+    h = f"({duck_hash32('CAST(doc_id AS VARCHAR)')} % 100)"
+    split = (
+        f"CASE WHEN {h} < 80 THEN 'train' WHEN {h} < 90 THEN 'valid'"
+        f" ELSE 'test' END"
+    )
+    return f"""
+    WITH d AS (SELECT {split} AS split, source FROM documents),
+    obs AS (
+        SELECT split, source, CAST(count(*) AS BIGINT) AS n_obs
+        FROM d GROUP BY 1, 2
+    ),
+    bs AS (SELECT split, sum(n_obs) AS ns FROM obs GROUP BY 1),
+    br AS (SELECT source, sum(n_obs) AS nr FROM obs GROUP BY 1),
+    t AS (SELECT sum(n_obs) AS nt FROM obs)
+    SELECT o.split, o.source, o.n_obs,
+           round(CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE)
+                 / CAST(nt AS DOUBLE), 6) AS n_exp,
+           round((CAST(n_obs AS DOUBLE)
+                  - CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE)
+                    / CAST(nt AS DOUBLE))
+                 * (CAST(n_obs AS DOUBLE)
+                    - CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE)
+                      / CAST(nt AS DOUBLE))
+                 / (CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE)
+                    / CAST(nt AS DOUBLE)), 8) AS chi2_term
+    FROM obs o JOIN bs USING (split) JOIN br USING (source)
+    CROSS JOIN t
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6696,6 +6827,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_pagerank_personalized": q_part_pagerank_personalized,
     "er_golden_record": q_er_golden_record,
     "doc_source_overlap": q_doc_source_overlap,
+    "events_incremental_rollup": q_events_incremental_rollup,
+    "doc_split_balance": q_doc_split_balance,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -6988,6 +7121,8 @@ ORACLES: dict[str, str] = {
     "part_pagerank_personalized": _q_part_pagerank_personalized_sql(),
     "er_golden_record": _q_er_golden_record_sql(),
     "doc_source_overlap": _q_doc_source_overlap_sql(),
+    "events_incremental_rollup": _Q_INCR_ROLLUP_SQL,
+    "doc_split_balance": _q_doc_split_balance_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
