@@ -131,3 +131,84 @@ def running_zscore_batch(events: DataFrame) -> DataFrame:
             F.round((F.col("value") - mean_p) / F.sqrt(var_p), 4),
         ).alias("z"),
     )
+
+
+# ------------------------------------------------------------- funnel
+
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("completed_ns", LongType()),
+        StructField("duration_ns", LongType()),
+    ]
+)
+# (stage reached, ts of first-step event, ts of last qualifying step,
+# failed flag — a step window expired, so the user can never complete)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("t_first", LongType()),
+        StructField("t_prev", LongType()),
+        StructField("failed", LongType()),
+    ]
+)
+
+
+def make_funnel_fn(steps: list, horizon_ns: int | None):
+    """Build the per-group state function for :func:`funnel_stream`.
+    Greedy earliest-qualifying advance == the batch funnel's chained
+    min-aggregates (a later step event past the horizon can never
+    re-qualify, because the earliest one already couldn't)."""
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        stage, t_first, t_prev, failed = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_ns", "event_id"])
+            for r in pdf.itertuples(index=False):
+                if failed or stage >= len(steps):
+                    break
+                if r.event_type != steps[stage]:
+                    continue
+                if stage == 0:
+                    stage, t_first, t_prev = 1, r.ts_ns, r.ts_ns
+                else:
+                    if r.ts_ns <= t_prev:
+                        continue
+                    if horizon_ns is not None and r.ts_ns > t_prev + horizon_ns:
+                        failed = 1
+                        continue
+                    stage, t_prev = stage + 1, r.ts_ns
+                if stage == len(steps):
+                    out.append((key[0], t_prev, t_prev - t_first))
+        state.update((stage, t_first, t_prev, failed))
+        yield pd.DataFrame(
+            out, columns=["user_id", "completed_ns", "duration_ns"]
+        )
+
+    return _fn
+
+
+def funnel_stream(
+    stream: DataFrame,
+    steps: list,
+    horizon_ns: int | None = None,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Stateful streaming funnel: emits one row per user the moment
+    they complete the LAST step, with end-to-end duration. State is
+    four longs per user — bounded regardless of event volume; events
+    not matching the awaited step cost a comparison and are dropped.
+    Batch twin: ``operators/funnel.funnel_user_times`` (parity-tested
+    on a single-batch replay)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        make_funnel_fn(steps, horizon_ns),
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

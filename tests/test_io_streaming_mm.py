@@ -775,3 +775,62 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     # 37 and 11 distinct users; linear counting is near-exact here
     assert abs(est["2024-01-01 10:00:00"] - 37) < 2
     assert abs(est["2024-01-01 11:00:00"] - 11) < 1
+
+
+def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
+    """Stateful streaming funnel == batch funnel_user_times on a
+    single-batch replay (same completers, same first/last step times)."""
+    import datetime as dt
+    from certa_spark.operators.funnel import funnel_user_times
+    from certa_spark.streaming.stateful import funnel_stream
+    from pyspark.sql import functions as F
+
+    ns = 1_000_000_000
+    rows = []
+    eid = 0
+    # u1 completes; u2 out of order; u3 exceeds horizon at step C;
+    # u4 completes with noise events interleaved
+    script = {
+        1: [("A", 0), ("B", 60), ("C", 120)],
+        2: [("B", 0), ("A", 60), ("C", 120)],
+        3: [("A", 0), ("B", 60), ("C", 999_999)],
+        4: [("A", 0), ("X", 30), ("B", 60), ("X", 90), ("C", 120)],
+    }
+    for u, evs in script.items():
+        for t, m in evs:
+            rows.append((u, eid, t, m * 60 * ns))
+            eid += 1
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ns long"
+    )
+    src = str(tmp_path / "funnel_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    horizon = 72 * 3600 * ns
+    out = funnel_stream(stream, ["A", "B", "C"], horizon_ns=horizon)
+    q = (
+        out.writeStream.format("memory").queryName("funnel_s")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["completed_ns"], r["duration_ns"])
+        for r in spark.sql("SELECT * FROM funnel_s").collect()
+    }
+
+    bt = batch.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    want_rows = funnel_user_times(
+        bt, ["A", "B", "C"], horizon_hours=72
+    ).collect()
+    want = {
+        r["u"]: (
+            int(r["t_3"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e9),
+            int(
+                (r["t_3"] - r["t_1"]).total_seconds() * 1e9
+            ),
+        )
+        for r in want_rows
+    }
+    assert set(got) == set(want) == {1, 4}
+    for u in got:
+        assert got[u][1] == want[u][1]  # durations identical
