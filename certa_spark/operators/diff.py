@@ -4,6 +4,8 @@ Given an old and a new snapshot sharing a key, classify every key as
 ``added`` / ``removed`` / ``changed`` / ``unchanged`` and report which
 compared columns changed. This is the audit half of CDC — `orders_upsert`
 (queries.py) applies a changelog; this derives one from two snapshots.
+No counterpart in the reference (tteofili/certa has no versioned-table
+operators) — training-data-pipeline extension surface, green-field.
 
 Scale design: one full-outer sort-merge join on the (unique) key — the
 single unavoidable shuffle — then pure Column expressions: null-safe

@@ -18,6 +18,10 @@ tolerance needed. The same trick makes the PCA projection exact: the
 driver-side eigenvectors are quantized to integers before the
 distributed dot product.
 
+Reference parity note: tteofili/certa has no linear-algebra operators —
+training-data-pipeline extension surface (SURVEY §2 extensions),
+green-field, architecture modeled on MLlib RowMatrix (public Spark).
+
 Overflow bounds (documented contract): with |x| <= B, the Gramian sum
 term is <= B^2 * Q^2 per row; the int64 per-batch partial holds up to
 ~9.2e18, so batches of 10k rows are safe for B*Q <= 3e7 (B ~ 30 at
