@@ -6676,6 +6676,230 @@ def _q_doc_split_balance_sql() -> str:
 """
 
 
+def q_orders_rfm(spark, sf_dir) -> DataFrame:
+    """RFM customer segmentation — recency (days before the corpus max
+    date), frequency (orders), monetary (revenue) per customer, each
+    scored into terciles against broadcast quantile boundaries (no
+    ntile global sort), concatenated to a segment code. Output: the
+    segment distribution (code, customers, avg metrics)."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("_mx"))
+    per_cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff("_mx", "o_orderdate")).cast("long").alias("rec"),
+            F.count("*").cast("long").alias("freq"),
+            _dec_sum(F.col("o_totalprice"), 2).alias("mon"),
+        )
+    )
+    bnd = per_cust.agg(
+        F.expr("percentile(rec, array(0.33, 0.66))").alias("_br"),
+        F.expr("percentile(freq, array(0.33, 0.66))").alias("_bf"),
+        F.expr("percentile(mon, array(0.33, 0.66))").alias("_bm"),
+    )
+
+    def score(col, b, invert=False):
+        s = (
+            (F.col(col) > F.col(b)[0]).cast("int")
+            + (F.col(col) > F.col(b)[1]).cast("int")
+            + 1
+        )
+        return (F.lit(4) - s) if invert else s
+
+    scored = per_cust.crossJoin(F.broadcast(bnd)).select(
+        "rec", "freq", "mon",
+        # low recency is GOOD -> invert so 3 = best for all dimensions
+        score("rec", "_br", invert=True).alias("r_s"),
+        score("freq", "_bf").alias("f_s"),
+        score("mon", "_bm").alias("m_s"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws(
+                "", F.col("r_s"), F.col("f_s"), F.col("m_s")
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("customers"),
+            F.round(F.avg("rec"), 4).alias("avg_recency_days"),
+            F.round(F.avg("freq"), 4).alias("avg_orders"),
+            _dec_avg(F.col("mon"), 4).alias("avg_revenue"),
+        )
+    )
+
+
+_Q_RFM_SQL = f"""
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    pc AS (
+        SELECT o_custkey,
+               CAST(min(datediff('day', o_orderdate, mxd)) AS BIGINT) AS rec,
+               CAST(count(*) AS BIGINT) AS freq,
+               {_duck_dec_sum('o_totalprice', 2)} AS mon
+        FROM orders CROSS JOIN mx GROUP BY 1
+    ),
+    bnd AS (
+        SELECT quantile_cont(rec, [0.33, 0.66]) AS br,
+               quantile_cont(freq, [0.33, 0.66]) AS bf,
+               quantile_cont(mon, [0.33, 0.66]) AS bm
+        FROM pc
+    ),
+    scored AS (
+        SELECT rec, freq, mon,
+               4 - (CASE WHEN rec > br[1] THEN 1 ELSE 0 END
+                    + CASE WHEN rec > br[2] THEN 1 ELSE 0 END + 1) AS r_s,
+               (CASE WHEN freq > bf[1] THEN 1 ELSE 0 END
+                + CASE WHEN freq > bf[2] THEN 1 ELSE 0 END + 1) AS f_s,
+               (CASE WHEN mon > bm[1] THEN 1 ELSE 0 END
+                + CASE WHEN mon > bm[2] THEN 1 ELSE 0 END + 1) AS m_s
+        FROM pc CROSS JOIN bnd
+    )
+    SELECT CAST(r_s AS VARCHAR) || CAST(f_s AS VARCHAR)
+               || CAST(m_s AS VARCHAR) AS segment,
+           CAST(count(*) AS BIGINT) AS customers,
+           round(CAST(sum(rec) AS DOUBLE) / count(*), 4)
+               AS avg_recency_days,
+           round(CAST(sum(freq) AS DOUBLE) / count(*), 4) AS avg_orders,
+           {_duck_dec_avg('mon', 4)} AS avg_revenue
+    FROM scored GROUP BY 1
+"""
+
+
+def q_events_seasonal_anomaly(spark, sf_dir) -> DataFrame:
+    """Seasonal-baseline anomaly report: per (event_type,
+    hour-of-day), the mean value baseline; emit the hours whose DAILY
+    per-type mean deviates most from their seasonal baseline. One
+    baseline aggregation broadcast onto one daily aggregation — two
+    scans, no windows."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    base = e.groupBy("event_type", "hod").agg(
+        _dec_avg(F.col("value"), 6).alias("base_mean")
+    )
+    daily = e.groupBy("event_type", "hod", "day").agg(
+        _dec_avg(F.col("value"), 6).alias("day_mean"),
+        F.count("*").cast("long").alias("n"),
+    )
+    dev = (
+        daily.join(F.broadcast(base), ["event_type", "hod"])
+        .filter(F.col("n") >= 5)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "hod",
+            "n",
+            F.round(F.col("day_mean") - F.col("base_mean"), 6).alias("dev"),
+        )
+    )
+    return dev.orderBy(
+        F.abs(F.col("dev")).desc(), "event_type", "day", "hod"
+    ).limit(20)
+
+
+_Q_SEASONAL_SQL = f"""
+    WITH e AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+               CAST(ts AS DATE) AS day, value
+        FROM events
+    ),
+    base AS (
+        SELECT event_type, hod, {_duck_dec_avg('value', 6)} AS base_mean
+        FROM e GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT event_type, hod, day, {_duck_dec_avg('value', 6)} AS day_mean,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2, 3
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.hod, d.n,
+           round(d.day_mean - b.base_mean, 6) AS dev
+    FROM daily d JOIN base b USING (event_type, hod)
+    WHERE d.n >= 5
+    ORDER BY abs(round(d.day_mean - b.base_mean, 6)) DESC,
+             d.event_type, day, d.hod
+    LIMIT 20
+"""
+
+
+_PARETO_PCTS = [1, 5, 10, 20, 50]
+
+
+def q_orders_pareto(spark, sf_dir) -> DataFrame:
+    """Revenue-concentration (Pareto) report: the share of total
+    revenue held by the top 1/5/10/20/50% of customers. The global
+    revenue ordering uses blocking.global_rank (range repartition +
+    local index + offset map — no single-partition window), and the
+    shares are conditional DECIMAL sums in ONE aggregation — no
+    running-sum window at all."""
+    from certa_spark.operators.blocking import global_rank
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_dec_sum(F.col("o_totalprice"), 2).alias("mon"))
+        .withColumn("_neg", -F.col("mon"))
+    )
+    ranked = global_rank(per_cust, ["_neg", "o_custkey"])
+    tot = ranked.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col("mon").cast("decimal(30,6)")).alias("_tot"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    aggs = []
+    for pct in _PARETO_PCTS:
+        k = F.ceil(F.col("_n") * F.lit(pct) / F.lit(100.0))
+        aggs += [
+            F.max(k).cast("long").alias(f"_k_{pct}"),
+            F.sum(
+                F.when(F.col("rank") <= k, F.col("mon").cast("decimal(30,6)"))
+            ).alias(f"_s_{pct}"),
+            F.max(F.col("_tot")).alias(f"_t_{pct}"),
+        ]
+    one = j.agg(*aggs)
+    rows = ", ".join(
+        f"{pct}L, _k_{pct}, CAST(round(_s_{pct} / _t_{pct}, 6) AS DOUBLE)"
+        for pct in _PARETO_PCTS
+    )
+    return one.selectExpr(
+        f"stack({len(_PARETO_PCTS)}, {rows})"
+        " as (top_pct, customers, revenue_share)"
+    )
+
+
+def _q_orders_pareto_sql() -> str:
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({pct} AS BIGINT) AS top_pct,
+           CAST(max(CAST(ceil(n * {pct} / 100.0) AS BIGINT)) AS BIGINT)
+               AS customers,
+           CAST(round(sum(CASE WHEN rank <= ceil(n * {pct} / 100.0)
+                              THEN CAST(mon AS DECIMAL(30,6)) END)
+                      / max(tot), 6) AS DOUBLE) AS revenue_share
+    FROM r CROSS JOIN t"""
+        for pct in _PARETO_PCTS
+    )
+    return f"""
+    WITH pc AS (
+        SELECT o_custkey, {_duck_dec_sum('o_totalprice', 2)} AS mon
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT o_custkey, mon,
+               row_number() OVER (ORDER BY -mon, o_custkey) AS rank
+        FROM pc
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(mon AS DECIMAL(30,6))) AS tot
+        FROM pc
+    )
+{branches}
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6829,6 +7053,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_source_overlap": q_doc_source_overlap,
     "events_incremental_rollup": q_events_incremental_rollup,
     "doc_split_balance": q_doc_split_balance,
+    "orders_rfm": q_orders_rfm,
+    "events_seasonal_anomaly": q_events_seasonal_anomaly,
+    "orders_pareto": q_orders_pareto,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -7123,6 +7350,9 @@ ORACLES: dict[str, str] = {
     "doc_source_overlap": _q_doc_source_overlap_sql(),
     "events_incremental_rollup": _Q_INCR_ROLLUP_SQL,
     "doc_split_balance": _q_doc_split_balance_sql(),
+    "orders_rfm": _Q_RFM_SQL,
+    "events_seasonal_anomaly": _Q_SEASONAL_SQL,
+    "orders_pareto": _q_orders_pareto_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
