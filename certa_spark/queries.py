@@ -6900,6 +6900,94 @@ def _q_orders_pareto_sql() -> str:
 """
 
 
+def q_doc_zipf_slope(spark, sf_dir) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    of ln(freq) vs ln(rank) for the top-200 words (a natural corpus
+    should fit ~ -1; a synthetic or template-heavy one won't). The
+    rank rides the post-limit monotonic-id idiom (no unpartitioned
+    window); the regression sums route ln values rounded to 9dp
+    through DECIMAL so partial-agg order cannot move the fit, and the
+    closing slope/intercept expressions are float-identical to the
+    oracle's."""
+    from certa_spark.functions.textstats import words
+
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("w")).limit(200)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("n").desc(), F.col("w"))
+        .withColumn("rk", (F.monotonically_increasing_id() + 1).cast("long"))
+    )
+    lx = F.round(F.log(F.col("rk").cast("double")), 9).cast("decimal(12,9)")
+    ly = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(12,9)")
+    s = top.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    return s.select(
+        "k",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / kd, 6).alias("zipf_intercept"),
+    )
+
+
+def _q_doc_zipf_sql() -> str:
+    from certa_spark.functions.textstats import duck_words
+
+    return f"""
+    WITH w AS (
+        SELECT unnest({duck_words('text')}) AS w FROM documents
+    ),
+    c AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1
+        ORDER BY n DESC, w LIMIT 200
+    ),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM c
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               sum(CAST(round(ln(CAST(rk AS DOUBLE)), 9)
+                        AS DECIMAL(12,9))) AS sx,
+               sum(CAST(round(ln(CAST(n AS DOUBLE)), 9)
+                        AS DECIMAL(12,9))) AS sy,
+               sum(CAST(round(ln(CAST(rk AS DOUBLE)), 9) AS DECIMAL(12,9))
+                   * CAST(round(ln(CAST(n AS DOUBLE)), 9)
+                          AS DECIMAL(12,9))) AS sxy,
+               sum(CAST(round(ln(CAST(rk AS DOUBLE)), 9) AS DECIMAL(12,9))
+                   * CAST(round(ln(CAST(rk AS DOUBLE)), 9)
+                          AS DECIMAL(12,9))) AS sxx
+        FROM r
+    )
+    SELECT k,
+           round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE), 6)
+               AS zipf_intercept
+    FROM s
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7056,6 +7144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_rfm": q_orders_rfm,
     "events_seasonal_anomaly": q_events_seasonal_anomaly,
     "orders_pareto": q_orders_pareto,
+    "doc_zipf_slope": q_doc_zipf_slope,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -7353,6 +7442,7 @@ ORACLES: dict[str, str] = {
     "orders_rfm": _Q_RFM_SQL,
     "events_seasonal_anomaly": _Q_SEASONAL_SQL,
     "orders_pareto": _q_orders_pareto_sql(),
+    "doc_zipf_slope": _q_doc_zipf_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
