@@ -6988,6 +6988,133 @@ def _q_doc_zipf_sql() -> str:
 """
 
 
+def q_curation_pipeline_v2(spark, sf_dir) -> DataFrame:
+    """Curation DAG v2 — the round-3 composition: language + quality +
+    length gates fused into the scan, NEAR-dup removal (MinHash LSH
+    pairs -> connected-component clusters -> keep the smallest id —
+    the v1 pipeline only caught EXACT dups), then a per-source token
+    budget (prefix-stable content-hash fill), and the composition
+    report. Seeded with token-dropped variants (ids +300000) so the
+    near-dup stage provably removes rows an exact-dedup stage cannot."""
+    from certa_spark.operators import graph as GR
+    from certa_spark.operators.sampling import token_budget_fill
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    variants = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        "source",
+        "lang",
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    corpus = d.unionByName(variants)
+    kept = corpus.select(
+        "doc_id",
+        "source",
+        "text",
+        TS.quality_score(F.col("text")).alias("q"),
+        TS.token_count(F.col("text")).alias("ntok"),
+    ).filter(
+        (F.col("lang") == "en") & (F.col("q") >= 0.6) & (F.col("ntok") >= 20)
+    )
+    pairs = DD.minhash_lsh_pairs(
+        kept.select("doc_id", "text"), threshold=0.5
+    )
+    cc = GR.assign_clusters(
+        kept.select("doc_id"), pairs, "doc_id",
+        src="doc_id_a", dst="doc_id_b",
+    )
+    reps = (
+        kept.join(cc, "doc_id")
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(kept, "doc_id")
+    )
+    filled = token_budget_fill(
+        reps, "source", "doc_id", F.col("ntok"), budget=3000, seed=3
+    )
+    return filled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+    )
+
+
+def _q_curation_pipeline_v2_sql() -> str:
+    from certa_spark.functions.hashing import duck_hash64
+
+    q = TS.duck_quality_score("text")
+    nt = TS.duck_token_count("text")
+    h = duck_hash64("CAST(doc_id AS VARCHAR)", seed=3)
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, source, lang, text FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, source, lang, text FROM base
+        UNION ALL
+        SELECT doc_id + 300000, source, lang,
+               regexp_replace(text, '\\s+\\S+\\s*$', '')
+        FROM base WHERE doc_id % 9 = 0
+    ),
+    kept AS (
+        SELECT doc_id, source, text, {nt} AS ntok
+        FROM corpus
+        WHERE lang = 'en' AND {q} >= 0.6 AND {nt} >= 20
+    ),
+    sigs AS (
+        SELECT doc_id, {DD.duck_minhash_signature('text')} AS sig FROM kept
+    ),
+    banded AS (
+        SELECT doc_id, sig, band, {_duck_band_hash()} AS bh
+        FROM sigs CROSS JOIN
+             (SELECT unnest(range(0, {DD.LSH_BANDS})) AS band) bb
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT da, db FROM cand
+        WHERE round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
+              i -> sa[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) >= 0.5
+    ),
+    edges AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION
+        SELECT db AS a, da AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM kept
+        UNION
+        SELECT e.a, x.lab FROM edges e JOIN reach x ON e.b = x.node
+    ),
+    cc AS (
+        SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1
+    ),
+    reps AS (
+        SELECT k.* FROM kept k
+        JOIN (SELECT cluster, min(doc_id) AS doc_id
+              FROM cc GROUP BY 1) r ON k.doc_id = r.doc_id
+    ),
+    filled AS (
+        SELECT source, doc_id, ntok,
+               sum(ntok) OVER (
+                   PARTITION BY source
+                   ORDER BY {h} ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM reps
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens
+    FROM filled WHERE cum <= 3000
+    GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7145,6 +7272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonal_anomaly": q_events_seasonal_anomaly,
     "orders_pareto": q_orders_pareto,
     "doc_zipf_slope": q_doc_zipf_slope,
+    "curation_pipeline_v2": q_curation_pipeline_v2,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -7443,6 +7571,7 @@ ORACLES: dict[str, str] = {
     "events_seasonal_anomaly": _Q_SEASONAL_SQL,
     "orders_pareto": _q_orders_pareto_sql(),
     "doc_zipf_slope": _q_doc_zipf_sql(),
+    "curation_pipeline_v2": _q_curation_pipeline_v2_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
