@@ -7115,6 +7115,174 @@ def _q_curation_pipeline_v2_sql() -> str:
 """
 
 
+def q_events_wow_growth(spark, sf_dir) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts (anchored
+    7-day buckets), previous week via one lag window over the tiny
+    aggregated frame, pct change guarded for missing priors."""
+    e = _events(spark, sf_dir)
+    week = F.date_sub(
+        F.to_date("ts"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7,
+    )
+    weekly = e.groupBy(
+        "event_type", week.alias("week")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "n",
+        F.when(
+            prev.isNotNull() & (prev > 0),
+            F.round(
+                (F.col("n") - prev).cast("double") / prev.cast("double"), 6
+            ),
+        ).alias("wow_growth"),
+    )
+
+
+_Q_WOW_SQL = """
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE)
+                    - CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                           AS INTEGER) AS DATE) AS week,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(week, '%Y-%m-%d') AS week, n,
+           CASE WHEN lag(n) OVER w IS NOT NULL AND lag(n) OVER w > 0
+                THEN round(CAST(n - lag(n) OVER w AS DOUBLE)
+                           / CAST(lag(n) OVER w AS DOUBLE), 6)
+           END AS wow_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
+def q_events_bounce_rate(spark, sf_dir) -> DataFrame:
+    """Bounce rate by entry event type: share of gap-based sessions
+    with exactly one event, grouped by the session's first event type.
+    Session stats ride ONE user-keyed shuffle (same boundary windows
+    as sessionization); the rate is a tiny per-type aggregate."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("ts_ns").over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col("ts_ns") - prev > 1800 * 1_000_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = e.withColumn("_sess", F.sum(boundary).over(w))
+    per_sess = sess.groupBy("user_id", "_sess").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(F.struct("ts_ns", "event_id", "event_type"))["event_type"]
+        .alias("entry_type"),
+    )
+    return per_sess.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).cast("long")
+        .alias("bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("long")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+_Q_BOUNCE_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, event_type, ts_ns,
+               CASE WHEN lag(ts_ns) OVER w IS NULL
+                         OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                    THEN 1 ELSE 0 END AS b
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    ),
+    t AS (
+        SELECT user_id, event_id, event_type, ts_ns,
+               sum(b) OVER (PARTITION BY user_id
+                            ORDER BY ts_ns, event_id) AS sess
+        FROM s
+    ),
+    ps AS (
+        SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+               min(struct_pack(ts_ns := ts_ns, event_id := event_id,
+                               event_type := event_type)).event_type
+                   AS entry_type
+        FROM t GROUP BY 1, 2
+    )
+    SELECT entry_type, CAST(count(*) AS BIGINT) AS sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS bounce_rate
+    FROM ps GROUP BY 1
+"""
+
+
+def q_orders_gini(spark, sf_dir) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality scalar
+    next to orders_pareto's share table: G = 2*Σ(i*x_i)/(n*Σx)
+    - (n+1)/n over revenues ranked ASCENDING. The rank is the
+    skew-safe exact global rank (no single-partition window); the
+    Σ(i*x_i) moment routes through DECIMAL so the result is
+    partitioning- and engine-exact."""
+    from certa_spark.operators.blocking import global_rank
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_dec_sum(F.col("o_totalprice"), 2).alias("mon"))
+    )
+    ranked = global_rank(per_cust, ["mon", "o_custkey"])
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("mon").cast("decimal(30,6)")).alias("sx"),
+        F.sum(
+            F.col("rank").cast("decimal(18,0)")
+            * F.col("mon").cast("decimal(30,6)")
+        ).alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double")
+        / (nd * F.col("sx").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return s.select("n", F.round(gini, 6).alias("gini"))
+
+
+_Q_GINI_SQL = f"""
+    WITH pc AS (
+        SELECT o_custkey, {_duck_dec_sum('o_totalprice', 2)} AS mon
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT mon, row_number() OVER (ORDER BY mon, o_custkey) AS rank
+        FROM pc
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(mon AS DECIMAL(30,6))) AS sx,
+               sum(CAST(rank AS DECIMAL(18,0))
+                   * CAST(mon AS DECIMAL(30,6))) AS six
+        FROM r
+    )
+    SELECT n,
+           round(2.0 * CAST(six AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+               AS gini
+    FROM s
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7273,6 +7441,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_pareto": q_orders_pareto,
     "doc_zipf_slope": q_doc_zipf_slope,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "events_wow_growth": q_events_wow_growth,
+    "events_bounce_rate": q_events_bounce_rate,
+    "orders_gini": q_orders_gini,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -7572,6 +7743,9 @@ ORACLES: dict[str, str] = {
     "orders_pareto": _q_orders_pareto_sql(),
     "doc_zipf_slope": _q_doc_zipf_sql(),
     "curation_pipeline_v2": _q_curation_pipeline_v2_sql(),
+    "events_wow_growth": _Q_WOW_SQL,
+    "events_bounce_rate": _Q_BOUNCE_SQL,
+    "orders_gini": _Q_GINI_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
