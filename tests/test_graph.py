@@ -175,3 +175,20 @@ def test_cc_shortcut_matches_plain_on_long_chain(spark):
     )
     assert plain == fast
     assert all(c == 1 for n, c in fast if n < 100)
+
+
+def test_kcore_peels_to_dense_backbone(spark):
+    from itertools import combinations
+
+    from certa_spark.operators.graph import kcore
+
+    # K4 core {1,2,3,4} + a tail 4-5-6 + a pendant 1-7
+    edges = list(combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6), (1, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    core3 = {r["node"]: r["degree"] for r in kcore(e, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the chain and pendant still peel away (degree-1 cascade)
+    core2 = {r["node"]: r["degree"] for r in kcore(e, k=2).collect()}
+    assert set(core2) == {1, 2, 3, 4}
+    # k larger than any degree -> empty core
+    assert kcore(e, k=5).count() == 0
