@@ -156,6 +156,14 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 4000:
+        # the driver parses this from a fixed-size stdout tail (r1/r2
+        # lost the line at ~4.8KB); shed decimals before risking it
+        payload["queries"] = {
+            k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in payload["queries"].items()
+        }
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
     # insurance against the driver's fixed-size stdout tail buffer
     # (r1/r2 lost the per-query dict when the line outgrew it): the
