@@ -1225,7 +1225,15 @@ def q_orders_histogram(spark, sf_dir) -> DataFrame:
         o.crossJoin(F.broadcast(ext))
         .select(
             bin_.alias("bin"),
-            F.round(F.col("_mn") + bin_ * width, 4).alias("bin_lo"),
+            # value-based half-up rounding (floor(x*1e4+0.5)): Spark's
+            # round() consults the SHORTEST decimal repr of the double
+            # (Java BigDecimal.valueOf) and saw an exact ...5 tie at
+            # sf0.001 where DuckDB's value-based rounding saw ...4999;
+            # this form is the same IEEE expression on both engines
+            (
+                F.floor((F.col("_mn") + bin_ * width) * 10000.0 + 0.5)
+                / 10000.0
+            ).alias("bin_lo"),
         )
         .groupBy("bin", "bin_lo")
         .agg(F.count("*").cast("long").alias("cnt"))
@@ -1238,9 +1246,10 @@ _Q_ORDERS_HISTOGRAM_SQL = """
     )
     SELECT LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / 32.0))
                       AS BIGINT), 31) AS bin,
-           round(mn + LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / 32.0))
-                                 AS BIGINT), 31) * ((mx - mn) / 32.0), 4)
-               AS bin_lo,
+           floor((mn + LEAST(CAST(floor((o_totalprice - mn)
+                                        / ((mx - mn) / 32.0))
+                                  AS BIGINT), 31) * ((mx - mn) / 32.0))
+                 * 10000.0 + 0.5) / 10000.0 AS bin_lo,
            CAST(count(*) AS BIGINT) AS cnt
     FROM orders CROSS JOIN ext
     GROUP BY 1, 2
