@@ -7393,6 +7393,52 @@ def _q_part_kcore_sql(rounds: int = 12, k: int = 8) -> str:
     return "WITH " + ",\n".join(ctes) + "\nSELECT node, degree FROM df"
 
 
+_FH_DIM = 16
+
+
+def q_doc_feature_hashing(spark, sf_dir) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. / VW): each doc
+    becomes a k-dim signed bag-of-words vector — bucket = hash1(token)
+    mod k, sign = parity of hash2(token) — no vocabulary pass, no
+    vocabulary shuffle, unbounded token space in fixed width. Exact
+    integer arithmetic end to end; output exploded (doc_id, dim, v)
+    for the oracle compare. One explode + one map-side-combined
+    aggregation."""
+    from certa_spark.functions.hashing import hash32
+    from certa_spark.functions.textstats import words
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("t")
+    )
+    bucket = F.pmod(hash32(F.col("t")), F.lit(_FH_DIM))
+    sign = F.when(
+        F.pmod(hash32(F.col("t"), seed=9), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", bucket.cast("int").alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("v"))
+    )
+
+
+def _q_doc_feature_hashing_sql() -> str:
+    from certa_spark.functions.hashing import duck_hash32
+
+    h1 = duck_hash32("t")
+    h2 = duck_hash32("t", seed=9)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TS.duck_words('text')}) AS t
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST({h1} % {_FH_DIM} AS INT) AS dim,
+           CAST(sum(CASE WHEN {h2} % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+               AS v
+    FROM tok GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7556,6 +7602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_gini": q_orders_gini,
     "doc_langid_confusion": q_doc_langid_confusion,
     "part_kcore": q_part_kcore,
+    "doc_feature_hashing": q_doc_feature_hashing,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -7860,6 +7907,7 @@ ORACLES: dict[str, str] = {
     "orders_gini": _Q_GINI_SQL,
     "doc_langid_confusion": _Q_LANGID_CONF_SQL,
     "part_kcore": _q_part_kcore_sql(),
+    "doc_feature_hashing": _q_doc_feature_hashing_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
