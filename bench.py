@@ -58,9 +58,17 @@ def main() -> None:
     # flagship_explain / explains_per_min metrics below; double-running
     # it here would add ~20s of duplicate measurement
     SKIP = {"flagship_batch_saliency"}
-    for name, fn in QUERIES.items():
+    import gc
+
+    for qi, (name, fn) in enumerate(QUERIES.items()):
         if name in SKIP:
             continue
+        if qi % 10 == 9:
+            # localCheckpoint blocks free via the ContextCleaner only
+            # after the driver-side DataFrame objects are collected;
+            # nudge the collector so a 160-query sweep doesn't carry
+            # hundreds of dead checkpoint RDDs in executor storage
+            gc.collect()
         best = None
         for _ in range(RUNS):
             t0 = time.time()
