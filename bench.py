@@ -53,6 +53,14 @@ def main() -> None:
     # (PLANS.md "Round-2 bench summary"); min-of-2 measures the plan,
     # not the compiler.
     RUNS = 2
+    # the driver-coordinated iterative loops (many small jobs per run)
+    # swing +/-15% between otherwise-identical sweeps even at min-of-2;
+    # give them one extra sample so the reported number is the plan's
+    HEAVY_LOOPS = {
+        "part_pagerank", "part_pagerank_personalized",
+        "part_pagerank_dangling", "er_golden_record", "part_kcore",
+        "neardup_clusters", "curation_pipeline_v2",
+    }
     # flagship_batch_saliency runs two full explains through the fused
     # scan — its machinery is already timed by the dedicated
     # flagship_explain / explains_per_min metrics below; double-running
@@ -70,7 +78,7 @@ def main() -> None:
             # hundreds of dead checkpoint RDDs in executor storage
             gc.collect()
         best = None
-        for _ in range(RUNS):
+        for _ in range(3 if name in HEAVY_LOOPS else RUNS):
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
