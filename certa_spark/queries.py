@@ -925,7 +925,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
 _Q_NGRAM_JACCARD_SQL = f"""
     WITH base AS (
         SELECT doc_id AS _id, source AS _src,
-               CAST(n_chars / 128 AS BIGINT) AS _blk,
+               -- floor division: DuckDB's int/int yields DOUBLE and
+               -- CAST(double AS BIGINT) ROUNDS half-away, while Spark's
+               -- cast('long') truncates — n_chars=193 landed in
+               -- different blocks at sf0.1
+               (n_chars // 128) AS _blk,
                {DD.duck_shingles('text', 2)} AS _sh
         FROM documents
     )
@@ -7341,8 +7345,8 @@ def q_part_kcore(spark, sf_dir) -> DataFrame:
     peels to a 138-node dense backbone. Peeling is confluent (the
     k-core is unique whatever the deletion order), so the driver-
     coordinated convergence loop agrees with a statically unrolled
-    SQL oracle (12 rounds — extra rounds past the fixpoint are
-    identity)."""
+    SQL oracle (20 rounds — extra rounds past the fixpoint are
+    identity; sf0.1's cascade needed more than the 12 first tried)."""
     from certa_spark.operators import graph as GR
 
     l = (
@@ -7354,7 +7358,7 @@ def q_part_kcore(spark, sf_dir) -> DataFrame:
     return GR.kcore(pairs, k=8, src="pa", dst="pb")
 
 
-def _q_part_kcore_sql(rounds: int = 12, k: int = 8) -> str:
+def _q_part_kcore_sql(rounds: int = 20, k: int = 8) -> str:
     # every CTE is MATERIALIZED: plain CTEs inline, and each round
     # references the previous one three times — un-materialized, the
     # expansion is 3^rounds parquet scans (observed as an fd explosion)
