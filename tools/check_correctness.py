@@ -3,6 +3,7 @@ queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
 compare row count + column names + order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --tri [query ...]   # all 3 SFs
 """
 
 from __future__ import annotations
@@ -46,8 +47,21 @@ def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--tri":
+        # tri-scale mode: same process, three sequential sweeps — the
+        # cross-scale gate that caught the histogram rounding tie, the
+        # jaccard blocking-cast divergence, and the k-core unroll depth
+        rc = 0
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            print(f"=== {sf} ===", flush=True)
+            rc |= run_sweep(f"/root/testdata/{sf}", set(sys.argv[2:]))
+        return rc
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    return run_sweep(sf_dir, only)
+
+
+def run_sweep(sf_dir: str, only: set) -> int:
 
     import __spark_entry__ as entry_mod
 
