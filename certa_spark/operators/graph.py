@@ -740,3 +740,74 @@ def kcore(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 3,
+    partitions: int | None = None,
+    symmetric: bool = False,
+) -> DataFrame:
+    """PageRank with edge weights: each node's rank flows to its
+    out-neighbors proportionally to edge weight (weight=None
+    degenerates to :func:`pagerank`'s uniform split). Same loop
+    discipline — the per-source weight NORMALIZATION rides the same
+    one-pass window build that computes the degree in the uniform
+    variant, so the invariant costs exactly one checkpoint either
+    way."""
+    partitions = _default_partitions(edges, partitions)
+    w_src = Window.partitionBy("s")
+    wcol = (
+        F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    )
+    ed = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("t"), wcol.alias("_w")
+        )
+        .repartition(partitions, "s")
+        .withColumn("_wsum", F.sum("_w").over(w_src))
+        .localCheckpoint()
+    )
+    nodes = (
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    inv_n = 1.0 / float(n_nodes)
+    if symmetric:
+        no_in, has_no_in = None, False
+    else:
+        no_in = nodes.join(
+            ed.select(F.col("t").alias("node")).distinct(), "node", "left_anti"
+        ).localCheckpoint()
+        has_no_in = no_in.count() > 0
+    bcast = n_nodes <= 4_000_000
+    teleport = F.lit(1.0 - damping) * F.lit(inv_n)
+    ranks = nodes.select("node", F.lit(inv_n).alias("r"))
+    for i in range(iterations):
+        contrib = F.round(
+            F.col("r") * F.col("_w") / F.col("_wsum"), 12
+        ).cast("decimal(38,18)")
+        ranks = (
+            ed.join(F.broadcast(ranks) if bcast else ranks, ed.s == ranks.node)
+            .groupBy(F.col("t").alias("node"))
+            .agg(
+                F.round(
+                    teleport + F.lit(damping) * F.sum(contrib).cast("double"),
+                    12,
+                ).alias("r")
+            )
+        )
+        if has_no_in:
+            ranks = ranks.unionByName(
+                no_in.select("node", F.round(teleport, 12).alias("r"))
+            )
+        if i % 2 == 1 and i < iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -192,3 +192,28 @@ def test_kcore_peels_to_dense_backbone(spark):
     assert set(core2) == {1, 2, 3, 4}
     # k larger than any degree -> empty core
     assert kcore(e, k=5).count() == 0
+
+
+def test_weighted_pagerank_degenerates_and_biases(spark):
+    from certa_spark.operators.graph import pagerank, pagerank_weighted
+    from pyspark.sql import functions as F
+
+    # uniform weights == plain pagerank, bit for bit
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 1.0)],
+        ["src", "dst", "w"],
+    )
+    plain = sorted(map(tuple, pagerank(
+        edges.select("src", "dst"), iterations=3).collect()))
+    unif = sorted(map(tuple, pagerank_weighted(
+        edges, weight="w", iterations=3).collect()))
+    assert plain == unif
+    # node 1 splits rank 9:1 toward node 2 -> rank(2) > rank(3)'s share
+    biased = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        ["src", "dst", "w"],
+    )
+    r = {row["node"]: row["r"] for row in
+         pagerank_weighted(biased, weight="w", iterations=4,
+                           symmetric=True).collect()}
+    assert r[2] > r[3]
