@@ -811,3 +811,46 @@ def pagerank_weighted(
         if i % 2 == 1 and i < iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Single-source BFS over an undirected graph: ``(node, dist)``
+    for every node reachable from ``source`` within ``max_depth``
+    hops. Frontier expansion — per round ONE join of the (shrinking)
+    frontier against the checkpointed adjacency plus one anti-join
+    against the visited set; only (node, dist) pairs shuffle. The
+    driver-loop discipline (checkpoint per round, count as the
+    termination probe) matches the other iterative operators."""
+    partitions = _default_partitions(edges, partitions)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition(partitions, "a")
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(source), 0)], "node long, dist int"
+    ).localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).cast("int").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -217,3 +217,17 @@ def test_weighted_pagerank_degenerates_and_biases(spark):
          pagerank_weighted(biased, weight="w", iterations=4,
                            symmetric=True).collect()}
     assert r[2] > r[3]
+
+
+def test_bfs_distances_known_graph(spark):
+    from certa_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4 with a shortcut 1-4, plus unreachable 9-10
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (9, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    d = {r["node"]: r["dist"] for r in bfs_distances(e, source=1).collect()}
+    assert d == {1: 0, 2: 1, 4: 1, 3: 2}
+    # depth cap honors the bound
+    d2 = {r["node"]: r["dist"]
+          for r in bfs_distances(e, source=1, max_depth=1).collect()}
+    assert d2 == {1: 0, 2: 1, 4: 1}
