@@ -705,3 +705,23 @@ def duck_shingle_novelty_sql(
                  / CAST(n_shingles AS DOUBLE), 6) AS novelty
     FROM per_doc
     """
+
+
+def containment(a: Column, b: Column) -> Column:
+    """Asymmetric containment |a ∩ b| / |a| over two distinct-element
+    arrays — near-1 when ``a`` is substantially COPIED INTO ``b`` even
+    if ``b`` is much larger (symmetric Jaccard dilutes exactly that
+    case, which is why sub-document boilerplate detection needs
+    containment, not similarity)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return F.when(F.size(a) == 0, F.lit(0.0)).otherwise(
+        inter / F.size(a).cast("double")
+    )
+
+
+def duck_containment(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN len({a}) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+        f" / CAST(len({a}) AS DOUBLE) END)"
+    )

@@ -80,3 +80,34 @@ def test_duplicated_runs_short_docs_skipped(spark):
         [(1, "a b"), (2, "a b")], ["doc_id", "text"]
     )
     assert duplicated_runs(docs, k=3, min_run=1).count() == 0
+
+
+def test_containment_asymmetric(spark):
+    """A short doc fully copied into a long one: containment(short in
+    long) = 1.0 while Jaccard stays low — the sub-document case."""
+    from certa_spark.operators.dedup import containment, jaccard, shingles
+    from pyspark.sql import functions as F
+
+    short = "alpha beta gamma delta"
+    # letters only: the words() tokenizer drops digits
+    import string
+    fill = [a + b for a in string.ascii_lowercase[:8]
+            for b in string.ascii_lowercase[:5]]
+    long_ = short + " " + " ".join(fill)
+    df = spark.createDataFrame([(short, long_)], ["a", "b"])
+    out = df.select(
+        containment(shingles(F.col("a")), shingles(F.col("b"))).alias("c"),
+        containment(shingles(F.col("b")), shingles(F.col("a"))).alias("c_rev"),
+        jaccard(shingles(F.col("a")), shingles(F.col("b"))).alias("j"),
+    ).collect()[0]
+    assert out["c"] == 1.0
+    assert out["c_rev"] < 0.1
+    assert out["j"] < 0.1
+    # empty-array guard
+    empty = spark.createDataFrame([("", "x y z")], ["a", "b"])
+    r = empty.select(
+        containment(
+            F.array().cast("array<string>"), shingles(F.col("b"))
+        ).alias("c")
+    ).collect()[0]
+    assert r["c"] == 0.0
