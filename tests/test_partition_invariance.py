@@ -51,6 +51,13 @@ QUERIES_UNDER_TEST = [
     "part_pmi",
     "embedding_centroid_eval",
     "part_pagerank_personalized",
+    # final batch: pareto/gini ride the range-partitioned global rank
+    # (the most partitioning-sensitive primitive); zipf routes
+    # regression sums through DECIMAL; kcore is a convergence loop
+    "orders_pareto",
+    "orders_gini",
+    "doc_zipf_slope",
+    "part_kcore",
 ]
 
 
