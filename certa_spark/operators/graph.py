@@ -19,9 +19,10 @@ the cluster):
     of an iteratively grown plan otherwise dominates wall-clock);
   * the convergence check is a count of changed labels — one cheap
     action per round, with a ``max_iter`` guard for pathological
-    chains (a 100TB corpus with million-node duplicate chains would
-    warrant the large-star/small-star variant; near-dup clusters in
-    practice have single-digit diameter).
+    chains; for deep/chained graphs, ``shortcut=True`` adds pointer
+    jumping (O(log diameter) rounds — the practical effect of
+    large-star/small-star). Near-dup clusters in practice have
+    single-digit diameter, so plain propagation stays the default.
 
 Reference parity note: tteofili/certa has no graph operators — this is
 training-data-pipeline extension surface, built green-field.
