@@ -28,3 +28,20 @@ def test_goldens_are_registered_queries():
 
     assert GOLDEN_SF001 <= set(QUERIES)
     assert GOLDEN_SF001 <= set(ORACLES)
+
+
+def test_rotation_puts_ungated_queries_first():
+    """The driver gates the FIRST 50 entries; the three-tier rotation
+    must place never-gated (round-3) queries before r2-era ones and
+    driver-green ones last — otherwise gate coverage silently erodes
+    as the registry grows."""
+    from certa_spark.queries import _DRIVER_GREEN, _R2_ERA
+
+    names = list(QUERIES)
+    tiers = [
+        0 if n not in _R2_ERA and n not in _DRIVER_GREEN
+        else (1 if n not in _DRIVER_GREEN else 2)
+        for n in names
+    ]
+    assert tiers == sorted(tiers), "registry tiers out of order"
+    assert all(t == 0 for t in tiers[:50]), "gate window contains gated queries"
