@@ -79,13 +79,18 @@ def dk_number_normalize(col: Column) -> Column:
     ones as '%.2f', tag long digit-bearing tokens with 'ID ', rejoin.
     Runs in whole-stage codegen; no Python in the loop.
 
-    Known tie divergence (documented, not exercised by any fixture):
-    Java's ``%.2f`` rounds HALF_UP on the exact binary value while
-    C/Python/DuckDB printf round half-even, so the four fractional
-    parts exactly representable in binary with a tie at 2 decimals
-    (.125/.375/.625/.875) format one ULP apart — '0.125' renders
-    '0.13' here vs '0.12' in the reference. Non-tie values agree
-    because both formatters see the same exact binary value."""
+    Rounding: fractional values route through ``bround(d, 2)``
+    (HALF_EVEN) before formatting, because Java's bare ``%.2f`` rounds
+    HALF_UP while the reference's Python ``%.2f`` and DuckDB's printf
+    round half-even — the exact-binary tie class (fractional parts
+    .125/.375/.625/.875) renders '0.12' on all three engines
+    (tie-fixture-tested). Remaining documented sliver: literals whose
+    SHORTEST repr is a 2-decimal tie but whose binary value is not
+    (e.g. '2.675', binary 2.67499…) — bround decides on the shortest
+    repr (→2.68) while printf decides on the binary value (→2.67).
+    Closing that needs exact binary-vs-decimal comparison, which no
+    Column-expression path provides; no realistic catalog token hits
+    it and no fixture exercises it."""
 
     toks = F.array_remove(F.split(col.cast("string"), r"\s+"), "")
     return F.array_join(F.transform(toks, _dk_norm_token), " ")
@@ -102,7 +107,7 @@ def _dk_norm_token(t: Column) -> Column:
             t.rlike(_DK_NUM_RE) & d.isNotNull() & in_long,
             F.when(
                 d == F.floor(d), d.cast("long").cast("string")
-            ).otherwise(F.format_string("%.2f", d)),
+            ).otherwise(F.format_string("%.2f", F.bround(d, 2))),
         )
         .when(
             (F.length(t) >= 7) & t.rlike("[0-9]"),

