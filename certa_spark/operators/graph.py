@@ -133,6 +133,109 @@ def connected_components(
     return labels
 
 
+def connected_components_lsss(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    edge rewrites (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the O(log n)-round scheme. Same output
+    contract as :func:`connected_components`: ``(node, cluster)`` with
+    ``cluster`` = min reachable node id (property-tested equal).
+
+    Why a second algorithm: plain min-label propagation's round count
+    is bound by the component DIAMETER — a 10^6-node chain (long dup
+    chains, MDM entity closures) needs 10^6 rounds. LS/SS rewrites the
+    edge set itself toward stars, so label information hops along
+    doubling-length paths and a chain collapses in O(log n) rounds.
+    Per round the cost is higher — each star phase is one groupBy(min)
+    + one edge-sized join-back + one distinct (vs propagation's single
+    join + agg) — so propagation stays the DEFAULT for the shallow
+    single-digit-diameter clusters near-dup graphs produce (measured
+    faster there, queries.py `er_golden_record` note); reach for LS/SS
+    when diameter is unknown or large.
+
+    Scale shape: every phase shuffles only (u, v) long pairs; min
+    aggregates are map-side combinable; no collect_set, so a mega-hub
+    node never materializes its neighborhood in one row. Convergence
+    is a (count, hash-sum) signature comparison — one tiny action per
+    round on the shrinking edge set.
+    """
+    partitions = _default_partitions(edges, partitions)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(partitions, "u")
+        .localCheckpoint()
+    )
+    # isolated self-edges are filtered; callers wanting them use
+    # assign_clusters, which coalesces unmatched nodes to themselves
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(max_iter):
+        # large-star: every node u links its LARGER neighbors to the
+        # min of its closed neighborhood. Smaller neighbors are u's own
+        # parents-to-be — they re-appear in the symmetric pass keyed by
+        # themselves, so dropping them here loses nothing.
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mn = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        e = (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: orient every edge large->small, then point each
+        # node's smaller neighbors (and itself) at the neighborhood min
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mn = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mn, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mn.select("u", F.col("m").alias("v")))
+            .distinct()
+            .repartition(partitions, "u")
+            .localCheckpoint()
+        )
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # DECIMAL sum: 2^63-magnitude hash values would overflow a
+            # long sum under ANSI mode; decimal(38,0) is exact and
+            # order-independent
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            # fixpoint: the edge set is a union of stars (child, root)
+            roots = (
+                e.select(F.col("v").alias("node"))
+                .distinct()
+                .select("node", F.col("node").alias("cluster"))
+            )
+            return e.select(
+                F.col("u").alias("node"), F.col("v").alias("cluster")
+            ).unionByName(roots)
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components_lsss: no fixpoint within max_iter="
+        f"{max_iter} rounds; raise max_iter"
+    )
+
+
 def assign_clusters(
     nodes: DataFrame,
     edges: DataFrame,
@@ -141,13 +244,23 @@ def assign_clusters(
     dst: str = "dst",
     max_iter: int = 25,
     shortcut: bool = False,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Per-node cluster ids over a full node set: nodes touched by an
     edge get their component's min id, isolated nodes cluster with
-    themselves. Returns ``(node_col, cluster)``."""
-    cc = connected_components(
-        edges, src=src, dst=dst, max_iter=max_iter, shortcut=shortcut
-    )
+    themselves. Returns ``(node_col, cluster)``.
+
+    ``algorithm='lsss'`` swaps min-label propagation for the
+    large-star/small-star edge-rewrite scheme (same labels, O(log n)
+    rounds on deep graphs — see :func:`connected_components_lsss`)."""
+    if algorithm == "lsss":
+        cc = connected_components_lsss(
+            edges, src=src, dst=dst, max_iter=max_iter
+        )
+    else:
+        cc = connected_components(
+            edges, src=src, dst=dst, max_iter=max_iter, shortcut=shortcut
+        )
     return (
         nodes.select(F.col(node_col).alias("node"))
         .join(cc, "node", "left")

@@ -1680,6 +1680,70 @@ def _q_part_pagerank_dangling_sql() -> str:
     )
 
 
+def q_part_pagerank_weighted(spark, sf_dir) -> DataFrame:
+    """Weighted PageRank (graph.pagerank_weighted) over the DIRECTED
+    part -> supplier volume graph: edge weight = total shipped
+    quantity, so each part's rank flows to its suppliers proportional
+    to volume, not uniformly. Quantities cast to long before summing,
+    keeping every weight and per-source weight sum integer-valued —
+    exact in double under ANY aggregation order, which is what lets
+    the window-built Spark normalization hash-match the oracle's
+    groupBy-built one. The oracle unrolls the 3 iterations as chained
+    CTEs (same fixed point, different engine mechanics)."""
+    from certa_spark.operators import graph as GR
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    edges = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").alias("w")
+    ).select(
+        F.col("l_partkey").alias("s"),
+        (F.col("l_suppkey") + F.lit(10000000)).alias("t"),
+        "w",
+    )
+    ranks = GR.pagerank_weighted(
+        edges, src="s", dst="t", weight="w", damping=0.85, iterations=3
+    )
+    return ranks.select("node", F.round("r", 8).alias("rank"))
+
+
+def _q_part_pagerank_weighted_sql() -> str:
+    base = """
+    edges AS (
+        SELECT l_partkey AS s, l_suppkey + 10000000 AS t,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS w
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    nodes AS (SELECT s AS node FROM edges UNION SELECT t AS node FROM edges),
+    ws AS (SELECT s, sum(w) AS wsum FROM edges GROUP BY s),
+    nn AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS inv_n FROM nodes),
+    noin AS (SELECT node FROM nodes WHERE node NOT IN (SELECT t FROM edges)),
+    r0 AS (SELECT node, inv_n AS r FROM nodes CROSS JOIN nn)
+    """
+    step = """
+    r{k} AS (
+        SELECT e.t AS node,
+               round(((1.0 - 0.85) * inv_n)
+                     + 0.85 * CAST(sum(
+                   CAST(round(p.r * e.w / ws.wsum, 12) AS DECIMAL(38,18))
+               ) AS DOUBLE), 12) AS r
+        FROM edges e
+        JOIN r{j} p ON e.s = p.node
+        JOIN ws ON e.s = ws.s
+        CROSS JOIN nn
+        GROUP BY e.t, inv_n
+        UNION ALL
+        SELECT node, round((1.0 - 0.85) * inv_n, 12) AS r
+        FROM noin CROSS JOIN nn
+    )
+    """
+    steps = ",".join(step.format(k=k, j=k - 1) for k in (1, 2, 3))
+    return (
+        "WITH " + base + "," + steps + "SELECT node, round(r, 8) AS rank FROM r3"
+    )
+
+
 def q_tpch_q4(spark, sf_dir) -> DataFrame:
     """TPC-H Q4 — EXISTS correlated subquery as a left-semi join."""
     o = _t(spark, sf_dir, "orders").filter(
@@ -3691,6 +3755,33 @@ def _neardup_clusters_sql() -> str:
     SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
     FROM reach GROUP BY node
     """
+
+
+def q_neardup_clusters_lsss(spark, sf_dir) -> DataFrame:
+    """Dedup cluster assignment via large-star/small-star (Kiveris et
+    al. SoCC'14, graph.connected_components_lsss) over the SAME
+    MinHash-LSH pair graph as `neardup_clusters` — the O(log n)-round
+    100TB upgrade for deep/chained dup graphs where plain propagation
+    pays diameter rounds. Identical labels by construction, so it
+    shares `neardup_clusters`' recursive-CTE oracle: the two
+    algorithms verify each other through the same hash."""
+    from certa_spark.operators.graph import assign_clusters
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    variant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    corpus = d.unionByName(variant)
+    pairs = DD.minhash_lsh_pairs(corpus, threshold=0.5)
+    return assign_clusters(
+        corpus, pairs, "doc_id", src="doc_id_a", dst="doc_id_b",
+        algorithm="lsss",
+    ).select("doc_id", F.col("cluster").cast("long").alias("cluster"))
 
 
 def q_minhash_incremental(spark, sf_dir) -> DataFrame:
@@ -5952,6 +6043,83 @@ _Q_ROBUST_OUTLIERS_SQL = f"""
 """
 
 
+def q_events_quantile_approx_gate(spark, sf_dir) -> DataFrame:
+    """The approx-percentile drop-in gate for the exact-quantile
+    queries (events_robust_outliers / events_funnel_latency document
+    approx_percentile as their 100TB path — this query makes that
+    claim falsifiable): per event type and fraction, the approx value
+    must sit within 2% RANK error (+1/n discreteness slack) of the
+    requested fraction. Rank error — not value error — is the
+    guarantee quantile sketches actually make; a value-relative gate
+    is unfalsifiable at the p99 tail where neighboring data points can
+    legitimately sit >5% apart (the tri-scale sweep caught exactly
+    that at sf0.001). Output carries the ENGINE-PORTABLE parts — the
+    exact quantile and the verdict — while each engine checks its OWN
+    approx machinery (Spark GK accuracy=10000 vs DuckDB t-digest):
+    hashes agree iff both sketches meet the bound, so a broken approx
+    path on either side turns the row red."""
+    e = _events(spark, sf_dir).select("event_type", "value")
+    qs = [0.5, 0.9, 0.99]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    agg = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), qarr).alias("_ex"),
+        F.percentile_approx(F.col("value"), qarr, F.lit(10000)).alias("_ap"),
+    )
+    apx = agg.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("_ex", "_ap")).alias("_i", "_z"),
+    ).select(
+        "event_type",
+        F.element_at(qarr, F.col("_i") + 1).alias("q"),
+        F.round(F.col("_z._ex"), 6).alias("exact"),
+        F.col("_z._ap").alias("_ap"),
+    )
+    return (
+        e.join(F.broadcast(apx), "event_type")
+        .groupBy("event_type", "q", "exact")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum((F.col("value") <= F.col("_ap")).cast("long"))
+            .cast("double")
+            .alias("_rk"),
+        )
+        .select(
+            "event_type",
+            "q",
+            "exact",
+            (
+                F.abs(F.col("_rk") / F.col("_n") - F.col("q"))
+                <= F.lit(0.02) + F.lit(1.0) / F.col("_n")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+_Q_EVENTS_QUANTILE_APPROX_GATE_SQL = """
+    WITH ag AS (
+        SELECT event_type,
+               quantile_cont(value, [0.5, 0.9, 0.99]) AS ex,
+               [approx_quantile(value, 0.5),
+                approx_quantile(value, 0.9),
+                approx_quantile(value, 0.99)] AS ap
+        FROM events GROUP BY 1
+    ),
+    apx AS (
+        SELECT event_type,
+               [0.5, 0.9, 0.99][i] AS q,
+               round(ex[i], 6) AS exact,
+               ap[i] AS ap
+        FROM ag CROSS JOIN (SELECT unnest(range(1, 4)) AS i) ii
+    )
+    SELECT a.event_type, a.q, a.exact,
+           abs(CAST(sum(CASE WHEN e.value <= a.ap THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) - a.q)
+               <= 0.02 + 1.0 / CAST(count(*) AS DOUBLE) AS approx_ok
+    FROM apx a JOIN events e USING (event_type)
+    GROUP BY a.event_type, a.q, a.exact
+"""
+
+
 def q_events_funnel_latency(spark, sf_dir) -> DataFrame:
     """Conversion-latency percentiles for funnel completers
     (funnel.funnel_user_times): p50/p90 seconds from first view to the
@@ -7607,6 +7775,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_langid_confusion": q_doc_langid_confusion,
     "part_kcore": q_part_kcore,
     "doc_feature_hashing": q_doc_feature_hashing,
+    "neardup_clusters_lsss": q_neardup_clusters_lsss,
+    "part_pagerank_weighted": q_part_pagerank_weighted,
+    "events_quantile_approx_gate": q_events_quantile_approx_gate,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -7662,7 +7833,11 @@ _DRIVER_GREEN_R3: frozenset[str] = frozenset({
 # driver window records their green rows (r3 verdict asks #5/#6/#8).
 # Keep this list SHORT: every name here displaces one never-gated
 # older query from the 50-entry window.
-_R4_NEW: tuple[str, ...] = ()
+_R4_NEW: tuple[str, ...] = (
+    "neardup_clusters_lsss",
+    "part_pagerank_weighted",
+    "events_quantile_approx_gate",
+)
 
 # The five round-3 additions that fell just outside r3's 50-entry
 # driver window (tier 1 held 55 entries; ADVICE item 1) — gate first.
@@ -7865,6 +8040,11 @@ ORACLES: dict[str, str] = {
     "part_pagerank": _q_part_pagerank_sql(),
     "part_pagerank_dangling": _q_part_pagerank_dangling_sql(),
     "neardup_clusters": _neardup_clusters_sql(),
+    # LS/SS computes the identical labeling, so the two algorithms
+    # verify each other through the same recursive-CTE oracle hash
+    "neardup_clusters_lsss": _neardup_clusters_sql(),
+    "part_pagerank_weighted": _q_part_pagerank_weighted_sql(),
+    "events_quantile_approx_gate": _Q_EVENTS_QUANTILE_APPROX_GATE_SQL,
     "neardup_keep_best": _neardup_keep_best_sql(),
     "minhash_incremental": _Q_MINHASH_INCR_SQL,
     "doc_weighted_sample": _q_doc_weighted_sample_sql(),

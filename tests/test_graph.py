@@ -231,3 +231,85 @@ def test_bfs_distances_known_graph(spark):
     d2 = {r["node"]: r["dist"]
           for r in bfs_distances(e, source=1, max_depth=1).collect()}
     assert d2 == {1: 0, 2: 1, 4: 1}
+
+
+def test_lsss_matches_plain_on_chain_hub_random(spark):
+    """Large-star/small-star must produce the identical (node, cluster)
+    labeling as min-label propagation — on its motivating worst case
+    (a deep chain, where propagation needs diameter rounds and LS/SS
+    O(log n)), on a hub (star) graph, and on a seeded random graph."""
+    import random
+
+    from certa_spark.operators.graph import (
+        connected_components,
+        connected_components_lsss,
+    )
+
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(60)
+    ]
+    rand_edges = [(a, b) for a, b in rand_edges if a != b]
+    fixtures = {
+        "chain": [(i, i + 1) for i in range(1, 40)] + [(200, 201)],
+        "hub": [(50, i) for i in range(51, 80)],
+        "random": rand_edges,
+    }
+    for name, edges in fixtures.items():
+        e = spark.createDataFrame(edges, "src long, dst long")
+        plain = sorted(map(tuple, connected_components(e, max_iter=60).collect()))
+        lsss = sorted(map(tuple, connected_components_lsss(e, max_iter=12).collect()))
+        assert plain == lsss, name
+
+
+def test_lsss_log_round_convergence_on_chain(spark):
+    """A 60-node chain converges within ~log2(60) LS/SS rounds where
+    plain propagation would need ~60 — the scale reason the algorithm
+    exists. max_iter=9 must suffice (and raise if it ever stops
+    converging that fast)."""
+    from certa_spark.operators.graph import connected_components_lsss
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "src long, dst long"
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components_lsss(e, max_iter=9).collect()}
+    assert len(got) == 60 and set(got.values()) == {1}
+
+
+def test_assign_clusters_lsss_flag(spark):
+    from certa_spark.operators.graph import assign_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 99)], "doc_id long")
+    edges = spark.createDataFrame([(2, 3)], "src long, dst long")
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in assign_clusters(nodes, edges, "doc_id", algorithm="lsss").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 99: 99}
+
+
+def test_kcore_raises_when_not_converged(spark):
+    import pytest
+
+    from certa_spark.operators.graph import kcore
+
+    # a 12-node chain peels from both ends: k=2 strips one layer per
+    # round, so max_iter=2 cannot finish -> must raise, not return a
+    # non-core
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(e, k=2, max_iter=2)
+
+
+def test_personalized_pagerank_seed_validation(spark):
+    import pytest
+
+    from certa_spark.operators.graph import pagerank_personalized
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank_personalized(e, seeds=[])
+    with pytest.raises(ValueError, match="duplicate"):
+        pagerank_personalized(e, seeds=[1, 1])
