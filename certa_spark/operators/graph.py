@@ -986,3 +986,133 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def betweenness_approx(
+    edges: DataFrame,
+    sources: list[int] | None = None,
+    k: int = 8,
+    max_depth: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Approximate betweenness centrality by source-sampled Brandes
+    (Brandes 2001; Bader et al.'s sampling estimator): run the
+    forward-BFS + backward dependency accumulation from ``k`` sampled
+    sources SIMULTANEOUSLY — every frame is keyed by (src, node), so
+    adding sources widens rows, never rounds — and scale the summed
+    dependencies by n/k. ``sources=None`` samples deterministically by
+    content hash (xxhash64 of the node id), the same no-RNG rule every
+    sampling operator here follows; pass an explicit list (or all
+    nodes) for exact betweenness.
+
+    Returns ``(node, bc)`` where bc estimates the DIRECTED-pair sum
+    (each unordered pair counted twice — halve for the undirected
+    convention).
+
+    Scale shape: 2·diameter driver-coordinated rounds total
+    (independent of k) — forward frontier expansion exactly like
+    :func:`bfs_distances`, then one backward round per BFS level; each
+    round shuffles (src, node)-keyed longs plus a double, with
+    map-side combine on every aggregate. Path counts (sigma) are
+    integer-exact; dependency deltas are doubles (sum order moves them
+    ~1e-15 — round before asserting equality across runs).
+    """
+    partitions = _default_partitions(edges, partitions)
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(partitions, "a")
+        .localCheckpoint()
+    )
+    nodes = (
+        sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if sources is None:
+        srcs = [
+            r["node"]
+            for r in nodes.orderBy(
+                F.xxhash64(F.col("node")).asc(), F.col("node").asc()
+            )
+            .limit(k)
+            .collect()
+        ]
+    else:
+        srcs = list(sources)
+    if not srcs:
+        raise ValueError("betweenness_approx: no sources")
+    scale = float(n_nodes) / float(len(srcs))
+
+    spark = edges.sparkSession
+    seed = spark.createDataFrame(
+        [(int(s), int(s), 0, 1) for s in srcs],
+        "src long, node long, dist int, sigma long",
+    ).localCheckpoint()
+    levels: list[DataFrame] = [seed]  # levels[d] = (src,node,dist,sigma)
+    visited = seed
+    frontier = seed
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select("src", F.col("b").alias("node"), "sigma")
+            .join(
+                visited.select("src", "node"), ["src", "node"], "left_anti"
+            )
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(
+                "src", "node", F.lit(depth).cast("int").alias("dist"), "sigma"
+            )
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    # backward accumulation: deepest level has no successors (delta=0);
+    # each round joins level d's (1+delta)/sigma against the adjacency
+    # and credits level d-1 predecessors with sigma_v * that ratio
+    zero = F.lit(0.0).alias("delta")
+    deltas: list[DataFrame] = [None] * len(levels)
+    deltas[-1] = levels[-1].select("src", "node", "sigma", zero)
+    acc: list[DataFrame] = [deltas[-1].select("src", "node", "delta")]
+    for d in range(len(levels) - 1, 0, -1):
+        w = deltas[d].select(
+            "src",
+            F.col("node").alias("_w"),
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_ratio"),
+        )
+        contrib = (
+            w.join(sym, w._w == sym.b)
+            .select("src", F.col("a").alias("node"), "_ratio")
+            .join(
+                levels[d - 1].select("src", "node", "sigma"), ["src", "node"]
+            )
+            .groupBy("src", "node")
+            .agg(F.sum(F.col("sigma") * F.col("_ratio")).alias("_c"))
+        )
+        deltas[d - 1] = (
+            levels[d - 1]
+            .join(contrib, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                "sigma",
+                F.coalesce(F.col("_c"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint()
+        )
+        acc.append(deltas[d - 1].select("src", "node", "delta"))
+    out = acc[0]
+    for a in acc[1:]:
+        out = out.unionByName(a)
+    return (
+        out.filter(F.col("node") != F.col("src"))
+        .groupBy("node")
+        .agg((F.sum("delta") * F.lit(scale)).alias("bc"))
+        .join(nodes, "node", "right")
+        .select("node", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+    )

@@ -411,3 +411,136 @@ def duck_nearest_centroid_sql(
     FROM dists WHERE rk = 1
     GROUP BY 1, 2
     """
+
+
+def nearest_centroid_expr(vec_col: str, centroids: list[list[float]]):
+    """Column expression assigning a row's vector to the index of the
+    closest centroid (squared L2, ties to the smaller index). Pure
+    map-side: centroids ride the plan as literal arrays, distances are
+    sequential zip_with/aggregate folds (deterministic summation
+    order), argmin is an array_sort over (distance, index) structs —
+    the same machinery as :func:`nearest_centroid_confusion`."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cands = []
+    for idx, c in enumerate(centroids):
+        clit = F.array(*[F.lit(v) for v in c])
+        d2 = F.aggregate(
+            F.zip_with(xd, clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cands.append(
+            F.struct(d2.alias("d"), F.lit(idx).cast("int").alias("l"))
+        )
+    return F.array_sort(F.array(*cands))[0]["l"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 8,
+    iterations: int = 5,
+    q: int = Q_IN,
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic Lloyd k-means over an embedding column — the
+    clustering primitive of SemDeDup-style semantic dedup and of IVF
+    coarse-quantizer training (the `knn_ivf_ann` query inlines fixed
+    centroids; this is where they would come from at 100 TB).
+
+    Determinism end-to-end, per this module's contract: the first seed
+    is the row ranked first by ``xxhash64(id)`` (content hash, no
+    RNG) and the rest come from greedy farthest-point init (each next
+    seed = the row maximizing distance-to-nearest-chosen, ties to the
+    smaller id) — k-means++'s deterministic cousin, which spreads
+    seeds across blobs instead of gambling on a hash draw (a same-blob
+    seed pair strands Lloyd in the classic local optimum). Each pick
+    is one TakeOrdered job; at 100 TB run the init on a content-hash
+    sample. Assignment is the shuffle-free broadcast-literal argmin of
+    :func:`nearest_centroid_expr`; each update aggregates EXACT
+    integer component sums on the ``q`` grid (decimal(38,0) — any
+    partitioning, same centroids) and derives means on the driver with
+    one fixed float expression. Clusters that lose every member keep
+    their previous centroid (the standard Lloyd guard).
+
+    Scale shape per iteration: ONE distributed job — posexplode +
+    map-side-combined (label, i) aggregate collapsing to k*d rows
+    collected to the driver (k*d is tiny by construction). The loop is
+    driver-coordinated like the other iterative operators; no
+    iteration-over-iteration lineage growth because each assignment
+    plan references only the source frame + literal centroids.
+
+    Returns ``(centroids, assignments)`` — the final centroid list and
+    an ``(id_col, cluster)`` DataFrame assigned against it.
+    """
+    if k <= 0:
+        raise ValueError("kmeans_fit: k must be positive")
+    base = df.select(id_col, vec_col)
+    first = (
+        base.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans_fit: empty input")
+    centroids = [[float(v) for v in first[0][vec_col]]]
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(1, k):
+        d2s = []
+        for c in centroids:
+            clit = F.array(*[F.lit(v) for v in c])
+            d2s.append(
+                F.aggregate(
+                    F.zip_with(xd, clit, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+        nearest = F.array_min(F.array(*d2s))
+        far = (
+            base.select(id_col, vec_col, nearest.alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )[0]
+        if float(far["_d"]) == 0.0:
+            raise ValueError(
+                f"kmeans_fit: fewer than k={k} distinct vectors"
+            )
+        centroids.append([float(v) for v in far[vec_col]])
+
+    for _ in range(iterations):
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            nearest_centroid_expr(vec_col, centroids).alias("cluster"),
+        )
+        sums = {
+            (int(r["label"]), int(r["i"])): (int(r["s"]), int(r["n"]))
+            for r in label_centroid_sums(
+                assigned, vec_col, "cluster", q
+            ).collect()
+        }
+        new_centroids = []
+        for idx in range(k):
+            if (idx, 0) in sums:
+                new_centroids.append(
+                    [
+                        # same expression tree as the oracle path used
+                        # throughout this module: s / (q * 1.0 * n)
+                        sums[(idx, i)][0] / (float(q) * sums[(idx, i)][1])
+                        for i in range(dim)
+                    ]
+                )
+            else:
+                new_centroids.append(centroids[idx])
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+
+    assignments = df.select(
+        F.col(id_col),
+        nearest_centroid_expr(vec_col, centroids).alias("cluster"),
+    )
+    return centroids, assignments

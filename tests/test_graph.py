@@ -313,3 +313,85 @@ def test_personalized_pagerank_seed_validation(spark):
         pagerank_personalized(e, seeds=[])
     with pytest.raises(ValueError, match="duplicate"):
         pagerank_personalized(e, seeds=[1, 1])
+
+
+def _py_brandes(edges, sources=None):
+    """Pure-python exact Brandes (directed-pair sum convention) used as
+    the oracle for betweenness_approx."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    bc = {v: 0.0 for v in nodes}
+    for s in (sources if sources is not None else nodes):
+        sigma = {v: 0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        preds = {v: [] for v in nodes}
+        sigma[s], dist[s] = 1, 0
+        order, queue = [], deque([s])
+        while queue:
+            v = queue.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_exact_on_all_sources(spark):
+    """With sources = all nodes the estimator IS exact Brandes (scale
+    n/k = 1) — compare against the python twin on a graph with branchy
+    shortest paths (a 4-cycle hung off a path) so sigma > 1 paths and
+    the dependency splits are exercised."""
+    from certa_spark.operators.graph import betweenness_approx
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (6, 5), (5, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = sorted({x for ed in edges for x in ed})
+    got = {
+        r["node"]: round(r["bc"], 6)
+        for r in betweenness_approx(e, sources=nodes).collect()
+    }
+    want = {v: round(b, 6) for v, b in _py_brandes(edges).items()}
+    assert got == want
+
+
+def test_betweenness_sampled_scales_and_is_deterministic(spark):
+    from certa_spark.operators.graph import betweenness_approx
+
+    edges = [(i, i + 1) for i in range(1, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: round(r["bc"], 6) for r in betweenness_approx(e, k=4).collect()}
+    b = {r["node"]: round(r["bc"], 6) for r in betweenness_approx(e, k=4).collect()}
+    assert a == b  # content-hash sampling: no RNG state
+    # the estimator must agree with the python twin restricted to the
+    # same deterministic source set, scaled by n/k
+    from pyspark.sql import functions as F
+
+    srcs = [
+        r["node"]
+        for r in e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy(F.xxhash64(F.col("node")).asc(), F.col("node").asc())
+        .limit(4)
+        .collect()
+    ]
+    n = 12
+    want = {
+        v: round(b_ * n / 4, 6) for v, b_ in _py_brandes(edges, sources=srcs).items()
+    }
+    assert a == want

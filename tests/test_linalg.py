@@ -123,3 +123,69 @@ def test_nearest_centroid_tie_prefers_smaller_label(spark):
     out = {(r["true_label"], r["pred_label"]): r["n"]
            for r in nearest_centroid_confusion(df, "embedding", "label", 2).collect()}
     assert out == {(3, 3): 5, (7, 3): 5}
+
+
+def _blob_df(spark):
+    # three well-separated 3-d blobs, 8 points each, values on a
+    # 0.25 grid so the q=1e6 quantization is exact
+    import itertools
+
+    centers = [(0.0, 0.0, 0.0), (10.0, 10.0, 0.0), (-10.0, 5.0, 5.0)]
+    rows = []
+    vid = 0
+    offsets = [-0.5, -0.25, 0.25, 0.5]
+    for ci, (cx, cy, cz) in enumerate(centers):
+        for dx, dy in itertools.product(offsets[:2], offsets[2:]):
+            for rep in (0, 1):
+                rows.append((vid, [cx + dx, cy + dy, cz + 0.25 * rep], ci))
+                vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, blob int"
+    )
+
+
+def test_kmeans_recovers_separable_blobs(spark):
+    from certa_spark.operators.linalg import kmeans_fit
+
+    df = _blob_df(spark)
+    cents, assign = kmeans_fit(df, "embedding", "vec_id", dim=3, k=3,
+                               iterations=5)
+    got = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    truth = {r["vec_id"]: r["blob"] for r in df.collect()}
+    # cluster indices are arbitrary but the PARTITION must match the
+    # blobs exactly
+    by_cluster = {}
+    for vid, c in got.items():
+        by_cluster.setdefault(c, set()).add(truth[vid])
+    assert len(by_cluster) == 3
+    assert all(len(blobs) == 1 for blobs in by_cluster.values())
+
+
+def test_kmeans_deterministic_and_partition_invariant(spark):
+    from certa_spark.operators.linalg import kmeans_fit
+
+    df = _blob_df(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        c1, a1 = kmeans_fit(df, "embedding", "vec_id", dim=3, k=3)
+        r1 = sorted(map(tuple, a1.collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        c2, a2 = kmeans_fit(df, "embedding", "vec_id", dim=3, k=3)
+        r2 = sorted(map(tuple, a2.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert c1 == c2  # exact-integer update: no FP drift across widths
+    assert r1 == r2
+
+
+def test_kmeans_guards(spark):
+    import pytest
+
+    from certa_spark.operators.linalg import kmeans_fit
+
+    df = _blob_df(spark)
+    with pytest.raises(ValueError, match="distinct vectors"):
+        kmeans_fit(df, "embedding", "vec_id", dim=3, k=1000)
+    with pytest.raises(ValueError, match="positive"):
+        kmeans_fit(df, "embedding", "vec_id", dim=3, k=0)

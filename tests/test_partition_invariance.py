@@ -58,6 +58,13 @@ QUERIES_UNDER_TEST = [
     "orders_gini",
     "doc_zipf_slope",
     "part_kcore",
+    # round 4: LS/SS rewrites the edge set itself — its fixpoint (and
+    # the convergence signature) must not depend on shuffle width; the
+    # weighted pagerank normalizes by a window sum; the quantile gate
+    # rides grouped sketches whose merge order changes with partitions
+    "neardup_clusters_lsss",
+    "part_pagerank_weighted",
+    "events_quantile_approx_gate",
 ]
 
 
