@@ -544,3 +544,77 @@ def kmeans_fit(
         nearest_centroid_expr(vec_col, centroids).alias("cluster"),
     )
     return centroids, assignments
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 8,
+    threshold: float = 0.95,
+    iterations: int = 3,
+    q: int = Q_IN,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with :func:`kmeans_fit`,
+    then find near-duplicate PAIRS only inside each cluster — the
+    trick that turns O(N²) cosine dedup into k · O((N/k)²), the same
+    blocking principle as the LSH band join in
+    ``similarity.embedding_neardup`` but driven by learned semantic
+    regions instead of random hyperplanes (catches paraphrase-level
+    dups LSH banding misses at equal cost).
+
+    Per cluster (one Arrow batch per group via ``applyInPandas``, the
+    BLAS pattern of ``embedding_neardup_blas``): L2-normalize, one
+    numpy Gram matmul, then a deterministic greedy sweep in ascending
+    id order — a row is dropped iff its cosine to some EARLIER KEPT
+    row is >= threshold, so the keep-set is unique regardless of
+    partitioning (no RNG, no tie ambiguity). Returns
+    ``(id_col, cluster, keep, dup_of)`` with ``dup_of`` = the kept id
+    that shadowed a dropped row (null for kept rows).
+
+    Scale contract: per-cluster work is O(m²) in cluster size — size k
+    so clusters stay ~10^4 rows (the paper's regime); one shuffle on
+    the cluster id.
+    """
+    import pandas as pd
+
+    _, assign = kmeans_fit(
+        df, vec_col, id_col, dim, k=k, iterations=iterations, q=q
+    )
+    joined = df.select(id_col, vec_col).join(assign, id_col)
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.array(pdf[vec_col].tolist(), dtype="float64")
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype="int64")
+        for i in range(1, n):
+            earlier = np.nonzero(keep[:i])[0]
+            if earlier.size == 0:
+                continue
+            hits = earlier[sims[i, earlier] >= threshold]
+            if hits.size:
+                keep[i] = False
+                dup_of[i] = int(pdf[id_col].iloc[int(hits[0])])
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "keep": keep,
+                "dup_of": dup_of,
+            }
+        )
+        out.loc[out["dup_of"] < 0, "dup_of"] = None
+        return out
+
+    return joined.groupBy("cluster").applyInPandas(
+        _prune,
+        schema=f"{id_col} long, cluster int, keep boolean, dup_of long",
+    )

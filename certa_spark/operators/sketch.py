@@ -584,3 +584,77 @@ def bloom_semi_join(
         left_key,
         "left_semi",
     )
+
+
+# ------------------------------------------------------------------ KMV
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Beyer et al., SIGMOD'07):
+    per group, the ``k`` smallest deterministic 60-bit value hashes
+    as a sorted array. What it buys over HLL: KMV sketches support
+    set INTERSECTION (and arbitrary set expressions) — cross-source
+    overlap estimation, decontamination triage, join-cardinality
+    bounds — which register-max sketches cannot express. Groups with
+    fewer than k distinct values are EXACT by construction.
+
+    Scale shape, no collect_set hazards: distinct (group, hash) pairs
+    -> per-group rank window. Spark plans the rank cut as
+    WindowGroupLimit, so every partition keeps only its local k
+    smallest BEFORE the shuffle — the exchange carries at most
+    k·partitions rows per group however large the group is. The final
+    array is bounded at k elements (sorted collect after the cut,
+    order restored deterministically by array_sort).
+    """
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        *[F.col(c) for c in group_cols],
+        hash64(F.col(value_col).cast("string")).alias("_h"),
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("sketch"))
+    )
+
+
+def kmv_merge(a, b, k: int = 256):
+    """Column expression merging two KMV sketches: the k smallest of
+    the deduplicated union — associative/commutative, so partial
+    sketches from any partitioning combine losslessly (same contract
+    as hll_merge)."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+_KMV_SCALE = float(2**60)  # hash64 is a 60-bit non-negative hash
+
+
+def kmv_distinct_estimate(sketch, k: int = 256):
+    """Column expression estimating the distinct count from a KMV
+    sketch: exact size when the sketch holds fewer than k hashes,
+    else the unbiased (k-1)/u_k estimator with u_k = the kth smallest
+    hash normalized to (0,1]."""
+    kth = F.element_at(sketch, k).cast("double")
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / ((kth + F.lit(1.0)) / F.lit(_KMV_SCALE))
+    )
+
+
+def kmv_intersection_estimate(a, b, k: int = 256):
+    """Column expression estimating |A ∩ B| from two KMV sketches:
+    merge to the union's sketch S, then est = (|S ∩ A ∩ B| / k') ·
+    D(union), where k' = |S| (Beyer et al.'s set-operation
+    estimator). Pure array expressions — runs in whole-stage codegen
+    on sketch-sized data."""
+    s = kmv_merge(a, b, k)
+    kk = F.size(s)
+    in_both = F.size(F.array_intersect(F.array_intersect(s, a), b))
+    return (
+        in_both.cast("double") / kk.cast("double")
+    ) * kmv_distinct_estimate(s, k)

@@ -189,3 +189,48 @@ def test_kmeans_guards(spark):
         kmeans_fit(df, "embedding", "vec_id", dim=3, k=1000)
     with pytest.raises(ValueError, match="positive"):
         kmeans_fit(df, "embedding", "vec_id", dim=3, k=0)
+
+
+def test_semdedup_prunes_near_copies(spark):
+    from certa_spark.operators.linalg import semdedup
+
+    # two semantic regions; inside each, ids {base, base+1} are
+    # near-copies (tiny angular nudge) and base+2 is genuinely distinct
+    rows = []
+    for base, center in ((0, [5.0, 0.0, 0.0]), (100, [0.0, 5.0, 5.0])):
+        rows.append((base, center))
+        rows.append((base + 1, [center[0] + 0.05, center[1] + 0.05, center[2]]))
+        distinct = [center[0], center[1] + 3.0, center[2] - 2.0]
+        rows.append((base + 2, distinct))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semdedup(
+            df, "embedding", "vec_id", dim=3, k=2, threshold=0.95
+        ).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (False, 0)  # shadowed by the earlier kept copy
+    assert out[2][0] is True
+    assert out[100] == (True, None)
+    assert out[101] == (False, 100)
+    assert out[102][0] is True
+
+
+def test_semdedup_partition_invariant(spark):
+    from certa_spark.operators.linalg import semdedup
+
+    rows = [
+        (i, [float(i % 7), float((i * 3) % 5), 1.0 + 0.001 * (i % 2)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, semdedup(df, "embedding", "vec_id", dim=3, k=3).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = sorted(map(tuple, semdedup(df, "embedding", "vec_id", dim=3, k=3).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b

@@ -190,3 +190,84 @@ def test_hll_sliding_window1_equals_grouped(spark):
     grouped = sorted(map(tuple, hll_estimate_by(
         hll_registers_by(df, "k", ["tb"]), ["tb"]).collect()))
     assert slid == grouped
+
+
+def test_kmv_exact_below_k(spark):
+    from certa_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", i % 37) for i in range(500)], "g string, v long"
+    )
+    sk = kmv_sketch(df, ["g"], "v", k=64)
+    est = sk.select(kmv_distinct_estimate(F.col("sketch"), 64).alias("e")).first()["e"]
+    assert est == 37.0  # below k: the sketch IS the distinct set
+
+
+def test_kmv_estimate_within_error(spark):
+    from certa_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    n = 5000
+    df = spark.createDataFrame([("a", i) for i in range(n)], "g string, v long")
+    k = 256
+    est = (
+        kmv_sketch(df, ["g"], "v", k=k)
+        .select(kmv_distinct_estimate(F.col("sketch"), k).alias("e"))
+        .first()["e"]
+    )
+    # KMV std error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(est - n) / n < 0.25
+
+
+def test_kmv_merge_equals_single_pass_and_intersection(spark):
+    from certa_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_intersection_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    k = 128
+    # A = 0..2999, B = 2000..4999 -> |A ∩ B| = 1000, |A ∪ B| = 5000
+    a = spark.createDataFrame([("s", i) for i in range(0, 3000)], "g string, v long")
+    b = spark.createDataFrame([("s", i) for i in range(2000, 5000)], "g string, v long")
+    u = a.unionByName(b)
+    ska = kmv_sketch(a, ["g"], "v", k=k).withColumnRenamed("sketch", "sa")
+    skb = kmv_sketch(b, ["g"], "v", k=k).withColumnRenamed("sketch", "sb")
+    sku = kmv_sketch(u, ["g"], "v", k=k)
+    j = ska.join(skb, "g")
+    # merge(A, B) must equal the sketch built over A ∪ B in one pass
+    merged = j.select(kmv_merge(F.col("sa"), F.col("sb"), k).alias("m")).first()["m"]
+    single = sku.first()["sketch"]
+    assert list(merged) == list(single)
+    inter = j.select(
+        kmv_intersection_estimate(F.col("sa"), F.col("sb"), k).alias("i")
+    ).first()["i"]
+    # intersection estimator variance is higher (Jaccard ~ 0.2 over k=128
+    # samples): assert the right order of magnitude, not tight bounds
+    assert 400 < inter < 2200
+
+
+def test_kmv_group_partition_invariant(spark):
+    from certa_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(2000)], "g string, v long"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted((r["g"], tuple(r["sketch"])) for r in kmv_sketch(df, ["g"], "v", k=32).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = sorted((r["g"], tuple(r["sketch"])) for r in kmv_sketch(df, ["g"], "v", k=32).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
