@@ -76,3 +76,59 @@ def test_snapshot_diff_partitions_key_space(spark, old_keys, new_keys, flips):
     assert by_type.get("removed", set()) == old_keys - new_keys
     assert by_type.get("changed", set()) == (old_keys & new_keys) & flips
     assert by_type.get("unchanged", set()) == (old_keys & new_keys) - flips
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 18), st.integers(0, 18)),
+        min_size=0,
+        max_size=24,
+    )
+)
+@_SETTINGS
+def test_lsss_equals_propagation_on_random_graphs(spark, edges):
+    """Large-star/small-star and min-label propagation must compute the
+    identical (node, cluster) labeling on ANY graph — including
+    self-loops, duplicate edges, and disconnected scatter (the shapes
+    hypothesis finds that hand fixtures miss)."""
+    from certa_spark.operators.graph import (
+        connected_components,
+        connected_components_lsss,
+    )
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    e = spark.createDataFrame(clean, "src long, dst long")
+    plain = sorted(map(tuple, connected_components(e, max_iter=40).collect()))
+    lsss = sorted(map(tuple, connected_components_lsss(e, max_iter=15).collect()))
+    assert plain == lsss
+
+
+@given(
+    xs=st.sets(st.integers(0, 400), min_size=1, max_size=60),
+    ys=st.sets(st.integers(0, 400), min_size=1, max_size=60),
+)
+@_SETTINGS
+def test_kmv_merge_is_lossless_union(spark, xs, ys):
+    """kmv_merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) built
+    in one pass — the mergeability contract that makes partial
+    sketches from any partitioning combine losslessly. Below k both
+    are the exact distinct hash set, so equality is total."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    k = 16
+    a = spark.createDataFrame([("s", int(v)) for v in xs], "g string, v long")
+    b = spark.createDataFrame([("s", int(v)) for v in ys], "g string, v long")
+    u = a.unionByName(b)
+    ska = kmv_sketch(a, ["g"], "v", k=k).withColumnRenamed("sketch", "sa")
+    skb = kmv_sketch(b, ["g"], "v", k=k).withColumnRenamed("sketch", "sb")
+    merged = (
+        ska.join(skb, "g")
+        .select(kmv_merge(F.col("sa"), F.col("sb"), k).alias("m"))
+        .first()["m"]
+    )
+    single = kmv_sketch(u, ["g"], "v", k=k).first()["sketch"]
+    assert list(merged) == list(single)
