@@ -257,3 +257,48 @@ def test_dk_ner_tag(spark):
     # ner=True routes through the tagger; ner=False number-only
     tagged = ner_normalize(df, ["t"], ner=True).collect()
     assert {r["i"]: r["t"] for r in tagged}[0] == got[0]
+
+
+def test_normalize_url_canonicalizes_variants(spark):
+    from certa_spark.functions.url import normalize_url
+
+    cases = [
+        # scheme / www / trailing slash / fragment variants of one page
+        (1, "https://www.Example.com/a/b/"),
+        (2, "http://example.com/a/b#section"),
+        # tracking params dropped, survivors sorted
+        (3, "https://example.com/a/b?utm_source=x&z=1&a=2&fbclid=abc"),
+        (4, "https://example.com/a/b?a=2&z=1"),
+        # bare host
+        (5, "https://www.example.com"),
+        (6, "not a url"),
+    ]
+    df = spark.createDataFrame(cases, "i long, u string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_url(F.col("u")).alias("n")).collect()
+    }
+    assert got[1] == got[2] == "example.com/a/b"
+    assert got[3] == got[4] == "example.com/a/b?a=2&z=1"
+    assert got[5] == "example.com/"
+    assert got[6] is None
+
+
+def test_registrable_domain(spark):
+    from certa_spark.functions.url import registrable_domain
+
+    cases = [
+        (1, "https://news.bbc.co.uk/article"),
+        (2, "https://a.b.example.com/x"),
+        (3, "http://example.com"),
+        (4, "https://localhost/x"),
+    ]
+    df = spark.createDataFrame(cases, "i long, u string")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", registrable_domain(F.col("u")).alias("d")).collect()
+    }
+    assert got[1] == "bbc.co.uk"
+    assert got[2] == "example.com"
+    assert got[3] == "example.com"
+    assert got[4] == "localhost"
