@@ -658,3 +658,59 @@ def kmv_intersection_estimate(a, b, k: int = 256):
     return (
         in_both.cast("double") / kk.cast("double")
     ) * kmv_distinct_estimate(s, k)
+
+
+# ----------------------------------------------------- OPH MinHash
+
+def oph_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 128,
+) -> DataFrame:
+    """One-permutation-hashing MinHash registers (Li, Owen, Zhang,
+    NIPS'12): hash each value once, route it to bin ``h mod k``, keep
+    the per-bin MINIMUM — ``(group..., bin, mn)``. The min-merge makes
+    this the STREAMABLE member of the minhash family (state: k longs
+    per group, late data folds in with an idempotent min — the same
+    contract as the HLL registers), and bin-wise register agreement
+    estimates Jaccard similarity between groups, which one sketch pass
+    over each side buys at any scale."""
+    gcols = list(group_cols or [])
+    h = hash64(F.col(value_col).cast("string"))
+    return (
+        df.select(
+            *[F.col(c) for c in gcols],
+            F.pmod(h, F.lit(k)).cast("int").alias("bin"),
+            h.alias("_h"),
+        )
+        .groupBy(*gcols, "bin")
+        .agg(F.min("_h").alias("mn"))
+    )
+
+
+def oph_jaccard(a_regs: DataFrame, b_regs: DataFrame) -> DataFrame:
+    """Jaccard estimate from two OPH register tables (ungrouped or
+    pre-filtered to one group each): J ≈ (#bins filled on both sides
+    with EQUAL mins) / (#bins filled on either side). The
+    empty-bin-aware denominator keeps the estimator usable when the
+    sets are smaller than k (sparse bins); for |A|,|B| >> k every bin
+    fills and this is the textbook estimator. Returns one row
+    ``(matched, filled, jaccard_est)``."""
+    # distinct output names on BOTH sides: callers routinely pass two
+    # filters of the same register frame, and a shared lineage with a
+    # shared column name is the classic Spark self-join ambiguity
+    a = a_regs.select(F.col("bin").alias("_ba"), F.col("mn").alias("ma"))
+    b = b_regs.select(F.col("bin").alias("_bb"), F.col("mn").alias("mb"))
+    j = a.join(b, F.col("_ba") == F.col("_bb"), "full_outer")
+    return j.agg(
+        F.coalesce(
+            F.sum((F.col("ma") == F.col("mb")).cast("long")), F.lit(0)
+        ).cast("long").alias("matched"),
+        F.count(F.lit(1)).cast("long").alias("filled"),
+    ).select(
+        "matched",
+        "filled",
+        (F.col("matched").cast("double") / F.col("filled").cast("double"))
+        .alias("jaccard_est"),
+    )

@@ -403,3 +403,35 @@ def streaming_hll_registers(
         .groupBy(F.col("w.start").alias("window_start"), "bucket")
         .agg(F.max("rho").alias("m"))
     )
+
+
+def streaming_oph_registers(
+    stream: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 128,
+) -> DataFrame:
+    """Streaming per-window OPH MinHash register maintenance
+    (sketch.oph_registers' streaming twin): state per (window, bin) is
+    ONE long — the minimum hash — bounded at k rows per window
+    whatever the stream volume; late events inside the watermark fold
+    in with an idempotent min, so replays are harmless. Register
+    tables from different windows/streams feed ``sketch.oph_jaccard``
+    for cross-window set-similarity, the question HLL registers
+    cannot answer. Bit-identical to the batch sketch over the same
+    data (tested)."""
+    from certa_spark.functions.hashing import hash64
+
+    h = hash64(F.col(col).cast("string"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.pmod(h, F.lit(k)).cast("int").alias("bin"),
+            h.alias("_h"),
+        )
+        .groupBy(F.col("w.start").alias("window_start"), "bin")
+        .agg(F.min("_h").alias("mn"))
+    )

@@ -834,3 +834,45 @@ def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
     assert set(got) == set(want) == {1, 4}
     for u in got:
         assert got[u][1] == want[u][1]  # durations identical
+
+
+def test_streaming_oph_matches_batch_and_jaccard(spark, tmp_path):
+    """Streaming OPH register maintenance == batch sketch over the same
+    data, and the register tables estimate Jaccard across windows."""
+    from certa_spark.operators.sketch import oph_jaccard, oph_registers
+    from certa_spark.streaming.events import streaming_oph_registers
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "oph_src")
+    # hour 10: users u0..u36; hour 11: u0..u10 (overlap 11, union 37)
+    rows = [
+        (f"2024-01-01 10:{m:02d}:00", f"u{m % 37}") for m in range(60)
+    ] + [
+        (f"2024-01-01 11:{m:02d}:00", f"u{m % 11}") for m in range(60)
+    ]
+    batch = spark.createDataFrame(rows, ["ts", "user"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    regs = streaming_oph_registers(stream, "user", window_duration="1 hour")
+    q = (
+        regs.writeStream.format("memory").queryName("oph_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM oph_regs")
+    want = oph_registers(
+        batch.withColumn("window_start", F.date_trunc("hour", "ts")),
+        "user",
+        ["window_start"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    a = got.filter(F.col("window_start") == "2024-01-01 10:00:00")
+    b = got.filter(F.col("window_start") == "2024-01-01 11:00:00")
+    est = oph_jaccard(a, b).first()
+    true_j = 11 / 37
+    # sparse-bin estimator over k=128 bins: generous band, but a broken
+    # sketch (J=0 or J=1) fails it decisively
+    assert abs(est["jaccard_est"] - true_j) < 0.2
+    assert est["filled"] > 0
