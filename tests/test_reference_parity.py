@@ -254,3 +254,76 @@ def test_explain_truncation_branch_invariants(spark):
             assert set(t[:2]) == probes, t
             assert t[2] in allowed_free, t
     assert set(ref_sal.columns) == set(res.saliency_dict)
+
+
+def test_cf_metrics_match_reference_formulas(spark):
+    """A9-A12 parity vs the EXECUTED reference metric code
+    (certa/metrics/counterfactual.py): our Spark metrics use a
+    count/unordered-pair convention internally, so this test pins the
+    exact algebraic bridge — ref_proximity = 1 - ours/len(original),
+    ref_diversity = ours*(n-1)/n (ordered pairs over n² vs unordered
+    mean), validity identical given the same matcher scores, and
+    cf_sparsity reproduces get_sparsity when fed reference-convention
+    inputs. If either side's semantics drift, a bridge equality
+    breaks."""
+    _import_reference()  # sets sys.path to /root/reference
+    import pandas as pd  # noqa: F811
+    from certa.metrics.counterfactual import (  # type: ignore
+        get_diversity,
+        get_proximity,
+        get_sparsity,
+        get_validity,
+    )
+
+    from certa_spark.matching import NativeCosineMatcher
+    from certa_spark.metrics import (
+        cf_diversity,
+        cf_proximity,
+        cf_sparsity,
+        cf_validity,
+    )
+
+    attrs = [
+        "ltable_name", "ltable_desc", "rtable_name", "rtable_desc",
+    ]
+    extras = {
+        "alteredAttributes": "('name',)",
+        "copiedValues": "[]",
+        "droppedValues": "[]",
+        "attr_count": 1,
+    }
+    rows = [
+        {"ltable_name": "alpha beta", "ltable_desc": "gamma",
+         "rtable_name": "alpha beta", "rtable_desc": "gamma", **extras},
+        {"ltable_name": "omega tau", "ltable_desc": "gamma",
+         "rtable_name": "alpha beta", "rtable_desc": "sigma", **extras},
+        {"ltable_name": "alpha beta", "ltable_desc": "delta",
+         "rtable_name": "kappa mu", "rtable_desc": "gamma", **extras},
+    ]
+    original = {
+        "ltable_name": "alpha beta", "ltable_desc": "gamma",
+        "rtable_name": "kappa mu", "rtable_desc": "sigma",
+    }
+    pdf = pd.DataFrame(rows)
+    matcher = NativeCosineMatcher()
+    scored_pdf = matcher.predict_pandas(pdf)
+    sdf = spark.createDataFrame(pdf)
+
+    # validity: reference takes precomputed scores, ours re-predicts
+    # through the same matcher (predict == predict_pandas to 1e-9)
+    ref_val = get_validity(None, scored_pdf, 1)
+    ours_val = cf_validity(sdf, 1, matcher)
+    assert abs(ref_val - ours_val) < 1e-9
+
+    ref_prox = get_proximity(pdf[attrs], original)
+    ours_prox = cf_proximity(sdf, original)
+    assert abs(ref_prox - (1.0 - ours_prox / len(original))) < 1e-9
+
+    ref_div = get_diversity(pdf[attrs])
+    ours_div = cf_diversity(sdf, attrs)
+    n = len(rows)
+    assert abs(ref_div - ours_div * (n - 1) / n) < 1e-9
+
+    ref_spars = get_sparsity(pdf[attrs], original)
+    ours_spars = cf_sparsity(ref_prox, len(attrs))
+    assert abs(ref_spars - ours_spars) < 1e-9
