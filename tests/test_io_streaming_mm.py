@@ -876,3 +876,35 @@ def test_streaming_oph_matches_batch_and_jaccard(spark, tmp_path):
     # sketch (J=0 or J=1) fails it decisively
     assert abs(est["jaccard_est"] - true_j) < 0.2
     assert est["filled"] > 0
+
+
+def test_streaming_upsert_checkpoint_recovery(spark, tmp_path):
+    """Restart semantics: the checkpoint remembers processed files, so
+    a restarted query with no new data is a no-op, and a late LOWER
+    version for a merged key cannot regress the stored row (max-version
+    + checkpointed offsets = idempotent replays)."""
+    from certa_spark.streaming.events import upsert_sink
+
+    src = str(tmp_path / "rec_src")
+    dst = str(tmp_path / "rec_dst")
+    batch = spark.createDataFrame([(1, 5, "v5")], ["k", "ver", "val"])
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    upsert_sink(stream, dst, ["k"], "ver", query_name="rec1")
+    before = sorted(map(tuple, spark.read.parquet(dst).collect()))
+
+    # restart with the SAME checkpoint and no new files: no-op
+    stream2 = spark.readStream.schema(batch.schema).parquet(src)
+    upsert_sink(stream2, dst, ["k"], "ver", query_name="rec2")
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert after == before
+
+    # late arrival with a LOWER version: merged batch must lose to the
+    # stored row
+    spark.createDataFrame([(1, 2, "stale")], ["k", "ver", "val"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream3 = spark.readStream.schema(batch.schema).parquet(src)
+    upsert_sink(stream3, dst, ["k"], "ver", query_name="rec3")
+    got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {1: (5, "v5")}
