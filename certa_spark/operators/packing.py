@@ -107,3 +107,46 @@ def pack_assign_salted(
         .withColumn("offset_in_pack", F.col("token_start") % F.lit(int(seq_len)))
         .drop("_blk", "_local_start", "_blk_prefix")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    batch_size: int = 32,
+    key: str | None = None,
+) -> DataFrame:
+    """Length-bucketed INFERENCE batching: group similar-length
+    documents into fixed-count batches so per-batch padding (every row
+    pads to its batch max) is minimized — the standard
+    sort-by-length trick that cuts transformer inference FLOPs 2-3x on
+    skewed length distributions vs arrival-order batching.
+
+    Assignment is rank ``div`` batch_size over a (key-partitioned)
+    length ordering with id tiebreak — fully deterministic, one
+    shuffle. Per-key batching (key = shard/source) keeps the window
+    partitioned at scale, same contract as :func:`pack_assign`; the
+    unkeyed variant is for driver-sized batches only (global sort).
+    Returns ``(id_col, [key,] batch_id, <length_col>, batch_max_len,
+    padding_waste)`` where padding_waste = batch_max - own length (sum
+    it for the total padded-token overhead).
+    """
+    part = [F.col(key)] if key else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col(length_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        id_col,
+        *([key] if key else []),
+        F.col(length_col),
+        ((F.row_number().over(w) - 1) / F.lit(batch_size))
+        .cast("long")
+        .alias("batch_id"),
+    )
+    wb = Window.partitionBy(*part, "batch_id")
+    return ranked.select(
+        "*",
+        F.max(length_col).over(wb).alias("batch_max_len"),
+    ).withColumn(
+        "padding_waste", F.col("batch_max_len") - F.col(length_col)
+    )

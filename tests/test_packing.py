@@ -54,3 +54,46 @@ def test_pack_assign_salted_plan_is_two_phase(spark):
     )
     plan = pack_assign_salted(df, "n_tokens", 512, "source", "doc_id")._jdf.queryExecution().optimizedPlan().toString()
     assert "_blk" in plan
+
+
+def test_length_bucketed_batches_minimize_padding(spark):
+    from certa_spark.operators.packing import length_bucketed_batches
+    from pyspark.sql import functions as F
+
+    # skewed lengths: arrival order would mix 5-token and 500-token
+    # docs into one batch; bucketing must place similar lengths together
+    rows = [(i, 5 + (i % 4)) for i in range(16)] + [
+        (100 + i, 500 + i) for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = length_bucketed_batches(df, "doc_id", "n_tok", batch_size=8)
+    batches = {}
+    for r in out.collect():
+        batches.setdefault(r["batch_id"], []).append(r)
+    assert len(batches) == 4
+    for rs in batches.values():
+        assert len(rs) == 8
+        lens = [r["n_tok"] for r in rs]
+        # short docs never share a batch with long docs
+        assert max(lens) - min(lens) < 100
+        assert all(r["batch_max_len"] == max(lens) for r in rs)
+        assert all(r["padding_waste"] == max(lens) - r["n_tok"] for r in rs)
+    total_waste = out.agg(F.sum("padding_waste")).first()[0]
+    # arrival-order pairing of 5-ish with 500-ish would waste ~4000
+    assert total_waste < 200
+
+
+def test_length_bucketed_batches_keyed_and_deterministic(spark):
+    from certa_spark.operators.packing import length_bucketed_batches
+
+    rows = [(i, f"s{i % 2}", 10 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+    a = sorted(map(tuple, length_bucketed_batches(
+        df, "doc_id", "n_tok", batch_size=4, key="src").collect()))
+    b = sorted(map(tuple, length_bucketed_batches(
+        df, "doc_id", "n_tok", batch_size=4, key="src").collect()))
+    assert a == b
+    # batches never cross the key boundary
+    out = length_bucketed_batches(df, "doc_id", "n_tok", batch_size=4, key="src")
+    per = out.groupBy("src", "batch_id").count().collect()
+    assert all(r["count"] <= 4 for r in per)
