@@ -35,11 +35,15 @@ def _run_explain_microbench() -> dict:
     numbers below remain for continuity, but cross-round comparisons
     should read the *_clean ones."""
     try:
+        # min-of-2 here (the r3 verdict's ask) to bound the bench's
+        # total wall-clock under the driver's timeout; standalone runs
+        # of the tool default to min-of-3
+        env = {**os.environ, "SPARK_GRAFT_MICROBENCH_RUNS": "2"}
         proc = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "explain_microbench.py")],
-            capture_output=True, text=True, timeout=600,
+            capture_output=True, text=True, timeout=420, env=env,
         )
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
