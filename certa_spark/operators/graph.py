@@ -1116,3 +1116,196 @@ def betweenness_approx(
         .join(nodes, "node", "right")
         .select("node", F.coalesce("bc", F.lit(0.0)).alias("bc"))
     )
+
+
+def kcore_weighted(
+    edges: DataFrame,
+    k: float,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iter: int = 30,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Weighted k-core (s-core) decomposition: iteratively delete
+    nodes whose incident edge-WEIGHT sum is below ``k`` until every
+    survivor carries at least ``k`` strength — the volume-aware dense
+    backbone (a node with many trivial-weight edges no longer
+    survives on edge count alone). ``weight=None`` degenerates to
+    :func:`kcore` with a float threshold.
+
+    Same loop discipline and the same fail-loudly convergence guard
+    as :func:`kcore`: per round one strength aggregation over the
+    checkpointed (shrinking) edge set, two anti-joins, one count;
+    peeling is confluent for weighted strength exactly as for
+    degree, so deletion order cannot change the fixpoint. Only
+    (node, strength) pairs and the edge list ever shuffle.
+    """
+    partitions = _default_partitions(edges, partitions)
+    wcol = F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            wcol.alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .repartition(partitions, "a")
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        stg = (
+            und.select(F.col("a").alias("node"), "w")
+            .unionByName(und.select(F.col("b").alias("node"), "w"))
+            .groupBy("node")
+            .agg(F.sum("w").alias("strength"))
+            .localCheckpoint()
+        )
+        bad = stg.filter(F.col("strength") < k).select("node")
+        if bad.count() == 0:
+            return stg
+        und = (
+            und.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b", "w")
+            .localCheckpoint()
+        )
+    stg = (
+        und.select(F.col("a").alias("node"), "w")
+        .unionByName(und.select(F.col("b").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("strength"))
+        .localCheckpoint()
+    )
+    if stg.filter(F.col("strength") < k).count() > 0:
+        raise RuntimeError(
+            f"kcore_weighted: peel did not converge within "
+            f"max_iter={max_iter}; raise max_iter"
+        )
+    return stg
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    partitions: int | None = None,
+) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph in which every
+    EDGE participates in at least ``k-2`` triangles — the
+    edge-cohesion refinement of k-core (a k-core hub surviving on
+    degree alone falls out of the truss if its edges close no
+    triangles), the standard community-backbone / spam-edge filter.
+    Returns the surviving canonical edge set ``(a, b, support)``.
+
+    Per round: ONE degree-ordered triangle enumeration over the
+    (checkpointed, shrinking) edge set — the same hub-safe
+    orientation as :func:`triangle_counts`, out-degree bounded
+    O(sqrt(|E|)) so a mega-hub cannot blow up the wedge join — then
+    per-edge support credit (each triangle credits its 3 edges via
+    one explode + map-side-combined aggregate) and one support
+    filter. Edge peeling is confluent like node peeling, so deletion
+    order cannot change the fixpoint; the loop fails loudly on
+    max_iter exhaustion (same guard as :func:`kcore`).
+    """
+    partitions = _default_partitions(edges, partitions)
+    need = k - 2
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(partitions, "a")
+        .localCheckpoint()
+    )
+    n_edges = und.count()
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("_d"))
+        )
+        ed = (
+            und.join(
+                deg.select(F.col("node").alias("a"), F.col("_d").alias("_da")),
+                "a",
+            )
+            .join(
+                deg.select(F.col("node").alias("b"), F.col("_d").alias("_db")),
+                "b",
+            )
+            .select(
+                F.when(
+                    (F.col("_da") < F.col("_db"))
+                    | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("s"), F.col("b").alias("t"),
+                             F.col("_db").alias("_dt")),
+                )
+                .otherwise(
+                    F.struct(F.col("b").alias("s"), F.col("a").alias("t"),
+                             F.col("_da").alias("_dt"))
+                )
+                .alias("e")
+            )
+            .select("e.s", "e.t", "e._dt")
+            .repartition(partitions, "s")
+            .localCheckpoint()
+        )
+        w1 = ed.select(F.col("s").alias("p"), F.col("t").alias("u"),
+                       F.col("_dt").alias("_du"))
+        w2 = ed.select(F.col("s").alias("p"), F.col("t").alias("v"),
+                       F.col("_dt").alias("_dv"))
+        wedges = (
+            w1.join(w2, "p")
+            .filter(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
+            )
+            .select("p", "u", "v")
+        )
+        tris = wedges.join(
+            ed.select(F.col("s").alias("u"), F.col("t").alias("v")), ["u", "v"]
+        )
+        pair = lambda x, y: F.struct(  # noqa: E731
+            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+        )
+        sup = (
+            tris.select(
+                F.explode(
+                    F.array(
+                        pair(F.col("p"), F.col("u")),
+                        pair(F.col("p"), F.col("v")),
+                        pair(F.col("u"), F.col("v")),
+                    )
+                ).alias("e")
+            )
+            .groupBy("e.a", "e.b")
+            .agg(F.count("*").cast("long").alias("support"))
+        )
+        kept = (
+            und.join(sup, ["a", "b"], "left")
+            .select(
+                "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+            )
+            .filter(F.col("support") >= need)
+            .repartition(partitions, "a")
+            .localCheckpoint()
+        )
+        n_kept = kept.count()
+        if n_kept == n_edges:
+            return kept
+        und = kept.select("a", "b")
+        n_edges = n_kept
+        if n_edges == 0:
+            return kept
+    raise RuntimeError(
+        f"ktruss: peel did not converge within max_iter={max_iter}; "
+        "raise max_iter"
+    )

@@ -395,3 +395,77 @@ def test_betweenness_sampled_scales_and_is_deterministic(spark):
         v: round(b_ * n / 4, 6) for v, b_ in _py_brandes(edges, sources=srcs).items()
     }
     assert a == want
+
+
+def test_kcore_weighted_peels_by_strength(spark):
+    """A hub with many weight-1 edges must NOT survive a strength
+    threshold its volume doesn't meet, while a small heavy clique
+    does — the volume-aware refinement plain k-core can't express."""
+    from certa_spark.operators.graph import kcore_weighted
+
+    edges = []
+    # heavy triangle: strength 20 per node
+    for a, b in ((1, 2), (2, 3), (1, 3)):
+        edges.append((a, b, 10.0))
+    # hub 50 with 8 trivial spokes: strength 8 < 12
+    for i in range(51, 59):
+        edges.append((50, i, 1.0))
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["strength"]
+        for r in kcore_weighted(e, k=12.0, weight="w").collect()
+    }
+    assert got == {1: 20.0, 2: 20.0, 3: 20.0}
+    # weight=None degenerates to degree semantics
+    got2 = {
+        r["node"]: r["strength"]
+        for r in kcore_weighted(e, k=2.0).collect()
+    }
+    assert set(got2) == {1, 2, 3}
+
+
+def test_kcore_weighted_raises_on_exhaustion(spark):
+    import pytest
+
+    from certa_spark.operators.graph import kcore_weighted
+
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, 12)], "src long, dst long, w double"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_weighted(e, k=2.0, weight="w", max_iter=2)
+
+
+def test_ktruss_keeps_clique_drops_tree(spark):
+    """3-truss = edges in >= 1 triangle: a K4 clique survives whole, a
+    star/tree hanging off it contributes no triangles and is peeled;
+    the clique edges each close 2 triangles in K4."""
+    from certa_spark.operators.graph import ktruss
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tree = [(4, 10), (10, 11), (10, 12)]
+    e = spark.createDataFrame(clique + tree, "src long, dst long")
+    got = {(r["a"], r["b"]): r["support"] for r in ktruss(e, k=3).collect()}
+    assert set(got) == set(clique)
+    assert all(s == 2 for s in got.values())
+    # 4-truss (>= 2 triangles/edge) also keeps exactly K4; 5-truss kills it
+    got4 = {(r["a"], r["b"]) for r in ktruss(e, k=4).select("a", "b").collect()}
+    assert got4 == set(clique)
+    assert ktruss(e, k=5).count() == 0
+
+
+def test_ktruss_cascade_peels(spark):
+    """Removing a triangle-poor edge can demote its neighbors — the
+    cascade the iterative peel exists for: two triangles sharing an
+    edge, plus a pendant triangle chained off one corner."""
+    from certa_spark.operators.graph import ktruss
+
+    # bowtie: triangles (1,2,3) and (3,4,5) share only node 3; at k=4
+    # every edge has support 1 < 2 -> everything peels (cascade from
+    # round 1), while k=3 keeps both triangles
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)],
+        "src long, dst long",
+    )
+    assert ktruss(e, k=3).count() == 6
+    assert ktruss(e, k=4).count() == 0
