@@ -132,3 +132,34 @@ def test_kmv_merge_is_lossless_union(spark, xs, ys):
     )
     single = kmv_sketch(u, ["g"], "v", k=k).first()["sketch"]
     assert list(merged) == list(single)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=3,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_ktruss_is_a_fixpoint_with_valid_support(spark, edges):
+    """On any graph: every surviving edge's reported support must be
+    >= k-2 when recounted IN the surviving subgraph, and running the
+    peel again on the output changes nothing (fixpoint/idempotence —
+    the property that makes the confluence claim testable)."""
+    from certa_spark.operators.graph import ktruss
+
+    from pyspark.sql import functions as F
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    e = spark.createDataFrame(clean, "src long, dst long")
+    out = ktruss(e, k=3)
+    rows = sorted((r["a"], r["b"], r["support"]) for r in out.collect())
+    assert all(s >= 1 for _, _, s in rows)
+    if rows:
+        again = ktruss(
+            out.select(F.col("a").alias("src"), F.col("b").alias("dst")), k=3
+        )
+        assert sorted((r["a"], r["b"], r["support"]) for r in again.collect()) == rows
