@@ -1309,3 +1309,70 @@ def ktruss(
         f"ktruss: peel did not converge within max_iter={max_iter}; "
         "raise max_iter"
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "cluster",
+) -> float:
+    """Newman modularity Q of a community assignment over an
+    undirected simple graph:
+
+        Q = sum_c [ e_c/m  -  (d_c / 2m)^2 ]
+
+    (e_c = intra-community edges, d_c = total degree in c, m = edge
+    count) — the standard quality score for judging ANY clustering of
+    a graph (connected components, k-truss communities, kmeans over
+    embeddings joined back to the similarity graph). Plan shape: one
+    broadcast-able join of the edge list against the assignment per
+    endpoint, then two community-keyed partial aggregates — no
+    per-community state beyond two longs, so a million communities
+    cost the same plan. Returns a driver float (the score is one
+    number by definition)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m = und.count()
+    if m == 0:
+        return 0.0
+    ca = communities.select(
+        F.col(node_col).alias("a"), F.col(community_col).alias("_ca")
+    )
+    cb = communities.select(
+        F.col(node_col).alias("b"), F.col(community_col).alias("_cb")
+    )
+    tagged = und.join(ca, "a").join(cb, "b").localCheckpoint()
+    intra = (
+        tagged.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("c"))
+        .agg(F.count("*").cast("long").alias("ec"))
+    )
+    deg = (
+        tagged.select(F.col("_ca").alias("c"))
+        .unionByName(tagged.select(F.col("_cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("dc"))
+    )
+    row = (
+        deg.join(intra, "c", "left")
+        .select(
+            (
+                F.coalesce("ec", F.lit(0)).cast("double") / F.lit(float(m))
+                - (F.col("dc").cast("double") / F.lit(2.0 * m))
+                * (F.col("dc").cast("double") / F.lit(2.0 * m))
+            ).alias("q")
+        )
+        .agg(F.sum("q").alias("Q"))
+        .first()
+    )
+    return float(row["Q"] or 0.0)

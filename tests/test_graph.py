@@ -469,3 +469,28 @@ def test_ktruss_cascade_peels(spark):
     )
     assert ktruss(e, k=3).count() == 6
     assert ktruss(e, k=4).count() == 0
+
+
+def test_modularity_known_values(spark):
+    """Two disjoint triangles: perfect 2-community split gives
+    Q = 1/2 (hand computation: each community has e_c=3, d_c=6, m=6:
+    2*(3/6 - (6/12)^2) = 2*(0.5-0.25) = 0.5); the all-one-community
+    assignment scores 0; splitting a triangle scores negative."""
+    from certa_spark.operators.graph import modularity
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    good = spark.createDataFrame(
+        [(n, 0 if n <= 3 else 1) for n in range(1, 7)], "node long, cluster int"
+    )
+    assert abs(modularity(e, good) - 0.5) < 1e-9
+    allone = spark.createDataFrame(
+        [(n, 0) for n in range(1, 7)], "node long, cluster int"
+    )
+    assert abs(modularity(e, allone)) < 1e-9
+    bad = spark.createDataFrame(
+        [(n, n % 2) for n in range(1, 7)], "node long, cluster int"
+    )
+    assert modularity(e, bad) < 0.0
