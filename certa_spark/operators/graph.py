@@ -129,8 +129,18 @@ def connected_components(
         changed = new_labels.filter(F.col("cluster") != F.col("old")).count()
         labels = new_labels.select("node", "cluster")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # same failure class the round-3 ADVICE flagged for kcore: label
+    # propagation that exhausts max_iter has NOT reached the fixpoint,
+    # and silently returning partial labels hands the caller wrong
+    # clusters (deep chains exceed the default in diameter rounds).
+    # Fail loudly; deep graphs should raise max_iter or use
+    # shortcut=True / connected_components_lsss (O(log n) rounds).
+    raise RuntimeError(
+        f"connected_components: no fixpoint within max_iter={max_iter} "
+        f"rounds ({changed} labels still changing); raise max_iter, or "
+        "use shortcut=True / connected_components_lsss for deep graphs"
+    )
 
 
 def connected_components_lsss(

@@ -494,3 +494,20 @@ def test_modularity_known_values(spark):
         [(n, n % 2) for n in range(1, 7)], "node long, cluster int"
     )
     assert modularity(e, bad) < 0.0
+
+
+def test_cc_raises_on_max_iter_exhaustion(spark):
+    """Propagation that exhausts max_iter has NOT converged; silent
+    partial labels are wrong clusters (the kcore ADVICE bug class)."""
+    import pytest
+
+    from certa_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(e, max_iter=3)
+    # the documented escape hatch converges on the same chain
+    ok = connected_components(e, shortcut=True, max_iter=8)
+    assert {r["cluster"] for r in ok.collect()} == {1}
