@@ -33,13 +33,26 @@ def _host(col: Column) -> Column:
 
 def normalize_url(col: Column) -> Column:
     """Canonical form of a URL: lowercase host without ``www.``,
-    default-port and fragment dropped, path with its trailing slash
-    trimmed (bare host renders as ``/``), tracking parameters removed
-    and the surviving query parameters SORTED (param order is not
-    page identity). Scheme is dropped entirely — http/https variants
-    of one page are one page. Null-safe: unparseable input yields
-    null, so a downstream dedup never groups garbage together."""
+    default-port (http:80 / https:443) and fragment dropped — a
+    NON-default explicit port is kept (``host:8080/x`` and ``host/x``
+    are different pages), path with its trailing slash trimmed (bare
+    host renders as ``/``), tracking parameters removed and the
+    surviving query parameters SORTED (param order is not page
+    identity). Scheme is dropped entirely — http/https variants of one
+    page are one page. Null-safe: unparseable input yields null, so a
+    downstream dedup never groups garbage together."""
     host = _host(col)
+    # parse_url HOST excludes the port — recover it from AUTHORITY and
+    # keep it unless it is the scheme's default
+    auth = F.try_parse_url(col, F.lit("AUTHORITY"))
+    port = F.regexp_extract(F.coalesce(auth, F.lit("")), r":(\d+)$", 1)
+    proto = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
+    is_default = ((proto == "http") & (port == "80")) | (
+        (proto == "https") & (port == "443")
+    )
+    host = F.when(
+        (port != "") & ~is_default, F.concat(host, F.lit(":"), port)
+    ).otherwise(host)
     path = F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -89,6 +89,7 @@ def connected_components(
     )
 
     null_long = F.lit(None).cast(labels.schema["cluster"].dataType)
+    changed = -1  # sentinel: max_iter <= 0 must reach the raise below
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym.b == labels.node, "inner"
@@ -1051,6 +1052,25 @@ def betweenness_approx(
         ]
     else:
         srcs = list(sources)
+        # duplicate ids double-count those sources' dependencies and
+        # unknown ids deflate the n/k scale — both silently bias bc
+        if len(set(srcs)) != len(srcs):
+            raise ValueError(
+                "betweenness_approx: duplicate source ids "
+                f"({len(srcs) - len(set(srcs))} dup(s))"
+            )
+        missing = (
+            edges.sparkSession.createDataFrame(
+                [(int(s),) for s in srcs], "node long"
+            )
+            .join(nodes, "node", "left_anti")
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                f"betweenness_approx: {missing} source id(s) absent "
+                "from the (non-isolated) node set"
+            )
     if not srcs:
         raise ValueError("betweenness_approx: no sources")
     scale = float(n_nodes) / float(len(srcs))
@@ -1063,6 +1083,7 @@ def betweenness_approx(
     levels: list[DataFrame] = [seed]  # levels[d] = (src,node,dist,sigma)
     visited = seed
     frontier = seed
+    drained = False
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(sym, frontier.node == sym.a)
@@ -1078,10 +1099,34 @@ def betweenness_approx(
             .localCheckpoint()
         )
         if nxt.count() == 0:
+            drained = True
             break
         levels.append(nxt)
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    if not drained:
+        # the BFS hit max_depth with the frontier still live — probe one
+        # more expansion. If anything deeper exists, a silent truncation
+        # would treat the deepest REACHED level as successor-free and
+        # mis-accumulate dependencies for every visited node (not just
+        # clip the tail). Fail loudly, same convention as
+        # connected_components / kcore.
+        deeper = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select("src", F.col("b").alias("node"))
+            .join(
+                visited.select("src", "node"), ["src", "node"], "left_anti"
+            )
+            .limit(1)
+            .count()
+        )
+        if deeper:
+            raise RuntimeError(
+                f"betweenness_approx: BFS not drained at max_depth="
+                f"{max_depth} (graph eccentricity exceeds it); raise "
+                "max_depth — truncation would bias every bc value, not "
+                "just the tail"
+            )
     # backward accumulation: deepest level has no successors (delta=0);
     # each round joins level d's (1+delta)/sigma against the adjacency
     # and credits level d-1 predecessors with sigma_v * that ratio
@@ -1361,7 +1406,18 @@ def modularity(
     cb = communities.select(
         F.col(node_col).alias("b"), F.col(community_col).alias("_cb")
     )
-    tagged = und.join(ca, "a").join(cb, "b").localCheckpoint()
+    tagged = und.join(ca, "a", "left").join(cb, "b", "left").localCheckpoint()
+    # an edge touching a node missing from `communities` would silently
+    # vanish from e_c/d_c while m still counts it, skewing Q — an
+    # incomplete assignment is caller error, fail loudly
+    unmatched = tagged.filter(
+        F.col("_ca").isNull() | F.col("_cb").isNull()
+    ).count()
+    if unmatched:
+        raise ValueError(
+            f"modularity: {unmatched} edge(s) touch nodes absent from "
+            "the community assignment — assign every edge endpoint"
+        )
     intra = (
         tagged.filter(F.col("_ca") == F.col("_cb"))
         .groupBy(F.col("_ca").alias("c"))

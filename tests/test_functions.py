@@ -284,6 +284,28 @@ def test_normalize_url_canonicalizes_variants(spark):
     assert got[6] is None
 
 
+def test_normalize_url_keeps_non_default_port(spark):
+    """host:8080/x and host/x are different pages — only the scheme's
+    DEFAULT port collapses (r4 ADVICE: parse_url HOST drops all ports)."""
+    from certa_spark.functions.url import normalize_url
+
+    cases = [
+        (1, "http://example.com:8080/x"),
+        (2, "http://example.com/x"),
+        (3, "http://example.com:80/x"),
+        (4, "https://example.com:443/x"),
+        (5, "https://example.com:8443/x"),
+    ]
+    df = spark.createDataFrame(cases, "i long, u string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_url(F.col("u")).alias("n")).collect()
+    }
+    assert got[1] == "example.com:8080/x"
+    assert got[2] == got[3] == got[4] == "example.com/x"
+    assert got[5] == "example.com:8443/x"
+
+
 def test_registrable_domain(spark):
     from certa_spark.functions.url import registrable_domain
 

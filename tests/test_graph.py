@@ -397,6 +397,52 @@ def test_betweenness_sampled_scales_and_is_deterministic(spark):
     assert a == want
 
 
+def test_betweenness_guards(spark):
+    """r4 ADVICE: duplicate / unknown explicit sources and a BFS that
+    exhausts max_depth with deeper nodes remaining must raise, not
+    silently bias the estimate."""
+    import pytest
+
+    from certa_spark.operators.graph import betweenness_approx
+
+    edges = [(i, i + 1) for i in range(1, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(ValueError, match="duplicate source"):
+        betweenness_approx(e, sources=[1, 1, 2])
+    with pytest.raises(ValueError, match="absent"):
+        betweenness_approx(e, sources=[1, 999])
+    # path 1..8 from source 1 needs depth 7; max_depth=3 leaves nodes
+    # unreached -> every visited node's delta would be wrong
+    with pytest.raises(RuntimeError, match="max_depth"):
+        betweenness_approx(e, sources=[1], max_depth=3)
+    # exactly-eccentricity max_depth drains and must NOT raise
+    got = betweenness_approx(e, sources=[1], max_depth=7)
+    assert got.count() == 8
+
+
+def test_modularity_rejects_incomplete_assignment(spark):
+    import pytest
+
+    from certa_spark.operators.graph import modularity
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    comm = spark.createDataFrame([(1, 1), (2, 1)], "node long, cluster long")
+    with pytest.raises(ValueError, match="absent"):
+        modularity(e, comm)
+
+
+def test_connected_components_zero_max_iter_raises_cleanly(spark):
+    """max_iter<=0 must reach the intended RuntimeError, not a
+    NameError on the unbound loop variable (r4 ADVICE)."""
+    import pytest
+
+    from certa_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(e, max_iter=0)
+
+
 def test_kcore_weighted_peels_by_strength(spark):
     """A hub with many weight-1 edges must NOT survive a strength
     threshold its volume doesn't meet, while a small heavy clique
