@@ -108,6 +108,49 @@ class NativeCosineMatcher:
         return out
 
 
+def mojito_variant(
+    matcher,
+    ignore_columns: tuple[str, ...] = ("label", "id"),
+):
+    """UD2 — the reference's LIME-facing model wrapper
+    (certa/models/dm.py:17-38, ``wrapdm_mojito``): adapt a matcher into
+    the callable ``pandas DataFrame -> np.ndarray (n, 2)`` of
+    ``[nomatch, match]`` probabilities that LIME-style perturbation
+    explainers consume (``np.dstack((1 - p, p)).squeeze()`` in the
+    reference; same stacking here).
+
+    ``matcher`` may be anything exposing ``predict_pandas`` (the
+    Spark-native matchers' pandas twin) or a plain pandas
+    ``predict_fn`` returning a frame with a ``match_score`` column.
+    The reference round-trips each batch through a temp CSV (S6,
+    dm.py:23-30); that shim is unnecessary here — the batch stays in
+    memory. ``nomatch`` is recomputed as ``1 - match`` exactly as the
+    reference does, rather than trusting the model's nomatch column.
+    """
+    import numpy as np
+
+    if hasattr(matcher, "predict_pandas"):
+        predict_fn = matcher.predict_pandas
+    elif callable(matcher):
+        predict_fn = matcher
+    else:
+        raise TypeError(
+            "mojito_variant needs a matcher with predict_pandas or a "
+            "pandas predict_fn"
+        )
+
+    def wrapper(pdf: pd.DataFrame) -> "np.ndarray":
+        data = pdf.drop(
+            columns=[c for c in ignore_columns if c in pdf.columns]
+        )
+        p = np.asarray(
+            predict_fn(data)["match_score"].values, dtype=float
+        ).reshape(-1)
+        return np.dstack((1.0 - p, p)).squeeze()
+
+    return wrapper
+
+
 class PandasPredictAdapter:
     """Wrap a pandas ``predict_fn`` (or a factory producing one) as a
     distributed matcher via ``mapInPandas``.

@@ -125,3 +125,66 @@ class MLlibMatcher:
 
         self._model = PipelineModel.load(path)
         return self
+
+
+def get_model(
+    spark,
+    modeldir: str,
+    datadir: str,
+    modelname: str = "mllib_matcher",
+    robust: bool = False,
+) -> MLlibMatcher:
+    """§3.2 lifecycle driver — reference certa/models/utils.py:23-67:
+    try to LOAD a saved model from ``modeldir``; else read the
+    DeepMatcher-format dataset from ``datadir`` (``tableA.csv`` /
+    ``tableB.csv`` / ``train.csv`` / ``valid.csv`` / ``test.csv``),
+    assemble wide pairs (J1 broadcast joins, not the reference's
+    per-row loop), TRAIN, EVALUATE on the test split, append the
+    ``p/r/f1`` line to ``<modeldir>/report.txt`` (S7), and SAVE.
+
+    ``robust=True`` maps the reference's ``merge_sources(...,
+    robust=True)`` augmentation: symmetry rows + identity self-pairs
+    appended to the training split only (certa/utils.py:32-71 via
+    :func:`certa_spark.operators.pairs.robust_augment`).
+
+    Unlike the reference, failures are NOT swallowed by a bare
+    ``except: pass`` — a broken dataset or write error raises; only
+    the load-miss falls through to training (P10 existence check, no
+    exception control flow)."""
+    import os
+
+    from certa_spark.io import (
+        read_entity_csv,
+        read_pairs_csv,
+        skip_if_exists,
+        write_report,
+    )
+    from certa_spark.operators.pairs import merge_sources, robust_augment
+
+    # MLlib's overwrite-save DELETES its target dir, so the pipeline
+    # lives in <modeldir>/model and report.txt beside it survives
+    model_path = os.path.join(modeldir, "model")
+    model = MLlibMatcher()
+    if skip_if_exists(model_path):
+        return model.load(model_path)
+
+    lsource = read_entity_csv(spark, os.path.join(datadir, "tableA.csv"))
+    rsource = read_entity_csv(spark, os.path.join(datadir, "tableB.csv"))
+    train = read_pairs_csv(spark, os.path.join(datadir, "train.csv"))
+    valid = read_pairs_csv(spark, os.path.join(datadir, "valid.csv"))
+    test = read_pairs_csv(spark, os.path.join(datadir, "test.csv"))
+
+    train_df = merge_sources(train, lsource, rsource)
+    if robust:
+        train_df = robust_augment(train_df, lsource, rsource)
+    valid_df = merge_sources(valid, lsource, rsource)
+    test_df = merge_sources(test, lsource, rsource)
+
+    model.train(train_df, valid_df, modelname)
+    precision, recall, f1 = model.evaluation(test_df)
+    write_report(
+        f"p:{precision}, r:{recall}, f1:{f1}",
+        os.path.join(modeldir, "report.txt"),
+    )
+    model.save(model_path)
+    return model

@@ -39,6 +39,73 @@ def test_pandas_adapter_agrees_with_native(spark, er_tables):
         assert abs(g - e) < 1e-9
 
 
+def test_mojito_variant_stacks_probabilities(spark, er_tables):
+    """UD2 (certa/models/dm.py:17-38): (n, 2) [nomatch, match] ndarray,
+    nomatch recomputed as 1-match, ignore columns dropped first."""
+    import numpy as np
+
+    from certa_spark.matching import mojito_variant
+
+    wide = _pairs_df(spark, er_tables, n=8).toPandas()
+    wide["label"] = 0
+    m = NativeCosineMatcher()
+    fn = mojito_variant(m)
+    out = fn(wide)
+    assert out.shape == (8, 2)
+    exp = m.predict_pandas(wide.drop(columns=["label"]))["match_score"].values
+    assert np.allclose(out[:, 1], exp)
+    assert np.allclose(out[:, 0], 1.0 - exp)
+    # plain predict_fn path
+    fn2 = mojito_variant(m.predict_pandas)
+    assert np.allclose(fn2(wide), out)
+    import pytest
+
+    with pytest.raises(TypeError):
+        mojito_variant(42)
+
+
+def test_get_model_train_report_save_then_load(spark, er_tables, tmp_path):
+    """§3.2 lifecycle (certa/models/utils.py:23-67): miss -> train +
+    report + save; second call loads without retraining and predicts
+    identically."""
+    from certa_spark.models import get_model
+
+    rows_a, rows_b, A, B = er_tables
+    datadir = tmp_path / "data"
+    datadir.mkdir()
+    A.toPandas().to_csv(datadir / "tableA.csv", index=False)
+    B.toPandas().to_csv(datadir / "tableB.csv", index=False)
+    import pandas as _pd
+
+    pairs = _pd.DataFrame(
+        [
+            (i % 40, (i * 7) % 40, 1 if i % 40 == (i * 7) % 40 else i % 2)
+            for i in range(30)
+        ],
+        columns=["ltable_id", "rtable_id", "label"],
+    )
+    pairs.iloc[:20].to_csv(datadir / "train.csv", index=False)
+    pairs.iloc[20:25].to_csv(datadir / "valid.csv", index=False)
+    pairs.iloc[25:].to_csv(datadir / "test.csv", index=False)
+
+    modeldir = str(tmp_path / "model_out")
+    m1 = get_model(spark, modeldir, str(datadir))
+    report = (tmp_path / "model_out" / "report.txt").read_text()
+    assert report.startswith("p:") and "f1:" in report
+
+    m2 = get_model(spark, modeldir, str(datadir))  # load path
+    wide = _pairs_df(spark, er_tables, n=6)
+    s1 = m1.predict(wide).orderBy("ltable_id", "rtable_id").toPandas()
+    s2 = m2.predict(wide).orderBy("ltable_id", "rtable_id").toPandas()
+    for a, b in zip(s1["match_score"], s2["match_score"]):
+        assert abs(a - b) < 1e-12
+    # robust=True trains on the augmented split without error
+    m3 = get_model(
+        spark, str(tmp_path / "model_robust"), str(datadir), robust=True
+    )
+    assert m3.predict(wide).count() == 6
+
+
 def test_adapter_factory_path(spark, er_tables):
     wide = _pairs_df(spark, er_tables, n=6)
 
