@@ -1954,11 +1954,20 @@ _NEARDUP_PLANES = [
 
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane LSH
-    (OR-amplification over 3 bands x 4 planes), sim >= 0.4."""
+    (OR-amplification over 3 bands x 4 planes), sim >= 0.4.
+
+    r5: scored by the BLAS per-bucket matmul (the documented 100 TB
+    shape) at the SAME banding — identical candidate set, and the
+    6-decimal rounding grain sits ~9 orders above the BLAS-vs-HOF fold
+    divergence, so the output (and oracle hash) is unchanged from the
+    interpreted-fold path, which remains as the unit-tested
+    verification twin (tests/test_analytics_ops.py)."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return SIM.cosine_neardup_pairs(e, _NEARDUP_PLANES, _NEARDUP_BANDS, _NEARDUP_TAU)
+    return SIM.cosine_neardup_pairs_blas(
+        e, _NEARDUP_PLANES, _NEARDUP_BANDS, _NEARDUP_TAU, round_to=6
+    )
 
 
 def q_embedding_neardup_blas(spark, sf_dir) -> DataFrame:
