@@ -103,7 +103,7 @@ def main() -> None:
         "part_pagerank_dangling", "part_pagerank_weighted",
         "er_golden_record", "part_kcore",
         "neardup_clusters", "neardup_clusters_lsss",
-        "curation_pipeline_v2",
+        "curation_pipeline_v2", "embedding_kmeans",
     }
     # flagship_batch_saliency runs two full explains through the fused
     # scan — its machinery is already timed by the dedicated

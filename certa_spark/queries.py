@@ -7620,6 +7620,509 @@ def _q_doc_feature_hashing_sql() -> str:
 """
 
 
+_KMV_K = 64
+
+
+def q_kmv_distinct(spark, sf_dir) -> DataFrame:
+    """Per-event-type distinct-user estimates from a KMV bottom-k
+    sketch (sketch.kmv_sketch, Beyer et al. SIGMOD'07) — the sketch
+    family that, unlike HLL registers, also supports set intersection
+    (see `kmv_overlap`). Groups holding fewer than k distinct users
+    are EXACT by construction. Scale shape: the rank cut plans as
+    WindowGroupLimit, so each partition keeps only its local k
+    smallest hashes before the exchange."""
+    from certa_spark.operators import sketch as SK
+
+    e = _events(spark, sf_dir)
+    sk = SK.kmv_sketch(e, ["event_type"], "user_id", k=_KMV_K)
+    return sk.select(
+        "event_type",
+        F.size("sketch").cast("long").alias("n_sketch"),
+        F.round(
+            SK.kmv_distinct_estimate(F.col("sketch"), _KMV_K), 6
+        ).alias("est_users"),
+    )
+
+
+def _q_kmv_distinct_sql(k: int = _KMV_K) -> str:
+    from certa_spark.operators.sketch import _KMV_SCALE
+
+    h = duck_hash64("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH h AS (SELECT DISTINCT event_type, {h} AS hv FROM events),
+    r AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+               max(CASE WHEN rn = {k} THEN hv END) AS kth
+        FROM r WHERE rn <= {k} GROUP BY 1
+    )
+    SELECT event_type, n_sketch,
+           round(CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS DOUBLE)
+                 ELSE {float(k - 1)!r} /
+                      ((CAST(kth AS DOUBLE) + 1.0) / {_KMV_SCALE!r}) END,
+                 6) AS est_users
+    FROM s
+"""
+
+
+def q_kmv_overlap(spark, sf_dir) -> DataFrame:
+    """Cross-source user-set overlap from two KMV sketches: the
+    |click ∩ view| estimate via Beyer et al.'s set-operation estimator
+    — merge to the union sketch S, then (|S∩A∩B| / |S|) · D(S). The
+    decontamination-triage / join-cardinality primitive HLL cannot
+    express. One sketch pass per side; all set algebra runs on
+    k-bounded arrays in whole-stage codegen."""
+    from certa_spark.operators import sketch as SK
+
+    k = _KMV_K
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    sk = SK.kmv_sketch(e, ["event_type"], "user_id", k=k)
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("sketch").alias("sa")
+    )
+    b = sk.filter(F.col("event_type") == "view").select(
+        F.col("sketch").alias("sb")
+    )
+    return a.crossJoin(b).select(
+        F.size("sa").cast("long").alias("ka"),
+        F.size("sb").cast("long").alias("kb"),
+        F.round(SK.kmv_distinct_estimate(F.col("sa"), k), 6).alias(
+            "est_click"
+        ),
+        F.round(SK.kmv_distinct_estimate(F.col("sb"), k), 6).alias(
+            "est_view"
+        ),
+        F.round(
+            SK.kmv_intersection_estimate(F.col("sa"), F.col("sb"), k), 6
+        ).alias("est_overlap"),
+    )
+
+
+def _q_kmv_overlap_sql(k: int = _KMV_K) -> str:
+    from certa_spark.operators.sketch import _KMV_SCALE
+
+    h = duck_hash64("CAST(user_id AS VARCHAR)")
+    est = (
+        f"CASE WHEN {{n}} < {k} THEN CAST({{n}} AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} / "
+        f"((CAST({{kth}} AS DOUBLE) + 1.0) / {_KMV_SCALE!r}) END"
+    )
+    return f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {h} AS hv FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    ra AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h
+        WHERE event_type = 'click' QUALIFY rn <= {k}
+    ),
+    rb AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h
+        WHERE event_type = 'view' QUALIFY rn <= {k}
+    ),
+    u AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (
+            SELECT hv FROM ra UNION SELECT hv FROM rb
+        ) QUALIFY rn <= {k}
+    ),
+    stats AS (
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM ra) AS ka,
+          (SELECT CAST(count(*) AS BIGINT) FROM rb) AS kb,
+          (SELECT max(CASE WHEN rn = {k} THEN hv END) FROM ra) AS kth_a,
+          (SELECT max(CASE WHEN rn = {k} THEN hv END) FROM rb) AS kth_b,
+          (SELECT CAST(count(*) AS BIGINT) FROM u) AS kk,
+          (SELECT max(CASE WHEN rn = {k} THEN hv END) FROM u) AS kth_u,
+          (SELECT CAST(count(*) AS BIGINT) FROM u
+           WHERE hv IN (SELECT hv FROM ra)
+             AND hv IN (SELECT hv FROM rb)) AS in_both
+    )
+    SELECT ka, kb,
+           round({est.format(n='ka', kth='kth_a')}, 6) AS est_click,
+           round({est.format(n='kb', kth='kth_b')}, 6) AS est_view,
+           round((CAST(in_both AS DOUBLE) / CAST(kk AS DOUBLE))
+                 * ({est.format(n='kk', kth='kth_u')}), 6) AS est_overlap
+    FROM stats
+"""
+
+
+_OPH_K = 32
+
+
+def q_oph_user_jaccard(spark, sf_dir) -> DataFrame:
+    """Cross-window audience Jaccard from one-permutation-hashing
+    MinHash registers (sketch.oph_registers, Li/Owen/Zhang NIPS'12):
+    early-month vs late-month active-user similarity from k longs of
+    state per window — the streamable minhash (per-bin min merges
+    idempotently; `streaming_oph_registers` is the structured-
+    streaming twin). Estimator = register agreement over filled
+    bins."""
+    from certa_spark.operators import sketch as SK
+
+    e = _events(spark, sf_dir)
+    early = e.filter(F.dayofmonth("ts") <= 15)
+    late = e.filter(F.dayofmonth("ts") > 15)
+    ra = SK.oph_registers(early, "user_id", k=_OPH_K)
+    rb = SK.oph_registers(late, "user_id", k=_OPH_K)
+    j = SK.oph_jaccard(ra, rb)
+    return j.select(
+        "matched", "filled", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+
+
+def _q_oph_jaccard_sql(k: int = _OPH_K) -> str:
+    h = duck_hash64("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH a AS (
+        SELECT {h} % {k} AS bin, min({h}) AS mn FROM events
+        WHERE day(ts) <= 15 GROUP BY 1
+    ),
+    b AS (
+        SELECT {h} % {k} AS bin, min({h}) AS mn FROM events
+        WHERE day(ts) > 15 GROUP BY 1
+    ),
+    j AS (
+        SELECT a.mn AS ma, b.mn AS mb
+        FROM a FULL OUTER JOIN b ON a.bin = b.bin
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS matched,
+               CAST(count(*) AS BIGINT) AS filled
+        FROM j
+    )
+    SELECT matched, filled,
+           round(CAST(matched AS DOUBLE) / CAST(filled AS DOUBLE), 6)
+               AS jaccard_est
+    FROM s
+"""
+
+
+def q_part_ktruss(spark, sf_dir) -> DataFrame:
+    """5-truss of the sparse co-purchase graph (orderkey % 30): the
+    maximal subgraph where every EDGE closes >= 3 triangles
+    (graph.ktruss) — the edge-cohesion backbone that drops k-core
+    hubs whose edges close no triangles. Edge peeling is confluent,
+    so the driver loop agrees with a statically unrolled SQL oracle
+    (5 rounds; the peel converges in 3 at all three SFs, extra
+    rounds are identity)."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 30 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    return GR.ktruss(pairs, k=5, src="pa", dst="pb")
+
+
+def _q_part_ktruss_sql(rounds: int = 5, k: int = 5) -> str:
+    need = k - 2
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 30 = 0
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM {p} e1 JOIN {p} e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN {p} e3 ON e3.a = e1.b AND e3.b = e2.b
+    )"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+            SELECT x AS a, y AS b FROM t{i}
+            UNION ALL SELECT x, z FROM t{i}
+            UNION ALL SELECT y, z FROM t{i}
+        ) GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+        SELECT e.a, e.b, coalesce(s.support, 0) AS support
+        FROM {p} e LEFT JOIN s{i} s USING (a, b)
+        WHERE coalesce(s.support, 0) >= {need}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a, b, support FROM e{rounds}"
+    )
+
+
+def q_part_kcore_weighted(spark, sf_dir) -> DataFrame:
+    """Weighted 6-core (s-core) of the co-purchase graph (orderkey %
+    15) with edge weight = number of shared orders: peel nodes whose
+    incident WEIGHT sum is below 6 (graph.kcore_weighted) — the
+    volume-aware backbone where a hub with many one-off co-purchases
+    no longer survives on edge count alone. Confluent peel, unrolled
+    SQL oracle (14 rounds; the deepest observed cascade is 9 at
+    sf0.1)."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 15 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    occ = GR.cooccurrence_pairs(
+        l, key="l_orderkey", item="l_partkey", distinct_pairs=False
+    )
+    wpairs = occ.groupBy("pa", "pb").agg(
+        F.count("*").cast("double").alias("w")
+    )
+    out = GR.kcore_weighted(wpairs, k=6.0, src="pa", dst="pb", weight="w")
+    return out.select(
+        "node", F.col("strength").cast("long").alias("strength")
+    )
+
+
+def _q_part_kcore_weighted_sql(rounds: int = 14, k: int = 6) -> str:
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT a.l_partkey AS a, b.l_partkey AS b,
+               CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 15 = 0
+        GROUP BY 1, 2
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT node, CAST(sum(w) AS BIGINT) AS strength FROM (
+            SELECT a AS node, w FROM e{i - 1}
+            UNION ALL SELECT b, w FROM e{i - 1}
+        ) GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+        SELECT a, b, w FROM e{i - 1}
+        WHERE a NOT IN (SELECT node FROM s{i} WHERE strength < {k})
+          AND b NOT IN (SELECT node FROM s{i} WHERE strength < {k})
+    )"""
+        )
+    ctes.append(
+        f"""sf AS (
+        SELECT node, CAST(sum(w) AS BIGINT) AS strength FROM (
+            SELECT a AS node, w FROM e{rounds}
+            UNION ALL SELECT b, w FROM e{rounds}
+        ) GROUP BY 1
+    )"""
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT node, strength FROM sf"
+
+
+def q_graph_modularity(spark, sf_dir) -> DataFrame:
+    """Newman modularity scoring (graph.modularity) of a 7-way
+    node-id-hash partition of the co-purchase graph, gated against an
+    INTEGER-EXACT independent derivation: Q = Σ_c[e_c/m − (d_c/2m)²]
+    = (Σe_c)/m − (Σd_c²)/(4m²), whose right-hand side needs only two
+    exact integer aggregates — so the float-summing operator is
+    attested by a value the oracle reproduces bit-for-bit
+    (``fn_within_tol`` asserts |Q_fn − Q_exact| < 1e-9; the float
+    community sum wanders ~1e-15)."""
+    import math
+
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 30 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(
+        l, key="l_orderkey", item="l_partkey"
+    ).localCheckpoint()
+    comm = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .distinct()
+        .select(
+            "node", F.pmod(F.col("node"), F.lit(7)).cast("long").alias("cluster")
+        )
+    )
+    q_fn = GR.modularity(pairs, comm, src="pa", dst="pb")
+
+    t = pairs.select(
+        F.pmod(F.col("pa"), F.lit(7)).alias("ca"),
+        F.pmod(F.col("pb"), F.lit(7)).alias("cb"),
+    )
+    s = t.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum((F.col("ca") == F.col("cb")).cast("long"))
+        .cast("long")
+        .alias("sum_ec"),
+    ).first()
+    d = (
+        t.select(F.col("ca").alias("c"))
+        .unionByName(t.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_dc2"))
+        .first()
+    )
+    m, sec, sdc2 = int(s["m"]), int(s["sum_ec"]), int(d["sum_dc2"])
+    q_exact = sec / m - sdc2 / ((4.0 * m) * m)
+    ok = abs(q_fn - q_exact) < 1e-9
+    return spark.createDataFrame(
+        [(m, sec, sdc2, math.floor(q_exact * 1e9 + 0.5) / 1e9, bool(ok))],
+        "m long, sum_ec long, sum_dc2 long, q double, fn_within_tol boolean",
+    )
+
+
+_Q_GRAPH_MODULARITY_SQL = """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 30 = 0
+    ),
+    t AS (SELECT pa % 7 AS ca, pb % 7 AS cb FROM e),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sum_ec
+        FROM t
+    ),
+    d AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS dc FROM (
+            SELECT ca AS c FROM t UNION ALL SELECT cb FROM t
+        ) GROUP BY 1
+    ),
+    d2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sum_dc2 FROM d)
+    SELECT m, sum_ec, sum_dc2,
+           floor(((CAST(sum_ec AS DOUBLE) / CAST(m AS DOUBLE))
+                  - (CAST(sum_dc2 AS DOUBLE)
+                     / ((4.0 * CAST(m AS DOUBLE)) * CAST(m AS DOUBLE))))
+                 * 1e9 + 0.5) / 1e9 AS q,
+           TRUE AS fn_within_tol
+    FROM s CROSS JOIN d2
+"""
+
+
+def q_embedding_kmeans(spark, sf_dir) -> DataFrame:
+    """Deterministic Lloyd k-means fit over the embedding corpus
+    (linalg.kmeans_fit: content-hash + farthest-point init, exact
+    integer-grid centroid sums — identical centroids under ANY
+    partitioning). One row per cluster: distributed-assignment size
+    plus a centroid summary (L2 norm, component mean) on the 1e-6
+    value grid. GOLDEN (sf0.01, tools/gen_linalg_golden.py): the
+    iterative fit is not SQL-expressible; determinism by construction
+    makes the captured values a real partition-invariance gate."""
+    import math
+
+    from certa_spark.operators import linalg as LA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assign = LA.kmeans_fit(
+        emb, "embedding", "vec_id", _EMB_DIM, k=8, iterations=5
+    )
+    sizes = {
+        int(r["cluster"]): int(r["n"])
+        for r in assign.groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    rows = []
+    for c, vec in enumerate(centroids):
+        nrm = math.sqrt(sum(v * v for v in vec))
+        mean = sum(vec) / len(vec)
+        rows.append(
+            (
+                c,
+                sizes.get(c, 0),
+                math.floor(nrm * 1e6 + 0.5) / 1e6,
+                math.floor(mean * 1e6 + 0.5) / 1e6,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "cluster int, n long, c_norm double, c_mean double"
+    )
+
+
+def q_doc_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup semantic near-duplicate pruning (linalg.semdedup,
+    Abbas et al. 2023): k-means regions -> per-cluster BLAS Gram ->
+    deterministic ascending-id greedy sweep; k * O((N/k)^2) instead of
+    O(N^2) — the learned-region twin of the LSH band join. Returns the
+    DROPPED rows (vec_id, cluster, dup_of). Threshold 0.4 matches the
+    synthetic fixture's similarity ceiling (max pair cosine 0.51).
+    GOLDEN (sf0.01, tools/gen_linalg_golden.py): greedy sweep + k-means
+    are not SQL-expressible; every stage is deterministic."""
+    from certa_spark.operators import linalg as LA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pruned = LA.semdedup(
+        emb, "embedding", "vec_id", _EMB_DIM, k=8, threshold=0.4,
+        iterations=3,
+    )
+    return pruned.filter(~F.col("keep")).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dup_of"
+    )
+
+
+# Captured goldens for the sf0.01 fixture (tools/gen_linalg_golden.py;
+# re-capture if linalg.kmeans_fit/semdedup or the fixture change).
+_Q_EMBEDDING_KMEANS_GOLDEN_SQL = """
+    SELECT CAST(cluster AS INT) AS cluster, CAST(n AS BIGINT) AS n,
+           CAST(c_norm AS DOUBLE) AS c_norm, CAST(c_mean AS DOUBLE) AS c_mean
+    FROM (VALUES
+        (0, 65, 0.266594, -0.003187),
+        (1, 65, 0.26605, 0.005837),
+        (2, 77, 0.254346, 0.000323),
+        (3, 52, 0.277736, 0.003693),
+        (4, 74, 0.264123, -0.003031),
+        (5, 60, 0.277335, 0.001994),
+        (6, 50, 0.278574, -0.001689),
+        (7, 57, 0.267285, -0.003217)
+    ) AS t(cluster, n, c_norm, c_mean)
+"""
+
+_Q_DOC_SEMDEDUP_GOLDEN_SQL = """
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(dup_of AS BIGINT) AS dup_of
+    FROM (VALUES
+        (87, 1, 19),
+        (142, 2, 108),
+        (152, 4, 150),
+        (202, 2, 159),
+        (232, 2, 108),
+        (234, 2, 53),
+        (298, 4, 24),
+        (305, 5, 28),
+        (310, 4, 83),
+        (318, 2, 197),
+        (325, 4, 290),
+        (331, 4, 290),
+        (340, 0, 7),
+        (388, 5, 387),
+        (402, 5, 16),
+        (406, 0, 338),
+        (430, 2, 53),
+        (431, 4, 191),
+        (440, 2, 172),
+        (452, 1, 158),
+        (456, 3, 131),
+        (466, 0, 169)
+    ) AS t(vec_id, cluster, dup_of)
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7787,6 +8290,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_clusters_lsss": q_neardup_clusters_lsss,
     "part_pagerank_weighted": q_part_pagerank_weighted,
     "events_quantile_approx_gate": q_events_quantile_approx_gate,
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_overlap": q_kmv_overlap,
+    "oph_user_jaccard": q_oph_user_jaccard,
+    "part_ktruss": q_part_ktruss,
+    "part_kcore_weighted": q_part_kcore_weighted,
+    "graph_modularity": q_graph_modularity,
+    "embedding_kmeans": q_embedding_kmeans,
+    "doc_semdedup": q_doc_semdedup,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -7838,21 +8349,52 @@ _DRIVER_GREEN_R3: frozenset[str] = frozenset({
     "events_wow_growth",
 })
 
-# Round-4 additions, explicitly first in the registry so the round-4
-# driver window records their green rows (r3 verdict asks #5/#6/#8).
-# Keep this list SHORT: every name here displaces one never-gated
-# older query from the 50-entry window.
-_R4_NEW: tuple[str, ...] = (
-    "neardup_clusters_lsss",
-    "part_pagerank_weighted",
-    "events_quantile_approx_gate",
+# Names gated green by the driver in round 4 (CORRECTNESS_r04.json —
+# the first 50 entries of the r4 rotation, all hash-green). Supersedes
+# the r4-era _R4_NEW/_R3_STRAGGLERS front tiers, which are all here.
+_DRIVER_GREEN_R4: frozenset[str] = frozenset({
+    "neardup_clusters_lsss", "part_pagerank_weighted",
+    "events_quantile_approx_gate", "events_bounce_rate", "orders_gini",
+    "doc_langid_confusion", "part_kcore", "doc_feature_hashing",
+    "knn_ivf_ann", "knn_pq_adc", "embedding_neardup",
+    "embedding_neardup_blas", "augment_variants", "ditto_serialize",
+    "marked_tokens", "ditto_dk_normalize", "events_sessionized",
+    "events_sessionized_salted", "events_session_builtin",
+    "events_running_zscore", "events_rollup", "events_zorder",
+    "orders_histogram", "events_cube", "events_hll_by_type",
+    "orders_upsert", "doc_stratified_k", "part_pagerank",
+    "neardup_clusters", "neardup_keep_best", "minhash_incremental",
+    "doc_weighted_sample", "events_asof_join",
+    "events_session_range_join", "doc_sample_mix",
+    "doc_temperature_mix", "doc_repetition", "doc_surprisal",
+    "split_contamination", "doc_pack_assign", "doc_pack_assign_salted",
+    "curation_pipeline", "nation_full_outer", "events_window_suite",
+    "events_pivot", "doc_split_assign", "orders_percentiles",
+    "hll_distinct", "bloom_membership", "join_size_estimate",
+})
+
+# Round-5 additions (r4 verdict ask #2: promote the tests-only surface
+# into oracle-backed registry entries), first in the r5 window.
+_R5_NEW: tuple[str, ...] = (
+    "kmv_distinct",
+    "kmv_overlap",
+    "oph_user_jaccard",
+    "part_ktruss",
+    "part_kcore_weighted",
+    "graph_modularity",
+    "embedding_kmeans",
+    "doc_semdedup",
 )
 
-# The five round-3 additions that fell just outside r3's 50-entry
-# driver window (tier 1 held 55 entries; ADVICE item 1) — gate first.
-_R3_STRAGGLERS: tuple[str, ...] = (
-    "events_bounce_rate", "orders_gini", "doc_langid_confusion",
-    "part_kcore", "doc_feature_hashing",
+# The 14 r2-era queries no driver window has ever gated (r4 verdict
+# ask #1: this rotation closes the set — after r5 every registry entry
+# has a driver-green CORRECTNESS row).
+_NEVER_GATED: tuple[str, ...] = (
+    "er_blocking_pairs", "knn_ann_recall", "knn_lsh_multiprobe",
+    "lens_degrees", "lineitem_bloom_semi", "lineitem_unpivot",
+    "media_features", "media_frame_grid", "media_resize",
+    "mojito_token_saliency", "orders_grouping_sets", "orders_intersect",
+    "orders_range_frame", "orders_salted_join",
 )
 
 # r2-era registry (judge-verified in round 2 even where not
@@ -7966,8 +8508,8 @@ _R2_ERA: frozenset[str] = frozenset({
     "tpch_q9",
 })
 
-_GATED: frozenset[str] = _DRIVER_GREEN | _DRIVER_GREEN_R3
-_FRONT: tuple[str, ...] = _R4_NEW + _R3_STRAGGLERS
+_GATED: frozenset[str] = _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
+_FRONT: tuple[str, ...] = _R5_NEW + _NEVER_GATED
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
     **{k: v for k, v in QUERIES.items()
@@ -8142,6 +8684,14 @@ ORACLES: dict[str, str] = {
     "doc_langid_confusion": _Q_LANGID_CONF_SQL,
     "part_kcore": _q_part_kcore_sql(),
     "doc_feature_hashing": _q_doc_feature_hashing_sql(),
+    "kmv_distinct": _q_kmv_distinct_sql(),
+    "kmv_overlap": _q_kmv_overlap_sql(),
+    "oph_user_jaccard": _q_oph_jaccard_sql(),
+    "part_ktruss": _q_part_ktruss_sql(),
+    "part_kcore_weighted": _q_part_kcore_weighted_sql(),
+    "graph_modularity": _Q_GRAPH_MODULARITY_SQL,
+    "embedding_kmeans": _Q_EMBEDDING_KMEANS_GOLDEN_SQL,
+    "doc_semdedup": _Q_DOC_SEMDEDUP_GOLDEN_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
@@ -8151,4 +8701,5 @@ ORACLES: dict[str, str] = {
 GOLDEN_SF001: frozenset[str] = frozenset({
     "mojito_token_saliency", "shap_token_saliency",
     "flagship_batch_saliency", "embedding_pca_project",
+    "embedding_kmeans", "doc_semdedup",
 })
