@@ -8123,6 +8123,98 @@ _Q_DOC_SEMDEDUP_GOLDEN_SQL = """
 """
 
 
+# deterministic synthetic crawl URLs for doc_url_dedup (the fixture
+# has no URL column): hosts chosen to exercise every PSL rule class —
+# 2-label rule, www strip, ccTLD 2-label, *.ck wildcard, !www.ck
+# exception, the kawasaki.jp exception, and plain gTLDs
+_URL_HOSTS = (
+    "news.bbc.co.uk", "www.example.com", "a.b.example.com.au",
+    "foo.bar.ck", "www.ck", "sub.city.kawasaki.jp",
+    "shop.example.co.jp", "cdn.example.io",
+)
+# hand-derived per the PSL algorithm over the vendored snapshot
+_URL_DOMAINS = (
+    "bbc.co.uk", "example.com", "example.com.au",
+    "foo.bar.ck", "www.ck", "city.kawasaki.jp",
+    "example.co.jp", "example.io",
+)
+
+
+def q_doc_url_dedup(spark, sf_dir) -> DataFrame:
+    """URL canonicalization + Public-Suffix-List domain rollup, the
+    front door of a crawl-dedup pipeline (CCNet/RefinedWeb order:
+    collapse scheme/tracking-param/fragment variants BEFORE any
+    content hashing). Synthesizes scheme- and tracking-variant URLs
+    from doc_id, canonicalizes (functions/url.normalize_url — zero-
+    shuffle HOFs), resolves the registrable domain with the PSL
+    broadcast-join plan (registrable_domain_psl: four broadcast hash
+    joins, no exchange), and rolls up per domain: docs seen vs
+    distinct canonical pages. The oracle re-derives the domains
+    independently (hand-derived PSL expectations), so the join logic
+    is cross-checked, not echoed."""
+    from certa_spark.functions.url import (
+        normalize_url,
+        registrable_domain_psl,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
+    host = F.element_at(
+        hosts, (F.col("doc_id") % len(_URL_HOSTS) + 1).cast("int")
+    )
+    scheme = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("http://")
+    ).otherwise(F.lit("https://"))
+    qs = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme, host, F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"), qs,
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    with_dom = registrable_domain_psl(with_url, "url", out_col="domain")
+    return (
+        with_dom.select(
+            "domain", normalize_url(F.col("url")).alias("canonical")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("canonical").cast("long").alias("n_canonical"),
+        )
+    )
+
+
+def _q_doc_url_dedup_sql() -> str:
+    nh = len(_URL_HOSTS)
+    host_arr = "[" + ", ".join(f"'{h}'" for h in _URL_HOSTS) + "]"
+    dom_arr = "[" + ", ".join(f"'{d}'" for d in _URL_DOMAINS) + "]"
+    return f"""
+    WITH u AS (
+        SELECT doc_id,
+               list_extract({host_arr},
+                   CAST(doc_id % {nh} + 1 AS INT)) AS host,
+               list_extract({dom_arr},
+                   CAST(doc_id % {nh} + 1 AS INT)) AS domain
+        FROM documents
+    ),
+    c AS (
+        SELECT domain,
+               regexp_replace(host, '^www\\.', '') || '/p/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 3 IN (0, 1)
+                       THEN '?a=1&b=2' ELSE '' END AS canonical
+        FROM u
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical
+    FROM c GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8298,6 +8390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_modularity": q_graph_modularity,
     "embedding_kmeans": q_embedding_kmeans,
     "doc_semdedup": q_doc_semdedup,
+    "doc_url_dedup": q_doc_url_dedup,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -8384,6 +8477,7 @@ _R5_NEW: tuple[str, ...] = (
     "graph_modularity",
     "embedding_kmeans",
     "doc_semdedup",
+    "doc_url_dedup",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -8692,6 +8786,7 @@ ORACLES: dict[str, str] = {
     "graph_modularity": _Q_GRAPH_MODULARITY_SQL,
     "embedding_kmeans": _Q_EMBEDDING_KMEANS_GOLDEN_SQL,
     "doc_semdedup": _Q_DOC_SEMDEDUP_GOLDEN_SQL,
+    "doc_url_dedup": _q_doc_url_dedup_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -324,3 +324,60 @@ def test_registrable_domain(spark):
     assert got[2] == "example.com"
     assert got[3] == "example.com"
     assert got[4] == "localhost"
+
+
+def test_registrable_domain_psl(spark):
+    """PSL algorithm over the vendored snapshot: longest rule wins,
+    wildcard rules cover one extra label, exceptions override
+    wildcards, a bare public suffix has no registrable domain."""
+    from certa_spark.functions.url import registrable_domain_psl
+
+    cases = [
+        (1, "https://news.bbc.co.uk/article"),     # 2-label rule
+        (2, "https://a.b.example.com/x"),          # 1-label rule
+        (3, "http://www.example.com.au/x"),        # 2-label ccTLD rule
+        (4, "https://foo.bar.ck/x"),               # *.ck wildcard
+        (5, "http://www.ck/"),                     # !www.ck exception
+        (6, "https://sub.city.kawasaki.jp/x"),     # !city.kawasaki.jp
+        (7, "https://pref.kawasaki.jp/x"),         # IS a public suffix
+        (8, "https://x.pref.kawasaki.jp/x"),       # one under wildcard
+        (9, "https://co.uk/"),                     # bare public suffix
+        (10, "https://localhost/x"),               # unlisted, 1 label
+        (11, "http://shop.example.co.jp:8080/x"),  # explicit port
+        (12, "not a url"),                         # unparseable
+    ]
+    df = spark.createDataFrame(cases, "i long, u string")
+    out = registrable_domain_psl(df, "u", out_col="d")
+    got = {r["i"]: r["d"] for r in out.collect()}
+    assert got[1] == "bbc.co.uk"
+    assert got[2] == "example.com"
+    assert got[3] == "example.com.au"
+    # per the official PSL test vectors (a.b.test.ck -> b.test.ck):
+    # *.ck makes bar.ck the public suffix, so foo.bar.ck registers
+    assert got[4] == "foo.bar.ck"
+    assert got[5] == "www.ck"
+    assert got[6] == "city.kawasaki.jp"
+    assert got[7] is None
+    assert got[8] == "x.pref.kawasaki.jp"
+    assert got[9] is None
+    assert got[10] is None
+    assert got[11] == "example.co.jp"
+    assert got[12] is None
+    # schema hygiene: no _psl_ scratch columns leak
+    assert [c for c in out.columns if c.startswith("_psl_")] == []
+
+
+def test_registrable_domain_psl_plan_is_broadcast_only(spark):
+    """The PSL lookup must plan as broadcast hash joins with NO
+    shuffle exchange — the whole point of the chained-join shape."""
+    from certa_spark.functions.url import registrable_domain_psl
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.co.uk/x")], "i long, u string"
+    )
+    plan = (
+        registrable_domain_psl(df, "u", out_col="d")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
