@@ -105,6 +105,10 @@ def main() -> None:
         "neardup_clusters", "neardup_clusters_lsss",
         "curation_pipeline_v2", "embedding_kmeans",
     }
+    # driver-coordinated loops with ~10+ accepted rounds: one run only
+    # (a second sample would double ~30s of wall-clock for a number
+    # that is job-overhead-bound, not data-bound, on this fixture)
+    SINGLE_RUN = {"part_louvain"}
     # flagship_batch_saliency runs two full explains through the fused
     # scan — its machinery is already timed by the dedicated
     # flagship_explain / explains_per_min metrics below; double-running
@@ -130,7 +134,11 @@ def main() -> None:
             # hundreds of dead checkpoint RDDs in executor storage
             gc.collect()
         best = None
-        n_runs = 3 if name in HEAVY_LOOPS else RUNS
+        n_runs = (
+            1 if name in SINGLE_RUN
+            else 3 if name in HEAVY_LOOPS
+            else RUNS
+        )
         runs_used[name] = n_runs
         for _ in range(n_runs):
             t0 = time.time()

@@ -83,7 +83,27 @@ class MLlibMatcher:
                 ),
             ]
         )
-        self._model = pipeline.fit(feats.withColumn("label", F.col("label").cast("double")))
+        fitted = pipeline.fit(
+            feats.withColumn("label", F.col("label").cast("double"))
+        )
+        # the freshly-fit LogisticRegressionModel carries a
+        # trainingSummary whose SparkSession reference (incl. the
+        # non-serializable ObservationManager) gets dragged into the
+        # transform closure — "Task not serializable" depending on
+        # session state. A save/load round-trip drops the summary; the
+        # loaded model is exactly what predict() would see in
+        # production anyway (get_model's load path).
+        import shutil
+        import tempfile
+
+        from pyspark.ml import PipelineModel
+
+        tmp = tempfile.mkdtemp(prefix="mllib_matcher_fit_")
+        try:
+            fitted.write().overwrite().save(tmp)
+            self._model = PipelineModel.load(tmp)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return self
 
     def predict(self, pairs: DataFrame) -> DataFrame:

@@ -1442,3 +1442,336 @@ def modularity(
         .first()
     )
     return float(row["Q"] or 0.0)
+
+
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_rounds: int = 20,
+    max_levels: int = 3,
+    partitions: int | None = None,
+    with_history: bool = False,
+):
+    """Louvain-style community detection (Blondel et al. 2008) made
+    DETERMINISTIC and partition-invariant: synchronous local-move
+    rounds with an exact integer objective gate, then graph
+    contraction, repeated up to ``max_levels``.
+
+    Classic Louvain sweeps nodes in random order; a distributed port
+    that applies simultaneous greedy moves can oscillate and its float
+    modularity gains depend on aggregation order. This implementation
+    removes both sources of nondeterminism:
+
+    - Every move decision is computed in EXACT integer arithmetic
+      (decimal(38,0) on the shuffle): for node i with degree k_i in
+      community a, candidate c scores
+      ``2m*k_ic - k_i*(tot_c - k_i*[c==a])``; argmax with ties broken
+      to the smaller community id. No float ever decides a move.
+    - A round's proposed moves are applied as one synchronous batch,
+      then gated on the exact integer objective
+      ``J = 4m*sum_c(e_c) - sum_c(d_c^2)`` (maximizing J is maximizing
+      modularity Q = J/(4m^2)): a round that does not strictly
+      increase J is DISCARDED and the level stops — so the accepted
+      round sequence is strictly Q-monotone by construction (the
+      property the tests pin), and simultaneous conflicting moves can
+      never walk the score downhill unnoticed.
+    - Contraction keeps intra-community weight as supernode
+      self-loops (k of a supernode = d_c of the fine graph, total
+      weight m preserved), so the coarse objective IS the fine
+      objective and level boundaries cannot change Q.
+
+    Community labels are node ids (a community keeps the id of the
+    supernode seed), so output is reproducible run-to-run. Returns
+    ``(node, community)`` for the ORIGINAL nodes; with
+    ``with_history=True`` returns ``(df, [Q_float, ...])`` — exact-J
+    checkpoints of every accepted round, as floats, strictly
+    increasing.
+
+    Scale shape per round: one join of the bidirectional edge list
+    against the assignment (community tags), one (node, comm) partial
+    aggregate, one node-keyed max_by aggregate — ~3 key-partitioned
+    shuffles of (id, id, long) rows, no window over unbounded groups,
+    no driver-side data beyond two longs. Rounds are checkpointed so
+    plans stay O(1). Not a convergence-or-raise loop: Louvain is an
+    anytime optimizer — exhausting ``max_rounds`` returns the best
+    assignment found, unlike the confluent kcore/ktruss peels where a
+    truncated fixpoint would be silently WRONG.
+    """
+    partitions = _default_partitions(edges, partitions)
+    # no weight column -> simple-graph semantics (duplicate pairs are
+    # one edge of weight 1, matching `modularity`); weighted input ->
+    # duplicate pairs sum (multigraph collapse, same as contraction)
+    w0 = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1)
+    )
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            w0.alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            (
+                F.sum("w") if weight is not None else F.max("w")
+            ).cast("long").alias("w")
+        )
+        .repartition(partitions, "a")
+        .localCheckpoint()
+    )
+    # original-node -> current community, carried across levels
+    proj = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    ).distinct().select("node", F.col("node").alias("community"))
+    proj = proj.repartition(partitions, "node").localCheckpoint()
+
+    DEC = "decimal(38,0)"
+    history: list[float] = []
+    j_best: int | None = None
+    m_total: int | None = None
+
+    for _level in range(max_levels):
+        # degrees: k_i = sum_{j!=i} w_ij + 2*w_ii ; sum_i k_i = 2m
+        nonself = und.filter(F.col("a") != F.col("b"))
+        selfw = und.filter(F.col("a") == F.col("b")).select(
+            F.col("a").alias("node"), (2 * F.col("w")).alias("kw")
+        )
+        deg = (
+            nonself.select(F.col("a").alias("node"), F.col("w").alias("kw"))
+            .unionByName(
+                nonself.select(F.col("b").alias("node"), F.col("w").alias("kw"))
+            )
+            .unionByName(selfw)
+            .groupBy("node")
+            .agg(F.sum("kw").cast("long").alias("k"))
+            .repartition(partitions, "node")
+            .localCheckpoint()
+        )
+        two_m = deg.agg(F.sum("k").cast("long")).first()[0]
+        if not two_m:
+            break
+        if m_total is None:
+            m_total = int(two_m) // 2
+        assign = deg.select("node", F.col("node").alias("comm"))
+        assign = assign.localCheckpoint()
+
+        if j_best is None:
+            j_best = _louvain_objective(und, assign, int(two_m), deg)
+            if with_history:
+                history.append(j_best / (float(two_m) * two_m))
+
+        moved_any = False
+        # alternating move direction: even rounds may only move a node
+        # into a SMALLER community id, odd rounds into a larger one.
+        # Kills the symmetric-swap deadlock (i proposes j's community
+        # while j proposes i's — the batch cancels out and fails the
+        # J-gate) without randomized sweep order: within a round no
+        # two nodes can trade places, and alternation keeps every move
+        # reachable. Stop after both directions stall back-to-back.
+        stall = 0
+        direction = 0
+        for _round in range(max_rounds):
+            ctot = (
+                assign.join(deg, "node")
+                .groupBy("comm")
+                .agg(F.sum("k").cast("long").alias("tot"))
+                .select(F.col("comm").alias("cand"), "tot")
+            )
+            bidir = nonself.select(
+                F.col("a").alias("i"), F.col("b").alias("j"), "w"
+            ).unionByName(
+                nonself.select(
+                    F.col("b").alias("i"), F.col("a").alias("j"), "w"
+                )
+            )
+            nbr = (
+                bidir.join(
+                    assign.select(
+                        F.col("node").alias("j"), F.col("comm").alias("cand")
+                    ),
+                    "j",
+                )
+                .groupBy("i", "cand")
+                .agg(F.sum("w").cast("long").alias("kic"))
+                .select(F.col("i").alias("node"), "cand", "kic")
+            )
+            # the stay-home candidate always exists, even with no
+            # neighbors in the own community (kic = 0)
+            cand = nbr.unionByName(
+                assign.select(
+                    "node", F.col("comm").alias("cand"), F.lit(0).alias("kic")
+                )
+            ).groupBy("node", "cand").agg(
+                F.sum("kic").cast("long").alias("kic")
+            )
+            scored = (
+                cand.join(assign, "node")
+                .join(deg, "node")
+                .join(ctot, "cand", "left")
+                .select(
+                    "node",
+                    F.col("cand"),
+                    F.col("comm").alias("cur"),
+                    (
+                        F.lit(int(two_m)).cast(DEC)
+                        * F.col("kic").cast(DEC)
+                        - F.col("k").cast(DEC)
+                        * (
+                            F.coalesce(F.col("tot"), F.lit(0)).cast(DEC)
+                            - F.when(
+                                F.col("cand") == F.col("comm"), F.col("k")
+                            ).otherwise(F.lit(0)).cast(DEC)
+                        )
+                    ).alias("score"),
+                )
+            )
+            # direction gate on CANDIDATES (not on the chosen move), so
+            # a node with improving options on both sides still moves
+            # on either round parity
+            allowed = (
+                F.col("cand") < F.col("cur")
+                if direction == 0
+                else F.col("cand") > F.col("cur")
+            )
+            scored = scored.filter((F.col("cand") == F.col("cur")) | allowed)
+            # argmax score, ties to the SMALLER community id (max_by on
+            # (score, -cand) — one hash aggregate, no window)
+            best = scored.groupBy("node").agg(
+                F.max(
+                    F.struct(
+                        F.col("score"), (-F.col("cand")).alias("nc")
+                    )
+                ).alias("b"),
+                F.max(
+                    F.when(F.col("cand") == F.col("cur"), F.col("score"))
+                ).alias("stay"),
+                F.first("cur").alias("cur"),
+            ).select(
+                "node",
+                (-F.col("b.nc")).alias("target"),
+                (
+                    (F.col("b.score") > F.col("stay"))
+                    & (-F.col("b.nc") != F.col("cur"))
+                ).alias("do_move"),
+                "cur",
+            )
+            proposed = best.select(
+                "node",
+                F.when(F.col("do_move"), F.col("target"))
+                .otherwise(F.col("cur"))
+                .alias("comm"),
+            )
+            # the J evaluation doubles as the no-moves check (no moves
+            # -> proposed == assign -> j_new == j_best); cache the
+            # proposal so the accept-path checkpoint reuses the
+            # materialization instead of re-running the round chain
+            proposed = proposed.persist()
+            j_new = _louvain_objective(und, proposed, int(two_m), deg)
+            if j_new <= j_best:
+                # no moves, or simultaneous moves fought each other —
+                # the objective is exact, so discard the round and try
+                # the other sweep direction; two consecutive dead
+                # rounds end the level
+                proposed.unpersist()
+                stall += 1
+                direction ^= 1
+                if stall >= 2:
+                    break
+                continue
+            assign = proposed.repartition(partitions, "node").localCheckpoint()
+            proposed.unpersist()
+            j_best = j_new
+            moved_any = True
+            stall = 0
+            direction ^= 1
+            if with_history:
+                history.append(j_new / (float(two_m) * two_m))
+
+        # project original nodes through this level's assignment
+        proj = (
+            proj.join(
+                assign.select(
+                    F.col("node").alias("community"),
+                    F.col("comm").alias("_nc"),
+                ),
+                "community",
+            )
+            .select("node", F.col("_nc").alias("community"))
+            .repartition(partitions, "node")
+            .localCheckpoint()
+        )
+        if not moved_any:
+            break
+        # contract: communities become nodes, intra weight becomes a
+        # self-loop, so Q is preserved across the level boundary
+        ca = assign.select(F.col("node").alias("a"), F.col("comm").alias("_cca"))
+        cb = assign.select(F.col("node").alias("b"), F.col("comm").alias("_ccb"))
+        und = (
+            und.join(ca, "a").join(cb, "b")
+            .select(
+                F.least(F.col("_cca"), F.col("_ccb")).alias("a"),
+                F.greatest(F.col("_cca"), F.col("_ccb")).alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").cast("long").alias("w"))
+            .repartition(partitions, "a")
+            .localCheckpoint()
+        )
+
+    out = proj.select("node", "community")
+    if with_history:
+        return out, history
+    return out
+
+
+def _louvain_objective(
+    und: DataFrame, assign: DataFrame, two_m: int, deg: DataFrame
+) -> int:
+    """Exact integer Louvain objective J = 4m*sum_c(e_c) - sum_c(d_c^2)
+    over a weighted graph with self-loops (e_c counts intra weight
+    incl. self-loops; d_c = sum of member degrees, from the caller's
+    checkpointed degree frame). Q = J / (2m)^2. Integer end-to-end
+    (decimal(38,0) sums), so round-over-round comparisons are
+    partition-invariant."""
+    ca = assign.select(F.col("node").alias("a"), F.col("comm").alias("_ja"))
+    cb = assign.select(F.col("node").alias("b"), F.col("comm").alias("_jb"))
+    DEC = "decimal(38,0)"
+    # ONE job for both aggregates: union intra-edge weight rows with
+    # member-degree rows keyed by community, partial-agg per community,
+    # then fold to (sum_ec, sum_dc2) — the per-round objective costs a
+    # single community-keyed shuffle instead of two full evaluations
+    ec_rows = (
+        und.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("_ja") == F.col("_jb"))
+        .select(
+            F.col("_ja").alias("c"),
+            F.col("w").cast("long").alias("e"),
+            F.lit(0).cast("long").alias("d"),
+        )
+    )
+    dc_rows = assign.join(deg, "node").select(
+        F.col("comm").alias("c"),
+        F.lit(0).cast("long").alias("e"),
+        F.col("k").alias("d"),
+    )
+    row = (
+        ec_rows.unionByName(dc_rows)
+        .groupBy("c")
+        .agg(
+            F.sum("e").cast(DEC).alias("ec"),
+            F.sum("d").cast("long").alias("dc"),
+        )
+        .agg(
+            F.sum("ec").alias("se"),
+            F.sum(F.col("dc").cast(DEC) * F.col("dc").cast(DEC)).alias("sd"),
+        )
+        .first()
+    )
+    sum_ec = int(row["se"]) if row["se"] is not None else 0
+    sum_dc2 = int(row["sd"]) if row["sd"] is not None else 0
+    return 2 * two_m * sum_ec - sum_dc2

@@ -8076,6 +8076,55 @@ def q_doc_semdedup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_part_louvain(spark, sf_dir) -> DataFrame:
+    """Deterministic distributed Louvain (graph.louvain) over the
+    co-purchase graph: exact-integer move scores, alternating sweep
+    direction, every synchronous round gated on the exact objective
+    J = 4m*sum(e_c) - sum(d_c^2) (accepted sequence strictly
+    Q-monotone), contraction to a second level with intra weight as
+    self-loops. One summary row; ``comm_checksum`` (sum of community
+    labels over all nodes) attests the ENTIRE assignment, so the
+    golden is a whole-result gate, not a stats snapshot. GOLDEN
+    (sf0.01): greedy move rounds are not SQL-expressible; every stage
+    is deterministic and partition-invariant (unit-tested).
+    partitions=8 pins the iterative round frames to the fixture's
+    size — at production scale leave it None (cluster parallelism)."""
+    import math
+
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 30 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    out, hist = GR.louvain(
+        pairs, src="pa", dst="pb", max_rounds=5, max_levels=2,
+        partitions=8, with_history=True,
+    )
+    s = out.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.countDistinct("community").cast("long").alias("n_comms"),
+        F.sum("community").cast("long").alias("comm_checksum"),
+    ).first()
+    top = (
+        out.groupBy("community").agg(F.count("*").alias("n"))
+        .agg(F.max("n").cast("long")).first()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(s["n_nodes"]), int(s["n_comms"]), int(top),
+                int(s["comm_checksum"]),
+                math.floor(hist[-1] * 1e9 + 0.5) / 1e9,
+            )
+        ],
+        "n_nodes long, n_comms long, top_size long, "
+        "comm_checksum long, q double",
+    )
+
+
 # Captured goldens for the sf0.01 fixture (tools/gen_linalg_golden.py;
 # re-capture if linalg.kmeans_fit/semdedup or the fixture change).
 _Q_EMBEDDING_KMEANS_GOLDEN_SQL = """
@@ -8091,6 +8140,17 @@ _Q_EMBEDDING_KMEANS_GOLDEN_SQL = """
         (6, 50, 0.278574, -0.001689),
         (7, 57, 0.267285, -0.003217)
     ) AS t(cluster, n, c_norm, c_mean)
+"""
+
+# Captured golden for the sf0.01 fixture (re-run q_part_louvain at
+# sf0.01 and paste; deterministic + partition-invariant by the
+# exact-integer design, see tests/test_graph.py louvain suite).
+_Q_PART_LOUVAIN_GOLDEN_SQL = """
+    SELECT CAST(1267 AS BIGINT) AS n_nodes,
+           CAST(126 AS BIGINT) AS n_comms,
+           CAST(48 AS BIGINT) AS top_size,
+           CAST(341577 AS BIGINT) AS comm_checksum,
+           CAST(0.661062456 AS DOUBLE) AS q
 """
 
 _Q_DOC_SEMDEDUP_GOLDEN_SQL = """
@@ -8391,6 +8451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans": q_embedding_kmeans,
     "doc_semdedup": q_doc_semdedup,
     "doc_url_dedup": q_doc_url_dedup,
+    "part_louvain": q_part_louvain,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -8478,6 +8539,7 @@ _R5_NEW: tuple[str, ...] = (
     "embedding_kmeans",
     "doc_semdedup",
     "doc_url_dedup",
+    "part_louvain",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -8787,6 +8849,7 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans": _Q_EMBEDDING_KMEANS_GOLDEN_SQL,
     "doc_semdedup": _Q_DOC_SEMDEDUP_GOLDEN_SQL,
     "doc_url_dedup": _q_doc_url_dedup_sql(),
+    "part_louvain": _Q_PART_LOUVAIN_GOLDEN_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
@@ -8796,5 +8859,5 @@ ORACLES: dict[str, str] = {
 GOLDEN_SF001: frozenset[str] = frozenset({
     "mojito_token_saliency", "shap_token_saliency",
     "flagship_batch_saliency", "embedding_pca_project",
-    "embedding_kmeans", "doc_semdedup",
+    "embedding_kmeans", "doc_semdedup", "part_louvain",
 })

@@ -557,3 +557,85 @@ def test_cc_raises_on_max_iter_exhaustion(spark):
     # the documented escape hatch converges on the same chain
     ok = connected_components(e, shortcut=True, max_iter=8)
     assert {r["cluster"] for r in ok.collect()} == {1}
+
+
+def _two_clique_bridge_edges():
+    """Two 5-cliques joined by one bridge edge — the canonical Louvain
+    fixture: the optimum is exactly the two cliques."""
+    e = []
+    for base in (0, 10):
+        nodes = [base + i for i in range(5)]
+        e += [(a, b) for a in nodes for b in nodes if a < b]
+    e.append((4, 10))
+    return e
+
+
+def test_louvain_recovers_cliques_and_is_monotone(spark):
+    from certa_spark.operators.graph import louvain, modularity
+
+    e = spark.createDataFrame(
+        _two_clique_bridge_edges(), "src long, dst long"
+    )
+    out, hist = louvain(e, with_history=True)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert set(got) == set(range(5)) | set(range(10, 15))
+    # the two cliques are the two communities
+    assert len({got[n] for n in range(5)}) == 1
+    assert len({got[n] for n in range(10, 15)}) == 1
+    assert got[0] != got[10]
+    # accepted rounds are strictly Q-monotone (the exact-J gate)
+    assert all(b > a for a, b in zip(hist, hist[1:]))
+    # the tracked Q of the final assignment equals the float scorer on
+    # the ORIGINAL graph — pins the contraction/self-loop conventions
+    comm = out.withColumnRenamed("community", "cluster")
+    assert abs(hist[-1] - modularity(e, comm)) < 1e-9
+
+
+def test_louvain_partition_invariant_and_deterministic(spark):
+    from certa_spark.operators.graph import louvain
+
+    rows = _two_clique_bridge_edges()
+    # a second component: a 4-cycle with a chord
+    rows += [(20, 21), (21, 22), (22, 23), (23, 20), (20, 22)]
+    a = spark.createDataFrame(rows, "src long, dst long")
+    b = spark.createDataFrame(list(reversed(rows)), "src long, dst long") \
+        .repartition(7)
+    ra = sorted(map(tuple, louvain(a).collect()))
+    rb = sorted(map(tuple, louvain(b).collect()))
+    assert ra == rb
+    # labels are node ids (deterministic, reproducible run-to-run)
+    nodes = {t[0] for t in ra}
+    assert {t[1] for t in ra} <= nodes
+
+
+def test_louvain_weighted_overrides_topology(spark):
+    """Heavy intra-pair weights beat raw edge counts: with the bridge
+    edge weighted far above the clique edges, the bridge endpoints
+    merge."""
+    from certa_spark.operators.graph import louvain
+
+    rows = [(a, b, 1) for a, b in _two_clique_bridge_edges() if (a, b) != (4, 10)]
+    rows.append((4, 10, 50))
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+    out = {r["node"]: r["community"] for r in louvain(e, weight="w").collect()}
+    assert out[4] == out[10]
+
+
+def test_louvain_improves_on_singletons(spark):
+    """On a ring of small cliques the result must beat the singleton
+    assignment's Q = -sum(d^2)/4m^2 (< 0) by a wide margin."""
+    from certa_spark.operators.graph import louvain, modularity
+
+    e = []
+    k = 4
+    for c in range(4):
+        base = c * k
+        nodes = [base + i for i in range(k)]
+        e += [(a, b) for a in nodes for b in nodes if a < b]
+        e.append((base + k - 1, ((c + 1) % 4) * k))
+    df = spark.createDataFrame(sorted(set(e)), "src long, dst long")
+    out = louvain(df)
+    comm = out.withColumnRenamed("community", "cluster")
+    q = modularity(df, comm)
+    assert q > 0.5  # 4 cliques on a ring: optimum ~0.65
+    assert out.select("community").distinct().count() == 4
