@@ -688,3 +688,166 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "sim")
     )
+
+
+def knn_ivfpq_adc(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN (the production FAISS IVFPQ shape):
+    coarse-quantize with ``centroids`` (argmin-L2 cell, ties to the
+    lowest cell id), PQ-encode the RESIDUAL x - c(cell) with
+    ``codebooks``, and answer queries with per-probed-cell asymmetric
+    distance tables — ``||q - x||^2 ~ sum_s d2(q_res_s, code_s)`` with
+    both sides residual to the SAME centroid, which is what makes the
+    composite beat flat PQ at equal code budget (residuals are
+    smaller, codes spend their bits on what the coarse cell didn't
+    explain).
+
+    Scale shape: cell assignment, residual arithmetic and encoding are
+    strictly MAP-SIDE over the corpus (literal centroid/codebook
+    arrays, one codegen'd d2 fold — the `pq_encode` lesson); at 100 TB
+    the (cell, sub, code) table is what gets persisted, partitioned by
+    cell. Query time touches only ``nprobe`` cells per probe: the
+    distance tables (probes x nprobe x m x n_codes rows) broadcast to
+    an equi-join against the codes table, then one (probe, neighbor)
+    aggregation and a per-probe top-k window. No full-dimension math
+    ever reaches corpus rows at query time.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    n_codes = len(codebooks[0])
+    ncell = len(centroids)
+    centlit = F.lit([[float(x) for x in c] for c in centroids])
+    cblit = F.lit(
+        [[list(map(float, code)) for code in book] for book in codebooks]
+    )
+
+    def residual(vec: Column, cell: Column) -> Column:
+        return F.zip_with(
+            vec, F.element_at(centlit, cell + 1), lambda x, c: x - c
+        )
+
+    def sub_slices(res: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(res, s * dsub + 1, dsub).alias("subv"),
+                )
+                for s in range(m)
+            ]
+        )
+
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    celld = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(ncell - 1)),
+            lambda c: F.struct(
+                _d2(F.col("_v"), F.element_at(centlit, c + 1)).alias("d"),
+                c.alias("cell"),
+            ),
+        )
+    )
+    cv = cv.select("neighbor_id", "_v", celld["cell"].alias("cell"))
+    sv = (
+        cv.select(
+            "neighbor_id",
+            "cell",
+            F.explode(sub_slices(residual(F.col("_v"), F.col("cell")))).alias(
+                "_sv"
+            ),
+        )
+        .select(
+            "neighbor_id",
+            "cell",
+            F.col("_sv.sub").alias("sub"),
+            F.col("_sv.subv").alias("subv"),
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda c: F.struct(
+                _d2(
+                    F.col("subv"),
+                    F.element_at(
+                        F.element_at(cblit, F.col("sub") + 1), c + 1
+                    ),
+                ).alias("d"),
+                c.alias("code"),
+            ),
+        )
+    )
+    codes = sv.select("neighbor_id", "cell", "sub", best["code"].alias("code"))
+
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("_pv"),
+    )
+    pcell = pv.select(
+        "probe_id",
+        "_pv",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ncell - 1)),
+                lambda c: _d2(F.col("_pv"), F.element_at(centlit, c + 1)),
+            )
+        ).alias("cell", "_d"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    pc = (
+        pcell.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("probe_id", "_pv", "cell")
+    )
+    psv = (
+        pc.select(
+            "probe_id",
+            "cell",
+            F.explode(
+                sub_slices(residual(F.col("_pv"), F.col("cell")))
+            ).alias("_sv"),
+        )
+        .select(
+            "probe_id",
+            "cell",
+            F.col("_sv.sub").alias("sub"),
+            F.col("_sv.subv").alias("subv"),
+        )
+    )
+    dist = psv.join(F.broadcast(_codebook_df(probes, codebooks)), "sub").select(
+        "probe_id",
+        "cell",
+        "sub",
+        "code",
+        _d2(F.col("subv"), F.col("cvec")).alias("d2"),
+    )
+    scored = (
+        codes.join(F.broadcast(dist), ["cell", "sub", "code"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(30,6)")), 6)
+            .cast("double")
+            .alias("adist")
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "adist")
+    )

@@ -8076,6 +8076,152 @@ def q_doc_semdedup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_knn_ivfpq(spark, sf_dir) -> DataFrame:
+    """IVF-PQ composite ANN (similarity.knn_ivfpq_adc — the FAISS
+    IVFPQ production shape): argmin-L2 coarse cells from the 8
+    lowest-id vectors, residual x - c(cell) PQ-encoded against
+    codebooks built from the 16 lowest-id vectors' OWN residuals
+    (deterministic stand-in for the per-subspace k-means trainer —
+    linalg.kmeans_fit is where both would come from at 100 TB), ADC
+    over each probe's 2 nearest cells. Both composite halves already
+    pass their solo gates (knn_ivf_ann, knn_pq_adc); this gates the
+    residual plumbing that joins them."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    centlit = F.lit(cent)
+    # seed residuals via the SAME _d2 expressions the operator uses,
+    # so the driver-side codebook is engine-exact by construction
+    celld = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_IVF_CELLS - 1)),
+            lambda c: F.struct(
+                SIM._d2(
+                    F.col("embedding"), F.element_at(centlit, c + 1)
+                ).alias("d"),
+                c.alias("cell"),
+            ),
+        )
+    )
+    seed = (
+        e.filter(F.col("vec_id") < _PQ_CODES)
+        .select("vec_id", "embedding", celld["cell"].alias("_cell"))
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(centlit, F.col("_cell") + 1),
+                lambda x, c: x - c,
+            ).alias("r"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebooks = [
+        [list(r["r"])[s * _PQ_DSUB : (s + 1) * _PQ_DSUB] for r in seed]
+        for s in range(_PQ_M)
+    ]
+    probes = e.filter(F.col("vec_id") % 101 == 0)
+    return SIM.knn_ivfpq_adc(
+        e, probes, cent, codebooks, k=_PQ_K, nprobe=_IVF_NPROBE
+    )
+
+
+def _q_knn_ivfpq_sql() -> str:
+    m, dsub, k = _PQ_M, _PQ_DSUB, _PQ_K
+    nc, npr = _IVF_CELLS, _IVF_NPROBE
+
+    def d2full(a: str, b: str) -> str:
+        return (
+            f"round(list_aggregate(list_transform(range(1, len({a}) + 1),"
+            f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),"
+            f" 'sum'), 6)"
+        )
+
+    def d2res(v: str, vc: str, w: str, wc: str) -> str:
+        # residual-vs-residual squared L2 on subspace `sub`, spelled as
+        # the same left-to-right 8-term chain Spark's zip_with folds
+        terms = " + ".join(
+            f"((CAST({v}[sub * {dsub} + {i}] AS DOUBLE)"
+            f" - CAST({vc}[sub * {dsub} + {i}] AS DOUBLE))"
+            f" - (CAST({w}[sub * {dsub} + {i}] AS DOUBLE)"
+            f" - CAST({wc}[sub * {dsub} + {i}] AS DOUBLE)))"
+            f" * ((CAST({v}[sub * {dsub} + {i}] AS DOUBLE)"
+            f" - CAST({vc}[sub * {dsub} + {i}] AS DOUBLE))"
+            f" - (CAST({w}[sub * {dsub} + {i}] AS DOUBLE)"
+            f" - CAST({wc}[sub * {dsub} + {i}] AS DOUBLE)))"
+            for i in range(1, dsub + 1)
+        )
+        return f"round(0.0 + {terms}, 6)"
+
+    return f"""
+    WITH cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cell_id,
+               embedding AS cvec
+        FROM embeddings WHERE vec_id < {nc}
+    ),
+    asg AS (
+        SELECT vec_id, embedding, cell_id, cvec FROM (
+            SELECT e.vec_id, e.embedding, cent.cell_id, cent.cvec,
+                   {d2full('e.embedding', 'cent.cvec')} AS d2
+            FROM embeddings e CROSS JOIN cent)
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cell_id) = 1
+    ),
+    cbres AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS code_id,
+               embedding AS cbv, cvec AS cbc
+        FROM asg WHERE vec_id < {_PQ_CODES}
+    ),
+    subs AS (SELECT CAST(u.i AS INT) AS sub FROM UNNEST(range(0, {m})) AS u(i)),
+    codes AS (
+        SELECT vec_id AS neighbor_id, cell_id, sub, code_id AS code FROM (
+            SELECT a.vec_id, a.cell_id, sub, cb.code_id,
+                   {d2res('a.embedding', 'a.cvec', 'cb.cbv', 'cb.cbc')} AS d2
+            FROM asg a CROSS JOIN subs CROSS JOIN cbres cb)
+        QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d2, code_id) = 1
+    ),
+    pcell AS (
+        SELECT probe_id, pv, cell_id, cvec FROM (
+            SELECT e.vec_id AS probe_id, e.embedding AS pv,
+                   cent.cell_id, cent.cvec,
+                   {d2full('e.embedding', 'cent.cvec')} AS d2
+            FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 101 = 0)
+        QUALIFY row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY d2, cell_id) <= {npr}
+    ),
+    dist AS (
+        SELECT probe_id, cell_id, sub, cb.code_id AS code,
+               {d2res('p.pv', 'p.cvec', 'cb.cbv', 'cb.cbc')} AS d2
+        FROM pcell p CROSS JOIN subs CROSS JOIN cbres cb
+    ),
+    adc AS (
+        SELECT probe_id, neighbor_id,
+               CAST(round(sum(CAST(d.d2 AS DECIMAL(30,6))), 6) AS DOUBLE)
+                   AS adist
+        FROM codes c JOIN dist d USING (cell_id, sub, code)
+        GROUP BY 1, 2
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY adist, neighbor_id) AS INT)
+               AS rank,
+           adist
+    FROM adc
+    QUALIFY rank <= {k}
+    """
+
+
 def q_part_louvain(spark, sf_dir) -> DataFrame:
     """Deterministic distributed Louvain (graph.louvain) over the
     co-purchase graph: exact-integer move scores, alternating sweep
@@ -8452,6 +8598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_semdedup": q_doc_semdedup,
     "doc_url_dedup": q_doc_url_dedup,
     "part_louvain": q_part_louvain,
+    "knn_ivfpq": q_knn_ivfpq,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -8540,6 +8687,7 @@ _R5_NEW: tuple[str, ...] = (
     "doc_semdedup",
     "doc_url_dedup",
     "part_louvain",
+    "knn_ivfpq",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -8850,6 +8998,7 @@ ORACLES: dict[str, str] = {
     "doc_semdedup": _Q_DOC_SEMDEDUP_GOLDEN_SQL,
     "doc_url_dedup": _q_doc_url_dedup_sql(),
     "part_louvain": _Q_PART_LOUVAIN_GOLDEN_SQL,
+    "knn_ivfpq": _q_knn_ivfpq_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -908,3 +908,69 @@ def test_streaming_upsert_checkpoint_recovery(spark, tmp_path):
     upsert_sink(stream3, dst, ["k"], "ver", query_name="rec3")
     got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(dst).collect()}
     assert got == {1: (5, "v5")}
+
+
+def test_ivfpq_adc_composite(spark):
+    """IVF-PQ composite: residual-coded ADC must keep neighbors inside
+    the probe's cluster, only search probed cells, and beat flat PQ's
+    quantization error on the same code budget (residuals are smaller
+    than raw vectors)."""
+    import random
+
+    from certa_spark.operators.similarity import knn_ivfpq_adc, knn_pq_adc
+
+    rnd = random.Random(11)
+
+    def vec(center):
+        return [center + rnd.uniform(-0.2, 0.2) for _ in range(16)]
+
+    rows = [(i, vec(0.0)) for i in range(20)] + [
+        (i, vec(5.0)) for i in range(20, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # coarse quantizer: one seed vector per cluster
+    centroids = [rows[0][1], rows[20][1]]
+    # residual codebooks from 4 seed vectors' residuals to their centroid
+    def resid(v, c):
+        return [x - y for x, y in zip(v, c)]
+
+    cb_vecs = [
+        resid(rows[1][1], centroids[0]),
+        resid(rows[2][1], centroids[0]),
+        resid(rows[21][1], centroids[1]),
+        resid(rows[22][1], centroids[1]),
+    ]
+    codebooks = [[v[s * 4 : (s + 1) * 4] for v in cb_vecs] for s in range(4)]
+
+    probes = df.filter(F.col("vec_id").isin(0, 25))
+    res = knn_ivfpq_adc(df, probes, centroids, codebooks, k=5, nprobe=1)
+    rows_ = res.collect()
+    got = {
+        p: [r["neighbor_id"] for r in rows_ if r["probe_id"] == p]
+        for p in (0, 25)
+    }
+    # nprobe=1 on separated clusters: every neighbor from the probe's
+    # own cluster (non-probed cells are never scanned)
+    assert len(got[0]) == 5 and all(n < 20 for n in got[0])
+    assert len(got[25]) == 5 and all(n >= 20 for n in got[25])
+
+    # residual coding beats flat PQ with the SAME codebook geometry:
+    # flat PQ must spend codes on the cluster offset, so its top-1
+    # approximate self-distance is far larger than IVF-PQ's
+    flat_cb = [
+        [rows[1][1][s * 4 : (s + 1) * 4] for _ in range(1)]
+        + [rows[21][1][s * 4 : (s + 1) * 4]]
+        for s in range(4)
+    ]
+    flat = knn_pq_adc(df, probes, flat_cb, k=1)
+    ivf_self = {r["probe_id"]: r["adist"] for r in rows_ if r["rank"] == 1}
+    flat_self = {r["probe_id"]: r["adist"] for r in flat.collect()}
+    assert all(ivf_self[p] <= flat_self[p] for p in (0, 25))
+
+    # determinism under repartition
+    res2 = knn_ivfpq_adc(
+        df.repartition(7), probes, centroids, codebooks, k=5, nprobe=1
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, res2.collect())
+    )
