@@ -714,3 +714,107 @@ def oph_jaccard(a_regs: DataFrame, b_regs: DataFrame) -> DataFrame:
         (F.col("matched").cast("double") / F.col("filled").cast("double"))
         .alias("jaccard_est"),
     )
+
+
+def misra_gries(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter summary (Misra & Gries 1982;
+    mergeability per Agarwal et al., "Mergeable Summaries", PODS'12):
+    at most ``k`` (item, c) rows with the guarantee
+
+        count(x) - n/(k+1)  <=  c(x)  <=  count(x)
+
+    for EVERY item (absent items have c = 0), where n is the total row
+    count. So any item with frequency above n/(k+1) is guaranteed
+    present — which is what makes the two-pass
+    :func:`heavy_hitters_exact` deterministic under ANY partitioning.
+
+    Shape: one Arrow-batched ``mapInPandas`` pass keeps k decrement
+    counters per PARTITION (bounded memory however large the item
+    universe — the point of the sketch vs a full groupBy), then the
+    partial summaries (<= k * partitions tiny rows) merge relationally:
+    sum counters by item, subtract the (k+1)-th largest merged value,
+    drop non-positives. Both steps preserve the MG error bound.
+    """
+    if k <= 0:
+        raise ValueError("misra_gries: k must be positive")
+
+    out_schema = "item string, c long"
+
+    def _mg(batches):
+        import pandas as pd
+
+        # vectorized MG: each Arrow batch contributes its exact
+        # value_counts, merged into the running summary with the
+        # Agarwal et al. truncation (subtract the (k+1)-th largest,
+        # drop non-positives) — every subtraction of v removes >=
+        # (k+1)*v total mass, so the summed undercount stays <=
+        # n/(k+1): the classic MG bound without per-row Python
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf[col].astype(str).value_counts()
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > k:
+                sub = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - sub
+                counters = counters[counters > 0]
+        yield pd.DataFrame(
+            {"item": counters.index.astype(str), "c": counters.values}
+        )
+
+    partial = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        _mg, schema=out_schema
+    )
+    summed = partial.groupBy("item").agg(F.sum("c").cast("long").alias("c"))
+    # (k+1)-th largest merged counter (0 when fewer than k+1 items):
+    # subtracting it restores |summary| <= k and keeps the error bound
+    kth = (
+        summed.orderBy(F.col("c").desc(), F.col("item").asc())
+        .limit(k + 1)
+        .orderBy(F.col("c").asc(), F.col("item").desc())
+        .limit(1)
+        .collect()
+    )
+    sub = int(kth[0]["c"]) if len(kth) and summed.count() > k else 0
+    return (
+        summed.select("item", (F.col("c") - F.lit(sub)).alias("c"))
+        .filter(F.col("c") > 0)
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    top_n: int = 20,
+    k: int = 256,
+) -> DataFrame:
+    """Two-pass exact heavy hitters — the production pattern for
+    "top-N items of a column whose cardinality is too large to
+    groupBy": pass 1 sketches candidates with :func:`misra_gries`
+    (bounded memory, guaranteed superset of every item with frequency
+    > n/(k+1)); pass 2 recounts ONLY the <= k candidates exactly
+    (broadcast hash semi-join — the big side never shuffles) and keeps
+    the exact top ``top_n`` (ties to the smaller item).
+
+    The output is EXACT and partition-invariant whenever the true
+    top_n frequencies exceed n/(k+1) — size k accordingly (k >= 2 *
+    n / freq(top_n) is a comfortable margin). Returns
+    ``(item, cnt, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    cand = misra_gries(df, col, k=k).select("item")
+    counted = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -8076,6 +8076,43 @@ def q_doc_semdedup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_doc_token_heavy_hitters(spark, sf_dir) -> DataFrame:
+    """Corpus vocabulary heavy hitters by the two-pass Misra-Gries
+    pattern (sketch.misra_gries / heavy_hitters_exact): pass 1 sketches
+    candidate tokens in bounded memory (k counters per partition,
+    Arrow-batched value_counts merge — NOT a full groupBy over the
+    token universe), pass 2 recounts only the <= k candidates exactly
+    via a broadcast semi-join. Output is EXACT (MG superset guarantee:
+    every token with frequency > n/(k+1) is a candidate), so the
+    oracle is the plain explode + GROUP BY top-20 — the sketch path
+    must reproduce it bit-for-bit at every scale."""
+    from certa_spark.operators.sketch import heavy_hitters_exact
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    return heavy_hitters_exact(toks, "tok", top_n=20, k=256).select(
+        F.col("item").alias("token"), "cnt", "rank"
+    )
+
+
+_Q_DOC_TOKEN_HH_SQL = """
+    WITH toks AS (
+        SELECT t.tok FROM documents,
+             UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    )
+    SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS INT)
+               AS rank
+    FROM toks GROUP BY tok
+    QUALIFY rank <= 20
+"""
+
+
 def q_knn_ivfpq(spark, sf_dir) -> DataFrame:
     """IVF-PQ composite ANN (similarity.knn_ivfpq_adc — the FAISS
     IVFPQ production shape): argmin-L2 coarse cells from the 8
@@ -8599,6 +8636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_url_dedup": q_doc_url_dedup,
     "part_louvain": q_part_louvain,
     "knn_ivfpq": q_knn_ivfpq,
+    "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -8688,6 +8726,7 @@ _R5_NEW: tuple[str, ...] = (
     "doc_url_dedup",
     "part_louvain",
     "knn_ivfpq",
+    "doc_token_heavy_hitters",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -8999,6 +9038,7 @@ ORACLES: dict[str, str] = {
     "doc_url_dedup": _q_doc_url_dedup_sql(),
     "part_louvain": _Q_PART_LOUVAIN_GOLDEN_SQL,
     "knn_ivfpq": _q_knn_ivfpq_sql(),
+    "doc_token_heavy_hitters": _Q_DOC_TOKEN_HH_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -271,3 +271,59 @@ def test_kmv_group_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_misra_gries_bound_and_superset(spark):
+    """MG guarantee: for every item, count - n/(k+1) <= c <= count;
+    every item with frequency > n/(k+1) is present — under an
+    adversarial cardinality far above k."""
+    from certa_spark.operators.sketch import misra_gries
+
+    # 3 heavy items in a sea of 2000 singletons
+    rows = (
+        [("hot1",)] * 400 + [("hot2",)] * 250 + [("hot3",)] * 120
+        + [(f"tail{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    n = len(rows)
+    k = 64
+    got = {r["item"]: r["c"] for r in misra_gries(df, "v", k=k).collect()}
+    true = {"hot1": 400, "hot2": 250, "hot3": 120}
+    assert len(got) <= k
+    for item, cnt in true.items():
+        assert item in got  # freq > n/(k+1) = 42.6 -> guaranteed
+        assert cnt - n / (k + 1) <= got[item] <= cnt
+    # no overcounts anywhere
+    for item, c in got.items():
+        assert c <= true.get(item, 1)
+
+
+def test_heavy_hitters_exact_two_pass(spark):
+    """Two-pass output is EXACT and partition-invariant: equals the
+    plain groupBy top-n on any repartitioning."""
+    from certa_spark.operators.sketch import heavy_hitters_exact
+
+    rows = (
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 30 + [("d",)] * 10
+        + [(f"t{i}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    want = [("a", 50, 1), ("b", 30, 2), ("c", 30, 3), ("d", 10, 4)]
+    for parts in (1, 7):
+        got = [
+            (r["item"], r["cnt"], r["rank"])
+            for r in heavy_hitters_exact(
+                df.repartition(parts), "v", top_n=4, k=128
+            ).orderBy("rank").collect()
+        ]
+        assert got == want
+
+
+def test_misra_gries_rejects_bad_k(spark):
+    import pytest
+
+    from certa_spark.operators.sketch import misra_gries
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="k must be positive"):
+        misra_gries(df, "v", k=0)
