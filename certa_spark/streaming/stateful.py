@@ -212,3 +212,91 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+_HH_OUT_SCHEMA = "window_start timestamp, item string, c long"
+_HH_STATE_SCHEMA = "items array<string>, counts array<long>"
+
+
+def make_heavy_hitters_fn(col: str, k: int):
+    """Build the per-window state fold for
+    :func:`heavy_hitters_stream`: state is the Misra-Gries summary
+    (two parallel arrays, <= k entries); each micro-batch's exact
+    value_counts merges in with the subtract-(k+1)th-largest
+    truncation — the same mergeable-summaries step as the batch
+    operator, so the MG bound (count - n/(k+1) <= c <= count over the
+    window's rows so far) survives any batch boundaries."""
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            items, counts = state.get
+            counters = pd.Series(
+                list(counts), index=list(items), dtype="int64"
+            )
+        else:
+            counters = pd.Series(dtype="int64")
+        for pdf in pdfs:
+            vc = pdf[col].astype(str).value_counts()
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > k:
+                sub = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - sub
+                counters = counters[counters > 0]
+        state.update(
+            (
+                [str(i) for i in counters.index],
+                [int(v) for v in counters.values],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "window_start": key[0],
+                "item": counters.index.astype(str),
+                "c": counters.values,
+            }
+        )
+
+    return _fn
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 256,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming twin of ``sketch.misra_gries``: per-window
+    heavy-hitter candidate maintenance with BOUNDED state — <= k
+    (item, count) pairs per open window however many distinct items
+    the stream carries (the exact-count streaming aggregate this
+    replaces holds state linear in the item universe). Each update
+    emits the window's current summary; the last update per window is
+    its final MG summary, carrying the standard guarantee that every
+    item with in-window frequency > n/(k+1) is present — feed those
+    candidates to a batch recount (``sketch.heavy_hitters_exact``
+    pass 2) for exact top-N, the classic lambda-free two-pass.
+
+    Summary CONTENT depends on micro-batch boundaries (MG is
+    order-sensitive); the guarantee does not — that is what the tests
+    pin, alongside exactness whenever cardinality stays <= k."""
+    g = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col(col).cast("string").alias(col),
+        )
+        .select(F.col("w.start").alias("window_start"), col)
+        .groupBy("window_start")
+    )
+    return g.applyInPandasWithState(
+        make_heavy_hitters_fn(col, k),
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -974,3 +974,54 @@ def test_ivfpq_adc_composite(spark):
     assert sorted(map(tuple, res.collect())) == sorted(
         map(tuple, res2.collect())
     )
+
+
+def test_streaming_heavy_hitters_bound_and_exact_smallcard(spark, tmp_path):
+    """Streaming MG twin: per-window summaries obey the MG bound
+    (superset of every item with freq > n/(k+1)); with cardinality
+    <= k the summary is EXACT per window; state stays <= k rows."""
+    from certa_spark.streaming.stateful import heavy_hitters_stream
+
+    src = str(tmp_path / "hh_src")
+    # hour 10: skewed tokens over cardinality 40 (> k=16)
+    # hour 11: cardinality 5 (< k) -> exact
+    rows = (
+        [(f"2024-01-01 10:{m:02d}:00", "hot") for m in range(30)]
+        + [
+            (f"2024-01-01 10:{m:02d}:30", f"t{m}")
+            for m in range(40)
+        ]
+        + [
+            (f"2024-01-01 11:{m:02d}:00", f"w{m % 5}")
+            for m in range(50)
+        ]
+    )
+    batch = spark.createDataFrame(rows, ["ts", "tok"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = heavy_hitters_stream(stream, "tok", window_duration="1 hour", k=16)
+    q = (
+        out.writeStream.format("memory").queryName("hh_stream")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    import pandas as pd
+
+    got = spark.sql(
+        "SELECT * FROM hh_stream"
+    ).toPandas()
+    # keep only the LAST emitted summary per window (update mode may
+    # emit once per micro-batch)
+    h10 = got[got["window_start"].astype(str).str.contains("10:00")]
+    h11 = got[got["window_start"].astype(str).str.contains("11:00")]
+    # hour 10: n=70, k=16 -> every item with freq > 70/17=4.1 present
+    assert len(h10) <= 16
+    assert "hot" in set(h10["item"])
+    hot_c = int(h10[h10["item"] == "hot"]["c"].iloc[0])
+    assert 30 - 70 / 17 <= hot_c <= 30
+    # hour 11: cardinality 5 < k -> exact counts
+    want = {f"w{i}": 10 for i in range(5)}
+    got11 = dict(zip(h11["item"], h11["c"].astype(int)))
+    assert got11 == want
