@@ -1453,6 +1453,7 @@ def louvain(
     max_levels: int = 3,
     partitions: int | None = None,
     with_history: bool = False,
+    refine: bool = False,
 ):
     """Louvain-style community detection (Blondel et al. 2008) made
     DETERMINISTIC and partition-invariant: synchronous local-move
@@ -1522,6 +1523,7 @@ def louvain(
         .repartition(partitions, "a")
         .localCheckpoint()
     )
+    base_und = und  # level-0 edges, kept for the refinement pass
     # original-node -> current community, carried across levels
     proj = und.select(F.col("a").alias("node")).unionByName(
         und.select(F.col("b").alias("node"))
@@ -1723,9 +1725,62 @@ def louvain(
         )
 
     out = proj.select("node", "community")
+    if refine:
+        out = refine_communities(
+            base_und, out, src="a", dst="b", partitions=partitions
+        )
     if with_history:
         return out, history
     return out
+
+
+def refine_communities(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Leiden-style connectivity refinement (Traag et al. 2019's fix
+    for Louvain's one guarantee gap): split every INTERNALLY
+    DISCONNECTED community into its connected parts. Splitting a
+    disconnected community {A, B} (no intra edges between A and B)
+    changes Q by +2*d_A*d_B/(4m^2) > 0, so refinement never lowers
+    modularity and connected communities pass through untouched.
+
+    Shape: filter edges to intra-community pairs (two broadcast-able
+    assignment joins), one :func:`connected_components` run over that
+    (strictly smaller) edge set, nodes isolated inside their community
+    become singletons. New labels keep the min-member-node-id
+    convention, so output stays deterministic."""
+    partitions = _default_partitions(edges, partitions)
+    ca = communities.select(
+        F.col(node_col).alias("a"), F.col(community_col).alias("_ra")
+    )
+    cb = communities.select(
+        F.col(node_col).alias("b"), F.col(community_col).alias("_rb")
+    )
+    intra = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("_ra") == F.col("_rb"))
+        .select("a", "b")
+    )
+    cc = connected_components(
+        intra, src="a", dst="b", shortcut=True, partitions=partitions
+    ).select(F.col("node"), F.col("cluster").alias("_cc"))
+    return (
+        communities.select(F.col(node_col).alias("node"))
+        .join(cc, "node", "left")
+        # a node with no intra-community edge is its own component
+        .select(
+            "node",
+            F.coalesce(F.col("_cc"), F.col("node")).alias(community_col),
+        )
+    )
 
 
 def _louvain_objective(

@@ -639,3 +639,52 @@ def test_louvain_improves_on_singletons(spark):
     q = modularity(df, comm)
     assert q > 0.5  # 4 cliques on a ring: optimum ~0.65
     assert out.select("community").distinct().count() == 4
+
+
+def test_refine_communities_splits_disconnected(spark):
+    """A community whose members span two disconnected parts is split
+    into its connected parts, and Q strictly increases; connected
+    communities pass through untouched."""
+    from certa_spark.operators.graph import modularity, refine_communities
+
+    # two triangles {1,2,3} and {7,8,9}, no edge between them, plus a
+    # connected pair {4,5}
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (4, 5)],
+        "src long, dst long",
+    )
+    # assignment that wrongly merges the two triangles
+    comm = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3, 7, 8, 9)] + [(4, 4), (5, 4)],
+        "node long, community long",
+    )
+    out = refine_communities(e, comm)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert len({got[1], got[7]}) == 2  # split
+    assert got[1] == got[2] == got[3]
+    assert got[7] == got[8] == got[9]
+    assert got[4] == got[5]
+    q_before = modularity(e, comm.withColumnRenamed("community", "cluster"))
+    q_after = modularity(
+        e, out.withColumnRenamed("community", "cluster")
+    )
+    assert q_after > q_before
+
+
+def test_louvain_refine_is_noop_on_connected_result(spark):
+    from certa_spark.operators.graph import louvain
+
+    e = spark.createDataFrame(
+        _two_clique_bridge_edges(), "src long, dst long"
+    )
+    def groups(rows):
+        byc: dict = {}
+        for r in rows:
+            byc.setdefault(r["community"], set()).add(r["node"])
+        return sorted(map(frozenset, byc.values()), key=min)
+
+    plain = groups(louvain(e).collect())
+    refined = groups(louvain(e, refine=True).collect())
+    # identical PARTITION; refinement only renames labels to the min
+    # member (CC convention) when communities are already connected
+    assert plain == refined
