@@ -8076,6 +8076,76 @@ def q_doc_semdedup(spark, sf_dir) -> DataFrame:
     )
 
 
+_DOMAIN_CAP = 100
+
+
+def q_doc_domain_cap(spark, sf_dir) -> DataFrame:
+    """Per-domain crawl caps (the RefinedWeb/CCNet anti-SEO rule: no
+    registrable domain may dominate the corpus): PSL domain via the
+    broadcast-join plan (registrable_domain_psl), then keep at most
+    N docs per domain selected by CONTENT-HASH rank — not doc_id order,
+    so the kept subset is an unbiased deterministic sample however the
+    crawl was sequenced. One domain-keyed window; the oracle re-derives
+    the domains independently and replays the same md5-derived rank."""
+    from certa_spark.functions.hashing import hash64
+    from certa_spark.functions.url import registrable_domain_psl
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
+    host = F.element_at(
+        hosts, (F.col("doc_id") % len(_URL_HOSTS) + 1).cast("int")
+    )
+    with_url = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    with_dom = registrable_domain_psl(with_url, "url", out_col="domain")
+    w = Window.partitionBy("domain").orderBy(
+        hash64(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = with_dom.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("_rn") <= _DOMAIN_CAP).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("_rn") <= _DOMAIN_CAP, F.col("doc_id"))
+            ).cast("long").alias("kept_checksum"),
+        )
+    )
+
+
+def _q_doc_domain_cap_sql() -> str:
+    nh = len(_URL_HOSTS)
+    dom_arr = "[" + ", ".join(f"'{d}'" for d in _URL_DOMAINS) + "]"
+    h = duck_hash64("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH u AS (
+        SELECT doc_id,
+               list_extract({dom_arr},
+                   CAST(doc_id % {nh} + 1 AS INT)) AS domain,
+               {h} AS hv
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain
+                                  ORDER BY hv, doc_id) AS rn
+        FROM u
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN doc_id END)
+                AS BIGINT) AS kept_checksum
+    FROM r GROUP BY 1
+"""
+
+
 def q_doc_token_heavy_hitters(spark, sf_dir) -> DataFrame:
     """Corpus vocabulary heavy hitters by the two-pass Misra-Gries
     pattern (sketch.misra_gries / heavy_hitters_exact): pass 1 sketches
@@ -8637,6 +8707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_louvain": q_part_louvain,
     "knn_ivfpq": q_knn_ivfpq,
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
+    "doc_domain_cap": q_doc_domain_cap,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -8727,6 +8798,7 @@ _R5_NEW: tuple[str, ...] = (
     "part_louvain",
     "knn_ivfpq",
     "doc_token_heavy_hitters",
+    "doc_domain_cap",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -9039,6 +9111,7 @@ ORACLES: dict[str, str] = {
     "part_louvain": _Q_PART_LOUVAIN_GOLDEN_SQL,
     "knn_ivfpq": _q_knn_ivfpq_sql(),
     "doc_token_heavy_hitters": _Q_DOC_TOKEN_HH_SQL,
+    "doc_domain_cap": _q_doc_domain_cap_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
