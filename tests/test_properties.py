@@ -163,3 +163,108 @@ def test_ktruss_is_a_fixpoint_with_valid_support(spark, edges):
             out.select(F.col("a").alias("src"), F.col("b").alias("dst")), k=3
         )
         assert sorted((r["a"], r["b"], r["support"]) for r in again.collect()) == rows
+
+
+_MG_STREAM = st.lists(
+    st.one_of(
+        st.sampled_from(["hotA", "hotB"]),          # recurring heavies
+        st.integers(0, 400).map(lambda i: f"t{i}"),  # long tail
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(items=_MG_STREAM, k=st.sampled_from([4, 8, 16]))
+@_SETTINGS
+def test_misra_gries_bound_holds_under_any_stream(spark, items, k):
+    """MG invariants on arbitrary streams and partitionings:
+    |summary| <= k, never an overcount, undercount <= n/(k+1), and
+    every item with freq > n/(k+1) is present."""
+    from collections import Counter
+
+    from certa_spark.operators.sketch import misra_gries
+
+    df = spark.createDataFrame([(v,) for v in items], "v string")
+    n = len(items)
+    true = Counter(items)
+    for parts in (1, 5):
+        got = {
+            r["item"]: r["c"]
+            for r in misra_gries(df.repartition(parts), "v", k=k).collect()
+        }
+        assert len(got) <= k
+        slack = n / (k + 1)
+        for item, c in got.items():
+            assert c <= true[item]
+        for item, cnt in true.items():
+            assert got.get(item, 0) >= cnt - slack
+            if cnt > slack:
+                assert item in got
+
+
+_LOUVAIN_EDGES = st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+        lambda t: (min(t), max(t))
+    ),
+    min_size=1,
+    max_size=16,
+).map(lambda s: [(a, b) for a, b in s if a != b])
+
+
+@given(edges=_LOUVAIN_EDGES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_louvain_monotone_and_partition_invariant(spark, edges):
+    """On random small graphs: accepted-round Q history is strictly
+    increasing, the final Q matches the independent float scorer on
+    the original graph, and the assignment is partition-invariant."""
+    from hypothesis import assume
+
+    from certa_spark.operators.graph import louvain, modularity
+
+    assume(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out, hist = louvain(
+        df, max_rounds=4, max_levels=2, partitions=4, with_history=True
+    )
+    assert all(b > a for a, b in zip(hist, hist[1:]))
+    comm = out.withColumnRenamed("community", "cluster")
+    assert abs(hist[-1] - modularity(df, comm)) < 1e-9
+    out2 = louvain(
+        df.repartition(5), max_rounds=4, max_levels=2, partitions=4
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+
+
+_PSL_HOST = st.tuples(
+    st.lists(st.sampled_from(["a", "bb", "sub", "x9"]), max_size=2),
+    st.sampled_from(
+        ["com", "co.uk", "ck", "kawasaki.jp", "com.au", "example.com"]
+    ),
+).map(lambda t: ".".join(t[0] + [t[1]]))
+
+
+@given(host=_PSL_HOST)
+@_SETTINGS
+def test_registrable_domain_psl_is_idempotent_and_suffix(spark, host):
+    """For any host: the registrable domain is null or a suffix of the
+    host, and re-deriving the registrable domain of a registrable
+    domain is a fixpoint (a registered name registers itself)."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.functions.url import registrable_domain_psl
+
+    df = spark.createDataFrame([(f"https://{host}/x",)], "u string")
+    got = registrable_domain_psl(df, "u", out_col="d").collect()[0]["d"]
+    if got is None:
+        return
+    assert host.endswith(got)
+    df2 = spark.createDataFrame([(f"https://{got}/x",)], "u string")
+    again = registrable_domain_psl(df2, "u", out_col="d").collect()[0]["d"]
+    assert again == got
