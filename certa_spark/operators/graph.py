@@ -1830,3 +1830,72 @@ def _louvain_objective(
     sum_ec = int(row["se"]) if row["se"] is not None else 0
     sum_dc2 = int(row["sd"]) if row["sd"] is not None else 0
     return 2 * two_m * sum_ec - sum_dc2
+
+
+def betweenness_exact(
+    edges: DataFrame,
+    batch_size: int = 64,
+    max_depth: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT Brandes betweenness via pivot batching: every node is a
+    source, processed through :func:`betweenness_approx`'s
+    simultaneous-BFS machinery ``batch_size`` pivots at a time, with
+    each batch's partial dependency sums accumulated into a running
+    (node, bc) frame. Peak state drops from the all-at-once O(V^2)
+    (src, node) rows to O(batch_size * V) per batch — the pivot-
+    batching memory/latency trade (more driver-coordinated rounds,
+    bounded shuffle width).
+
+    Scope note, stated honestly: exact betweenness is O(V*E) WORK
+    regardless of batching, and the pivot list streams to the driver
+    (8 bytes/node) — this targets the mid-size graphs where exact
+    values are feasible at all (V up to ~10^6: an 8 MB driver list,
+    V/batch_size batches). For web-scale graphs use the content-hash
+    sampling of :func:`betweenness_approx`; no algorithm makes exact
+    betweenness cheap there.
+
+    Returns ``(node, bc)`` in the same directed-pair-sum convention as
+    :func:`betweenness_approx` (halve for undirected)."""
+    partitions = _default_partitions(edges, partitions)
+    if batch_size <= 0:
+        raise ValueError("betweenness_exact: batch_size must be positive")
+    nodes = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("node"))
+        .distinct()
+    )
+    ids = [r["node"] for r in nodes.orderBy("node").collect()]
+    if not ids:
+        raise ValueError("betweenness_exact: empty graph")
+    n = len(ids)
+    acc: DataFrame | None = None
+    for i in range(0, n, batch_size):
+        batch = ids[i : i + batch_size]
+        part = betweenness_approx(
+            edges,
+            sources=batch,
+            max_depth=max_depth,
+            partitions=partitions,
+        )
+        # betweenness_approx scales by n/|sources|; undo it to get the
+        # batch's raw dependency sum
+        unscale = float(len(batch)) / float(n)
+        part = part.select(
+            "node", (F.col("bc") * F.lit(unscale)).alias("bc")
+        )
+        if acc is None:
+            acc = part
+        else:
+            acc = (
+                acc.unionByName(part)
+                .groupBy("node")
+                .agg(F.sum("bc").alias("bc"))
+            )
+        # checkpoint per batch: keeps the accumulator plan O(1) deep
+        acc = acc.repartition(partitions, "node").localCheckpoint()
+    return acc

@@ -688,3 +688,25 @@ def test_louvain_refine_is_noop_on_connected_result(spark):
     # identical PARTITION; refinement only renames labels to the min
     # member (CC convention) when communities are already connected
     assert plain == refined
+
+
+def test_betweenness_exact_pivot_batched_matches_brandes(spark):
+    """Pivot-batched exact betweenness == pure-python Brandes == the
+    all-at-once sources=all run, for every batch size that splits the
+    pivots differently."""
+    from certa_spark.operators.graph import betweenness_exact
+
+    # branchy graph: two diamonds sharing a bridge
+    edges = [
+        (1, 2), (1, 3), (2, 4), (3, 4),      # diamond A
+        (4, 5),                               # bridge
+        (5, 6), (5, 7), (6, 8), (7, 8),      # diamond B
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = {v: round(b, 6) for v, b in _py_brandes(edges).items()}
+    for bs in (3, 8, 100):
+        got = {
+            r["node"]: round(r["bc"], 6)
+            for r in betweenness_exact(e, batch_size=bs).collect()
+        }
+        assert got == want, f"batch_size={bs}"
