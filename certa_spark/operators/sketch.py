@@ -818,3 +818,145 @@ def heavy_hitters_exact(
         counted.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def _kll_cascade(levels: list, k: int) -> None:
+    """Deterministic compaction cascade: when a level holds more than
+    ``k`` values, sort it and promote every second value (offset
+    alternates by level parity, so the down/up rank bias of a fixed
+    offset cancels across levels) to the next level, where each value
+    weighs twice as much. In-place."""
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) > k:
+            buf = sorted(levels[i])
+            if i + 1 == len(levels):
+                levels.append([])
+            levels[i + 1].extend(buf[(i % 2):: 2])
+            levels[i] = []
+        i += 1
+
+
+def kll_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-partition deterministic KLL/MRL quantile summaries (Manku
+    et al. SIGMOD'98 collapse rule; level structure per Karnin/Lang/
+    Liberty FOCS'16, with the random compaction offset replaced by a
+    level-parity-deterministic one — reproducible run-to-run at the
+    cost of the worst-case bound; empirical rank error on non-
+    adversarial data stays ~1/k, and the registry query GATES it).
+
+    One Arrow-batched ``mapInPandas`` pass: per (partition, group) a
+    cascade of levels, level i holding values of weight 2^i, each
+    capped at k — memory O(k log(n/k)) per group per partition however
+    large n grows. Output rows ``(*group_cols, level, value)`` are the
+    mergeable summary: <= k*levels rows per partition per group.
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+    fields = ", ".join(f"{g} string" for g in gcols)
+    out_schema = f"{fields}, level int, value double" if gcols else \
+        "level int, value double"
+
+    def _fn(batches):
+        states: dict = {}
+        for pdf in batches:
+            if gcols:
+                grouped = pdf.groupby(gcols, sort=False)
+            else:
+                grouped = [((), pdf)]
+            for key, g in grouped:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                levels = states.setdefault(key, [[]])
+                levels[0].extend(float(v) for v in g[value_col].dropna())
+                _kll_cascade(levels, k)
+        rows = []
+        for key, levels in states.items():
+            for lvl, vals in enumerate(levels):
+                for v in vals:
+                    rows.append((*[str(x) for x in key], lvl, v))
+        yield pd.DataFrame(
+            rows, columns=[*gcols, "level", "value"]
+        )
+
+    return df.select(
+        *[F.col(g).cast("string").alias(g) for g in gcols],
+        F.col(value_col).cast("double").alias(value_col),
+    ).mapInPandas(_fn, schema=out_schema)
+
+
+def kll_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    fractions: list[float],
+    k: int = 256,
+) -> DataFrame:
+    """Grouped quantile estimates from the deterministic KLL summary:
+    partials per partition (:func:`kll_partials`), then one
+    ``applyInPandas`` merge per group — re-run the cascade over the
+    (<= k * levels * partitions, tiny) weighted rows, then read each
+    fraction off the weighted CDF (first value whose cumulative weight
+    reaches q*W; ties to the smaller value by the sort). Fully
+    deterministic given the partitioning; the rank-error contract is
+    what the registry gate checks, mirroring the
+    ``events_quantile_approx_gate`` rank-not-value philosophy.
+    Returns ``(*group_cols, q, est)``."""
+    import pandas as pd
+
+    gcols = list(group_cols)
+    parts = kll_partials(df, gcols, value_col, k=k)
+    fields = ", ".join(f"{g} string" for g in gcols)
+    out_schema = (
+        f"{fields}, q double, est double" if gcols else "q double, est double"
+    )
+    fr = sorted(float(q) for q in fractions)
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        levels: list = [[]]
+        for lvl, grp in pdf.groupby("level"):
+            while len(levels) <= lvl:
+                levels.append([])
+            levels[lvl].extend(float(v) for v in grp["value"])
+        _kll_cascade(levels, k)
+        vals, ws = [], []
+        for lvl, buf in enumerate(levels):
+            vals.extend(buf)
+            ws.extend([2 ** lvl] * len(buf))
+        s = pd.DataFrame({"v": vals, "w": ws}).sort_values("v")
+        cw = s["w"].cumsum()
+        total = int(s["w"].sum())
+        ests = []
+        for q in fr:
+            target = q * total
+            idx = (cw >= target).idxmax() if total else None
+            ests.append(float(s["v"].loc[idx]) if idx is not None else None)
+        return pd.DataFrame(
+            {
+                **{g: [key[i]] * len(fr) for i, g in enumerate(gcols)},
+                "q": fr,
+                "est": ests,
+            }
+        )
+
+    if gcols:
+        return parts.groupBy(*gcols).applyInPandas(
+            lambda key, pdf: _merge(key, pdf), schema=out_schema
+        )
+
+    def _merge_all(key, pdf):
+        out = _merge((), pdf)
+        out.insert(0, "_g", 1)
+        return out
+
+    return (
+        parts.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(_merge_all, schema="_g int, " + out_schema)
+        .drop("_g")
+    )

@@ -8076,6 +8076,70 @@ def q_doc_semdedup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_events_quantile_kll(spark, sf_dir) -> DataFrame:
+    """Deterministic mergeable quantile sketch gate
+    (sketch.kll_partials / kll_quantiles — MRL/KLL compactors with a
+    level-parity-deterministic offset instead of KLL's random one):
+    per-partition level summaries, one tiny merge per group, memory
+    O(k log(n/k)) per group per partition at any n. Gated exactly like
+    `events_quantile_approx_gate`: the sketch value must sit within 2%
+    RANK error (+1/n slack) of the requested fraction — rank, not
+    value, is the contract a quantile sketch makes. The oracle carries
+    the engine-portable parts (exact quantiles, verdict); the sketch
+    machinery is Spark-only, so a broken compactor turns the row red."""
+    from certa_spark.operators.sketch import kll_quantiles
+
+    e = _events(spark, sf_dir).select("event_type", "value")
+    qs = [0.5, 0.9, 0.99]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    est = kll_quantiles(e, ["event_type"], "value", qs, k=256)
+    ex = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), qarr).alias("_ex")
+    ).select(
+        "event_type",
+        F.posexplode("_ex").alias("_i", "_exv"),
+    ).select(
+        "event_type",
+        F.element_at(qarr, F.col("_i") + 1).alias("q"),
+        F.round("_exv", 6).alias("exact"),
+    )
+    joined = ex.join(est, ["event_type", "q"])
+    return (
+        e.join(F.broadcast(joined), "event_type")
+        .groupBy("event_type", "q", "exact")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum((F.col("value") <= F.col("est")).cast("long"))
+            .cast("double")
+            .alias("_rk"),
+        )
+        .select(
+            "event_type",
+            "q",
+            "exact",
+            (
+                F.abs(F.col("_rk") / F.col("_n") - F.col("q"))
+                <= F.lit(0.02) + F.lit(1.0) / F.col("_n")
+            ).alias("kll_ok"),
+        )
+    )
+
+
+_Q_EVENTS_QUANTILE_KLL_SQL = """
+    WITH ag AS (
+        SELECT event_type,
+               quantile_cont(value, [0.5, 0.9, 0.99]) AS ex
+        FROM events GROUP BY 1
+    ),
+    x AS (
+        SELECT event_type, u.q, round(ex[u.i], 6) AS exact
+        FROM ag, (VALUES (1, 0.5), (2, 0.9), (3, 0.99)) AS u(i, q)
+    )
+    SELECT event_type, CAST(q AS DOUBLE) AS q, exact, TRUE AS kll_ok
+    FROM x
+"""
+
+
 _DOMAIN_CAP = 100
 
 
@@ -8708,6 +8772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivfpq": q_knn_ivfpq,
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
     "doc_domain_cap": q_doc_domain_cap,
+    "events_quantile_kll": q_events_quantile_kll,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -8799,6 +8864,7 @@ _R5_NEW: tuple[str, ...] = (
     "knn_ivfpq",
     "doc_token_heavy_hitters",
     "doc_domain_cap",
+    "events_quantile_kll",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -9112,6 +9178,7 @@ ORACLES: dict[str, str] = {
     "knn_ivfpq": _q_knn_ivfpq_sql(),
     "doc_token_heavy_hitters": _Q_DOC_TOKEN_HH_SQL,
     "doc_domain_cap": _q_doc_domain_cap_sql(),
+    "events_quantile_kll": _Q_EVENTS_QUANTILE_KLL_SQL,
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
