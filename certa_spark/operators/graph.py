@@ -1490,6 +1490,13 @@ def louvain(
     checkpoints of every accepted round, as floats, strictly
     increasing.
 
+    ``refine=True`` upgrades the method to Leiden semantics (Traag et
+    al. 2019): :func:`refine_communities` splits internally
+    disconnected communities at EVERY level boundary before
+    contraction (so supernodes stay internally connected — Louvain's
+    one guarantee gap) plus a final pass on the original graph; every
+    split strictly raises Q, and the history records it.
+
     Scale shape per round: one join of the bidirectional edge list
     against the assignment (community tags), one (node, comm) partial
     aggregate, one node-keyed max_by aggregate — ~3 key-partitioned
@@ -1692,6 +1699,31 @@ def louvain(
             if with_history:
                 history.append(j_new / (float(two_m) * two_m))
 
+        if refine and moved_any:
+            # Leiden-style step at EVERY level boundary: split
+            # internally disconnected communities before contraction.
+            # By induction supernodes are internally connected, so
+            # coarse-graph CC splits equal fine-graph splits; each
+            # split raises J (see refine_communities), re-measured so
+            # the history stays honest.
+            assign = (
+                refine_communities(
+                    und,
+                    assign,
+                    src="a",
+                    dst="b",
+                    node_col="node",
+                    community_col="comm",
+                )
+                .repartition(partitions, "node")
+                .localCheckpoint()
+            )
+            j_ref = _louvain_objective(und, assign, int(two_m), deg)
+            if j_ref != j_best:
+                j_best = j_ref
+                if with_history:
+                    history.append(j_ref / (float(two_m) * two_m))
+
         # project original nodes through this level's assignment
         proj = (
             proj.join(
@@ -1726,6 +1758,9 @@ def louvain(
 
     out = proj.select("node", "community")
     if refine:
+        # final pass on the ORIGINAL graph: covers the last level's
+        # local moves (in-loop refinement runs before contraction, so
+        # a level that converged without contracting is re-checked)
         out = refine_communities(
             base_und, out, src="a", dst="b", partitions=partitions
         )
