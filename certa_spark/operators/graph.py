@@ -1934,3 +1934,105 @@ def betweenness_exact(
         # checkpoint per batch: keeps the accumulator plan O(1) deep
         acc = acc.repartition(partitions, "node").localCheckpoint()
     return acc
+
+
+def hyperball(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+    p: int = 6,
+    partitions: int | None = None,
+) -> DataFrame:
+    """HyperBall / HyperANF (Boldi, Rosa & Vigna, WWW'11; Boldi &
+    Vigna, "In-core computation of geometric centralities with
+    HyperBall", 2013): the approximate NEIGHBORHOOD FUNCTION
+    ``NF(r) = sum_v |ball(v, r)|`` — the published way to get distance
+    distributions, effective diameter, and average distance on graphs
+    far too large for all-pairs BFS. Each node carries an HLL sketch
+    of its ball; one round replaces every sketch with the register-max
+    of its neighbors' sketches plus its own (union of balls), so round
+    r yields balls of radius r.
+
+    Spark shape: sketches live as ``(node, bucket, m)`` REGISTER ROWS
+    (<= 2^p per node), a round is one edge join + one (node, bucket)
+    max-aggregate — shuffles bounded by E * 2^p register rows,
+    independent of ball sizes (the whole point: exact |ball| needs
+    O(V^2) state by round ~diameter). Per-round NF = per-node grouped
+    HLL estimates (sketch.hll_estimate_by) rounded to 4 and summed as
+    DECIMAL — order-independent, so the output is bit-reproducible by
+    the DuckDB oracle (same md5-derived registers, same estimator,
+    same unrolled max-merge).
+
+    Runs exactly ``rounds`` rounds for a deterministic row count, but
+    stops LAUNCHING jobs once the register sum (an exact integer that
+    only grows) converges — plateau rows repeat the converged NF, as
+    the math says they must. Returns ``(r, nf)`` for r = 0..rounds.
+    """
+    from certa_spark.operators.sketch import hll_estimate_by
+
+    partitions = _default_partitions(edges, partitions)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(partitions, "a")
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    from certa_spark.operators.sketch import hll_registers_by
+
+    regs = (
+        hll_registers_by(
+            nodes.select("node", F.col("node").alias("_v")), "_v", ["node"], p
+        )
+        .repartition(partitions, "node")
+        .localCheckpoint()
+    )
+
+    DEC = "decimal(38,4)"
+
+    def _nf(r: DataFrame) -> float:
+        est = hll_estimate_by(r, ["node"], p)
+        row = est.agg(
+            F.sum(F.col("hll_estimate").cast(DEC)).alias("s")
+        ).first()
+        return float(row["s"]) if row["s"] is not None else 0.0
+
+    def _msum(r: DataFrame) -> int:
+        row = r.agg(F.sum("m").cast("long").alias("s")).first()
+        return int(row["s"]) if row["s"] is not None else 0
+
+    out_rows = [(0, _nf(regs))]
+    prev_sum = _msum(regs)
+    converged = False
+    for r in range(1, rounds + 1):
+        if converged:
+            out_rows.append((r, out_rows[-1][1]))
+            continue
+        nbr = (
+            sym.join(
+                regs.select(
+                    F.col("node").alias("b"), "bucket", "m"
+                ),
+                "b",
+            )
+            .select(F.col("a").alias("node"), "bucket", "m")
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "bucket")
+            .agg(F.max("m").alias("m"))
+            .repartition(partitions, "node")
+            .localCheckpoint()
+        )
+        out_rows.append((r, _nf(regs)))
+        cur = _msum(regs)
+        if cur == prev_sum:
+            converged = True
+        prev_sum = cur
+    spark = edges.sparkSession
+    return spark.createDataFrame(out_rows, "r int, nf double")

@@ -8076,6 +8076,99 @@ def q_doc_semdedup(spark, sf_dir) -> DataFrame:
     )
 
 
+_HB_ROUNDS, _HB_P = 5, 6
+
+
+def q_part_hyperball(spark, sf_dir) -> DataFrame:
+    """HyperBall / HyperANF neighborhood function (graph.hyperball,
+    Boldi-Vigna) over the sparse co-purchase graph: NF(r) = sum of
+    per-node HLL ball-sketch estimates after r register-max merge
+    rounds — distance distributions without all-pairs BFS; shuffles
+    E * 2^p register rows per round regardless of ball sizes. Every
+    stage is cross-engine exact (md5 registers, integer max merges,
+    estimator summed as DECIMAL), so the oracle replays the SAME
+    computation with an unrolled merge cascade and value-hashes."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 120 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    return GR.hyperball(
+        pairs, src="pa", dst="pb", rounds=_HB_ROUNDS, p=_HB_P,
+        partitions=8,
+    )
+
+
+def _q_part_hyperball_sql(rounds: int = _HB_ROUNDS, p: int = _HB_P) -> str:
+    from certa_spark.operators.sketch import _HASH_BITS
+
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    top = 1 << (wbits + 1)
+    h = duck_hash64("CAST(node AS VARCHAR)")
+    raw = (
+        f"(0.7213/(1.0 + 1.079/{float(m)})) * {float(m)} * {float(m)}"
+        f" * {float(top)}"
+        f" / CAST(sum_present + ({m} - n_buckets) * {top} AS DOUBLE)"
+    )
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 120 = 0
+    )""",
+        """sym AS MATERIALIZED (
+        SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+    )""",
+        f"""r0 AS MATERIALIZED (
+        SELECT node, ({h} >> {wbits}) AS bucket,
+               CASE WHEN ({h} & {(1 << wbits) - 1}) = 0 THEN {wbits + 1}
+                    ELSE {wbits + 1}
+                         - length(bin(({h} & {(1 << wbits) - 1})::BIGINT))
+               END AS m
+        FROM (SELECT DISTINCT a AS node FROM sym)
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""r{r} AS MATERIALIZED (
+        SELECT node, bucket, max(m) AS m FROM (
+            SELECT * FROM r{r - 1}
+            UNION ALL
+            SELECT s.a AS node, t.bucket, t.m
+            FROM sym s JOIN r{r - 1} t ON t.node = s.b
+        ) GROUP BY 1, 2
+    )"""
+        )
+    nf_parts = []
+    for r in range(rounds + 1):
+        nf_parts.append(
+            f"""SELECT {r} AS r, CAST(sum(CAST(round(
+                CASE WHEN {raw} <= 2.5 * {m} AND ({m} - n_buckets) > 0
+                     THEN {float(m)} * ln({float(m)}
+                              / CAST({m} - n_buckets AS DOUBLE))
+                     ELSE {raw}
+                END, 4) AS DECIMAL(38,4))) AS DOUBLE) AS nf
+        FROM (
+            SELECT node,
+                   CAST(sum(1::BIGINT << ({wbits + 1} - m)) AS BIGINT)
+                       AS sum_present,
+                   CAST(count(*) AS BIGINT) AS n_buckets
+            FROM r{r} GROUP BY 1
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(r AS INT) AS r, nf FROM (\n"
+        + "\nUNION ALL\n".join(nf_parts)
+        + "\n)"
+    )
+
+
 def q_events_quantile_kll(spark, sf_dir) -> DataFrame:
     """Deterministic mergeable quantile sketch gate
     (sketch.kll_partials / kll_quantiles — MRL/KLL compactors with a
@@ -8773,6 +8866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
     "doc_domain_cap": q_doc_domain_cap,
     "events_quantile_kll": q_events_quantile_kll,
+    "part_hyperball": q_part_hyperball,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -8865,6 +8959,7 @@ _R5_NEW: tuple[str, ...] = (
     "doc_token_heavy_hitters",
     "doc_domain_cap",
     "events_quantile_kll",
+    "part_hyperball",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -9179,6 +9274,7 @@ ORACLES: dict[str, str] = {
     "doc_token_heavy_hitters": _Q_DOC_TOKEN_HH_SQL,
     "doc_domain_cap": _q_doc_domain_cap_sql(),
     "events_quantile_kll": _Q_EVENTS_QUANTILE_KLL_SQL,
+    "part_hyperball": _q_part_hyperball_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

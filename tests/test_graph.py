@@ -710,3 +710,45 @@ def test_betweenness_exact_pivot_batched_matches_brandes(spark):
             for r in betweenness_exact(e, batch_size=bs).collect()
         }
         assert got == want, f"batch_size={bs}"
+
+
+def test_hyperball_neighborhood_function(spark):
+    """HyperBall NF on a path + separate triangle: nondecreasing,
+    converges at the true diameter (plateau rows equal), tracks the
+    exact neighborhood function within HLL error, and is
+    partition-invariant."""
+    from collections import deque
+
+    from certa_spark.operators.graph import hyperball
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["r"]: r["nf"] for r in hyperball(e, rounds=6, p=6).collect()}
+
+    # exact NF by BFS
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def ball(v, r):
+        seen, frontier = {v}, {v}
+        for _ in range(r):
+            frontier = {w for u in frontier for w in adj[u]} - seen
+            seen |= frontier
+        return len(seen)
+
+    for r in range(7):
+        exact = sum(ball(v, r) for v in adj)
+        assert abs(out[r] - exact) / exact < 0.2, (r, out[r], exact)
+    # nondecreasing, and converged by the path diameter (4): rows 4..6
+    # are an exact plateau
+    vals = [out[r] for r in range(7)]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+    assert out[4] == out[5] == out[6]
+
+    out2 = {
+        r["r"]: r["nf"]
+        for r in hyperball(e.repartition(5), rounds=6, p=6).collect()
+    }
+    assert out == out2
