@@ -2036,3 +2036,93 @@ def hyperball(
         prev_sum = cur
     spark = edges.sparkSession
     return spark.createDataFrame(out_rows, "r int, nf double")
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 7,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic random-walk corpus generation (the DeepWalk /
+    node2vec input pipeline, Perozzi et al. KDD'14) with the repo's
+    no-RNG rule: step s of walk (start, w) moves to neighbor number
+    ``hash64("seed:start:w:s") mod degree`` in the id-ordered
+    adjacency — same walks under any partitioning, any cluster size,
+    and bit-reproducible by a SQL oracle (md5-derived hash both
+    sides). Returns exploded positions ``(start, walk, step, node)``,
+    step 0..length — the sentence corpus a skip-gram trainer consumes.
+
+    Scale shape: the ranked adjacency ``(node, rank, nbr)`` plus a
+    degree table are built once (one window per node — id-ordered,
+    deterministic) and checkpointed; each step is two node-keyed
+    equi-joins of the walk frontier (W rows) — no per-walk Python, no
+    RNG state to synchronize, walk count scales independently of the
+    adjacency build."""
+    from certa_spark.functions.hashing import hash64
+
+    partitions = _default_partitions(edges, partitions)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    w_rank = Window.partitionBy("a").orderBy(F.col("b").asc())
+    ranked = (
+        sym.select(
+            F.col("a").alias("node"),
+            F.row_number().over(w_rank).alias("rank"),
+            F.col("b").alias("nbr"),
+        )
+        .repartition(partitions, "node")
+        .localCheckpoint()
+    )
+    deg = (
+        ranked.groupBy("node")
+        .agg(F.max("rank").cast("long").alias("deg"))
+        .repartition(partitions, "node")
+        .localCheckpoint()
+    )
+    frontier = deg.select(F.col("node").alias("start")).crossJoin(
+        F.broadcast(
+            edges.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk")
+            )
+        )
+    ).select("start", "walk", F.col("start").alias("node"))
+    rows = frontier.select(
+        "start", "walk", F.lit(0).cast("int").alias("step"), "node"
+    )
+    for s in range(1, length + 1):
+        key = F.concat_ws(
+            ":",
+            F.col("start").cast("string"),
+            F.col("walk").cast("string"),
+            F.lit(str(s)),
+        )
+        stepped = (
+            frontier.join(deg, "node")
+            .select(
+                "start",
+                "walk",
+                "node",
+                (F.pmod(hash64(key, seed), F.col("deg")) + 1)
+                .cast("int")
+                .alias("rank"),
+            )
+            .join(ranked, ["node", "rank"])
+            .select("start", "walk", F.col("nbr").alias("node"))
+        )
+        rows = rows.unionByName(
+            stepped.select(
+                "start", "walk", F.lit(s).cast("int").alias("step"), "node"
+            )
+        )
+        frontier = stepped
+    return rows

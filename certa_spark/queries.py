@@ -8076,6 +8076,92 @@ def q_doc_semdedup(spark, sf_dir) -> DataFrame:
     )
 
 
+_RW_LEN, _RW_SEED = 4, 7
+
+
+def q_part_random_walks(spark, sf_dir) -> DataFrame:
+    """Deterministic random-walk corpus over the co-purchase graph
+    (graph.random_walks — the DeepWalk/node2vec sentence generator):
+    step s of walk from node v moves to neighbor
+    hash64(seed:v:walk:s) mod degree in the id-ordered adjacency, so
+    the corpus is identical under any partitioning and bit-replayable
+    by the oracle. Output = exploded (start, walk, step, node)
+    positions, aggregated here to one audit row per step (row count +
+    node checksum) to keep the result compact while still attesting
+    every position."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 120 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    walks = GR.random_walks(
+        pairs, src="pa", dst="pb", length=_RW_LEN, walks_per_node=1,
+        seed=_RW_SEED, partitions=8,
+    )
+    return walks.groupBy("step").agg(
+        F.count("*").cast("long").alias("n_positions"),
+        F.sum("node").cast("long").alias("node_checksum"),
+    )
+
+
+def _q_part_random_walks_sql(
+    length: int = _RW_LEN, seed: int = _RW_SEED
+) -> str:
+    h = duck_hash64("CAST(start AS VARCHAR) || ':' || '0' || ':' || '{s}'",
+                    seed=seed)
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 120 = 0
+    )""",
+        """sym AS MATERIALIZED (
+        SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+    )""",
+        """ranked AS MATERIALIZED (
+        SELECT a AS node,
+               CAST(row_number() OVER (PARTITION BY a ORDER BY b)
+                    AS BIGINT) AS rank,
+               b AS nbr
+        FROM sym
+    )""",
+        """deg AS MATERIALIZED (
+        SELECT node, CAST(max(rank) AS BIGINT) AS deg
+        FROM ranked GROUP BY 1
+    )""",
+        """w0 AS MATERIALIZED (
+        SELECT node AS start, node FROM deg
+    )""",
+    ]
+    for s in range(1, length + 1):
+        hs = h.format(s=s)
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+        SELECT f.start, r.nbr AS node
+        FROM w{s - 1} f
+        JOIN deg d ON d.node = f.node
+        JOIN ranked r ON r.node = f.node
+         AND r.rank = ({hs}) % d.deg + 1
+    )"""
+        )
+    selects = [
+        f"""SELECT {s} AS step, CAST(count(*) AS BIGINT) AS n_positions,
+               CAST(sum(node) AS BIGINT) AS node_checksum FROM w{s}"""
+        for s in range(length + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(step AS INT) AS step, n_positions, node_checksum"
+        + " FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n)"
+    )
+
+
 _HB_ROUNDS, _HB_P = 5, 6
 
 
@@ -8867,6 +8953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_domain_cap": q_doc_domain_cap,
     "events_quantile_kll": q_events_quantile_kll,
     "part_hyperball": q_part_hyperball,
+    "part_random_walks": q_part_random_walks,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -8960,6 +9047,7 @@ _R5_NEW: tuple[str, ...] = (
     "doc_domain_cap",
     "events_quantile_kll",
     "part_hyperball",
+    "part_random_walks",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -9275,6 +9363,7 @@ ORACLES: dict[str, str] = {
     "doc_domain_cap": _q_doc_domain_cap_sql(),
     "events_quantile_kll": _Q_EVENTS_QUANTILE_KLL_SQL,
     "part_hyperball": _q_part_hyperball_sql(),
+    "part_random_walks": _q_part_random_walks_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -752,3 +752,28 @@ def test_hyperball_neighborhood_function(spark):
         for r in hyperball(e.repartition(5), rounds=6, p=6).collect()
     }
     assert out == out2
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Every consecutive (node, next) pair is a real edge, walks have
+    exactly length+1 positions, and results are identical under any
+    partitioning (content-hash steps, no RNG state)."""
+    from certa_spark.operators.graph import random_walks
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (5, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = random_walks(e, length=3, walks_per_node=2).collect()
+    adj = set()
+    for a, b in edges:
+        adj |= {(a, b), (b, a)}
+    byw = {}
+    for r in out:
+        byw.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+    assert len(byw) == 5 * 2
+    for (start, w), path in byw.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == start
+        for s in range(3):
+            assert (path[s], path[s + 1]) in adj
+    out2 = random_walks(e.repartition(7), length=3, walks_per_node=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
