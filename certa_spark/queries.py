@@ -8255,6 +8255,105 @@ def _q_part_hyperball_sql(rounds: int = _HB_ROUNDS, p: int = _HB_P) -> str:
     )
 
 
+def q_part_harmonic(spark, sf_dir) -> DataFrame:
+    """Approximate harmonic centrality via HyperBall
+    (graph.harmonic_centrality, Boldi-Vigna 2013): H(v) = sum 1/d(u,v)
+    from per-node HLL ball sketches — the web-scale centrality that
+    needs no pairwise BFS and stays defined on disconnected graphs.
+    Top-20 parts of the co-purchase graph. The delta chain is summed
+    in a fixed left-to-right order on round-4 estimates, so the oracle
+    replays the exact float arithmetic from the same unrolled register
+    cascade."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 120 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    return GR.harmonic_centrality(
+        pairs, src="pa", dst="pb", rounds=_HB_ROUNDS, p=_HB_P, top=20,
+        partitions=8,
+    )
+
+
+def _q_part_harmonic_sql(rounds: int = _HB_ROUNDS, p: int = _HB_P) -> str:
+    from certa_spark.operators.sketch import _HASH_BITS
+
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    top = 1 << (wbits + 1)
+    h = duck_hash64("CAST(node AS VARCHAR)")
+    raw = (
+        f"(0.7213/(1.0 + 1.079/{float(m)})) * {float(m)} * {float(m)}"
+        f" * {float(top)}"
+        f" / CAST(sum_present + ({m} - n_buckets) * {top} AS DOUBLE)"
+    )
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 120 = 0
+    )""",
+        """sym AS MATERIALIZED (
+        SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+    )""",
+        f"""r0 AS MATERIALIZED (
+        SELECT node, ({h} >> {wbits}) AS bucket,
+               CASE WHEN ({h} & {(1 << wbits) - 1}) = 0 THEN {wbits + 1}
+                    ELSE {wbits + 1}
+                         - length(bin(({h} & {(1 << wbits) - 1})::BIGINT))
+               END AS m
+        FROM (SELECT DISTINCT a AS node FROM sym)
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""r{r} AS MATERIALIZED (
+        SELECT node, bucket, max(m) AS m FROM (
+            SELECT * FROM r{r - 1}
+            UNION ALL
+            SELECT s.a AS node, t.bucket, t.m
+            FROM sym s JOIN r{r - 1} t ON t.node = s.b
+        ) GROUP BY 1, 2
+    )"""
+        )
+    for r in range(rounds + 1):
+        ctes.append(
+            f"""est{r} AS MATERIALIZED (
+        SELECT node, round(
+            CASE WHEN {raw} <= 2.5 * {m} AND ({m} - n_buckets) > 0
+                 THEN {float(m)} * ln({float(m)}
+                          / CAST({m} - n_buckets AS DOUBLE))
+                 ELSE {raw}
+            END, 4) AS e
+        FROM (
+            SELECT node,
+                   CAST(sum(1::BIGINT << ({wbits + 1} - m)) AS BIGINT)
+                       AS sum_present,
+                   CAST(count(*) AS BIGINT) AS n_buckets
+            FROM r{r} GROUP BY 1
+        )
+    )"""
+        )
+    chain = "0.0"
+    for r in range(1, rounds + 1):
+        chain = f"({chain} + (est{r}.e - est{r - 1}.e) / {float(r)!r})"
+    joins = "est0" + "".join(
+        f" JOIN est{r} USING (node)" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node, floor({chain} * 1e6 + 0.5) / 1e6 AS harmonic
+    FROM {joins}
+    QUALIFY row_number() OVER (ORDER BY harmonic DESC, node) <= 20
+    """
+    )
+
+
 def q_events_quantile_kll(spark, sf_dir) -> DataFrame:
     """Deterministic mergeable quantile sketch gate
     (sketch.kll_partials / kll_quantiles — MRL/KLL compactors with a
@@ -8954,6 +9053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantile_kll": q_events_quantile_kll,
     "part_hyperball": q_part_hyperball,
     "part_random_walks": q_part_random_walks,
+    "part_harmonic": q_part_harmonic,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -9048,6 +9148,7 @@ _R5_NEW: tuple[str, ...] = (
     "events_quantile_kll",
     "part_hyperball",
     "part_random_walks",
+    "part_harmonic",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -9364,6 +9465,7 @@ ORACLES: dict[str, str] = {
     "events_quantile_kll": _Q_EVENTS_QUANTILE_KLL_SQL,
     "part_hyperball": _q_part_hyperball_sql(),
     "part_random_walks": _q_part_random_walks_sql(),
+    "part_harmonic": _q_part_harmonic_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture

@@ -777,3 +777,43 @@ def test_random_walks_deterministic_and_valid(spark):
             assert (path[s], path[s + 1]) in adj
     out2 = random_walks(e.repartition(7), length=3, walks_per_node=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_harmonic_centrality_hyperball(spark):
+    """Star + path: the hub dominates; estimates track exact harmonic
+    centrality within HLL error; partition-invariant."""
+    from certa_spark.operators.graph import harmonic_centrality
+
+    # star center 1 with leaves 2..6, plus a path 6-7-8
+    edges = [(1, k) for k in range(2, 7)] + [(6, 7), (7, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["harmonic"] for r in harmonic_centrality(e, rounds=6, p=8).collect()}
+
+    # exact harmonic by BFS
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def hc(v):
+        from collections import deque
+
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return sum(1.0 / d for u, d in dist.items() if d > 0)
+
+    for v in adj:
+        assert abs(out[v] - hc(v)) / hc(v) < 0.15, (v, out[v], hc(v))
+    # hub ranks first
+    assert max(out, key=lambda v: out[v]) == 1
+    out2 = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(e.repartition(5), rounds=6, p=8).collect()
+    }
+    assert out == out2
