@@ -8162,6 +8162,84 @@ def _q_part_random_walks_sql(
     )
 
 
+_SG_WINDOW = 2
+
+
+def q_part_skipgram_pairs(spark, sf_dir) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus
+    (graph.random_walks): every (center, context) node pair within a
+    +/-2 step window of the same walk, aggregated to co-occurrence
+    counts — the exact input a word2vec/node2vec trainer consumes, and
+    the step that turns graph structure into an embedding corpus. One
+    self-equi-join on (start, walk) with a bounded step-distance
+    predicate; the oracle replays the identical walks (hash-chosen
+    steps) and the same pairing. Top-100 pairs by count keeps the
+    result compact at every scale."""
+    from certa_spark.operators import graph as GR
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 120 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    walks = GR.random_walks(
+        pairs, src="pa", dst="pb", length=_RW_LEN, walks_per_node=1,
+        seed=_RW_SEED, partitions=8,
+    ).localCheckpoint()
+    a = walks.select("start", "walk", F.col("step").alias("sa"),
+                     F.col("node").alias("center"))
+    b = walks.select("start", "walk", F.col("step").alias("sb"),
+                     F.col("node").alias("context"))
+    pair_counts = (
+        a.join(b, ["start", "walk"])
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= _SG_WINDOW)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.orderBy(
+        F.col("n").desc(), F.col("center").asc(), F.col("context").asc()
+    )
+    return (
+        pair_counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 100)
+    )
+
+
+def _q_part_skipgram_sql() -> str:
+    base = _q_part_random_walks_sql()
+    # reuse the walk-replay CTEs; strip the audit SELECT tail
+    head = base[: base.index("\nSELECT CAST(step AS INT) AS step")]
+    pos_union = "\nUNION ALL\n".join(
+        f"SELECT start, 0 AS walk, {s} AS step, node FROM w{s}"
+        for s in range(_RW_LEN + 1)
+    )
+    return (
+        head
+        + f""",
+    pos AS MATERIALIZED (
+        {pos_union}
+    ),
+    pc AS (
+        SELECT a.node AS center, b.node AS context,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pos a JOIN pos b
+          ON a.start = b.start AND a.walk = b.walk
+         AND a.step <> b.step AND abs(a.step - b.step) <= {_SG_WINDOW}
+        GROUP BY 1, 2
+    )
+    SELECT center, context, n,
+           CAST(row_number() OVER (ORDER BY n DESC, center, context)
+                AS INT) AS rank
+    FROM pc
+    QUALIFY rank <= 100
+    """
+    )
+
+
 _HB_ROUNDS, _HB_P = 5, 6
 
 
@@ -9054,6 +9132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_hyperball": q_part_hyperball,
     "part_random_walks": q_part_random_walks,
     "part_harmonic": q_part_harmonic,
+    "part_skipgram_pairs": q_part_skipgram_pairs,
 }
 
 # Names with a driver-green row in CORRECTNESS_r01/r02.json. The
@@ -9149,6 +9228,7 @@ _R5_NEW: tuple[str, ...] = (
     "part_hyperball",
     "part_random_walks",
     "part_harmonic",
+    "part_skipgram_pairs",
 )
 
 # The 14 r2-era queries no driver window has ever gated (r4 verdict
@@ -9466,6 +9546,7 @@ ORACLES: dict[str, str] = {
     "part_hyperball": _q_part_hyperball_sql(),
     "part_random_walks": _q_part_random_walks_sql(),
     "part_harmonic": _q_part_harmonic_sql(),
+    "part_skipgram_pairs": _q_part_skipgram_sql(),
 }
 
 # Oracles that are captured GOLDENS valid only for the sf0.01 fixture
