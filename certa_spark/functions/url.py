@@ -115,7 +115,20 @@ _PSL_PATH = __import__("os").path.join(
     "data", "public_suffix_snapshot.dat",
 )
 
-_PSL_MAX_LABELS = 4  # longest rule in the snapshot has 3 labels (+1 wc)
+_PSL_MAX_LABELS = 4  # vendored snapshot: longest rule 3 labels (+1 wc)
+
+
+def _psl_depth(rules: list[tuple[str, bool, bool, bool]]) -> int:
+    """Join depth needed to match every rule in ``rules``: the max
+    label count over all suffix keys, +1 when any wildcard exists (a
+    ``*.base`` rule matches one label below its base). The production
+    public suffix list has 5+-label rules (e.g.
+    ``s3.cn-north-1.amazonaws.com.cn``), so the depth must follow the
+    LOADED rules, not the vendored snapshot's."""
+    depth = 1
+    for suffix, _r, is_wc, _e in rules:
+        depth = max(depth, suffix.count(".") + 1 + (1 if is_wc else 0))
+    return depth
 
 
 def load_psl_rules(path: str = _PSL_PATH) -> list[tuple[str, bool, bool, bool]]:
@@ -181,6 +194,15 @@ def registrable_domain_psl(
 
     spark = df.sparkSession
     dim = psl if psl is not None else psl_table(spark)
+    # join depth follows the LOADED rules (the production PSL has
+    # 5+-label rules the vendored snapshot doesn't); the dim is a tiny
+    # broadcast dimension, so this plan-build-time collect is free
+    depth = _psl_depth(
+        [
+            (r["suffix"], False, bool(r["is_wildcard"]), False)
+            for r in dim.select("suffix", "is_wildcard").collect()
+        ]
+    )
 
     # raw lowercased host — NOT the www.-stripped _host: `www.` is an
     # ordinary label to the PSL algorithm (the registrable domain of
@@ -192,7 +214,7 @@ def registrable_domain_psl(
     n = F.size(parts)
 
     out = df.withColumn("_psl_parts", parts).withColumn("_psl_n", n)
-    for d in range(1, _PSL_MAX_LABELS + 1):
+    for d in range(1, depth + 1):
         cand = F.when(
             F.col("_psl_n") >= d,
             F.array_join(
@@ -216,7 +238,7 @@ def registrable_domain_psl(
     # exception rules win outright: registrable domain = the exception
     # name itself (public suffix is one label shorter)
     exc = F.lit(None).cast("string")
-    for d in range(_PSL_MAX_LABELS, 0, -1):
+    for d in range(depth, 0, -1):
         exc = F.when(
             F.coalesce(F.col(f"_psl_e{d}"), F.lit(False)),
             F.col(f"_psl_s{d}"),
@@ -225,7 +247,7 @@ def registrable_domain_psl(
     # otherwise: public-suffix length = max over matches (wildcard at
     # depth d covers d+1 labels), default 1
     ps_len = F.lit(1)
-    for d in range(1, _PSL_MAX_LABELS + 1):
+    for d in range(1, depth + 1):
         ps_len = F.when(
             F.coalesce(F.col(f"_psl_r{d}"), F.lit(False))
             & (ps_len < d),
@@ -254,7 +276,7 @@ def registrable_domain_psl(
     out = out.withColumn(out_col, reg)
     drop = ["_psl_parts", "_psl_n"] + [
         f"_psl_{p}{d}"
-        for d in range(1, _PSL_MAX_LABELS + 1)
+        for d in range(1, depth + 1)
         for p in ("s", "r", "w", "e")
     ]
     return out.drop(*drop)

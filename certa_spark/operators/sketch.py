@@ -755,7 +755,10 @@ def misra_gries(
         # n/(k+1): the classic MG bound without per-row Python
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            vc = pdf[col].astype(str).value_counts()
+            # dropna BEFORE the str cast: pandas would stringify nulls
+            # to a literal 'None' item that pass-2's equi semi-join
+            # could never recount (null rows don't equi-match)
+            vc = pdf[col].dropna().astype(str).value_counts()
             counters = counters.add(vc, fill_value=0).astype("int64")
             if len(counters) > k:
                 sub = counters.nlargest(k + 1).iloc[-1]

@@ -238,7 +238,10 @@ def make_heavy_hitters_fn(col: str, k: int):
         else:
             counters = pd.Series(dtype="int64")
         for pdf in pdfs:
-            vc = pdf[col].astype(str).value_counts()
+            # dropna first — same rule as the batch operator: nulls
+            # must not fabricate a 'None' item the exact recount pass
+            # can never match
+            vc = pdf[col].dropna().astype(str).value_counts()
             counters = counters.add(vc, fill_value=0).astype("int64")
             if len(counters) > k:
                 sub = counters.nlargest(k + 1).iloc[-1]
