@@ -115,19 +115,18 @@ _PSL_PATH = __import__("os").path.join(
     "data", "public_suffix_snapshot.dat",
 )
 
-_PSL_MAX_LABELS = 4  # vendored snapshot: longest rule 3 labels (+1 wc)
-
-
 def _psl_depth(rules: list[tuple[str, bool, bool, bool]]) -> int:
     """Join depth needed to match every rule in ``rules``: the max
-    label count over all suffix keys, +1 when any wildcard exists (a
-    ``*.base`` rule matches one label below its base). The production
+    label count over all suffix KEYS. Wildcard rules (``*.base``) are
+    keyed by their base and matched at base depth — the extra covered
+    label comes from the ``_psl_parts`` slice at decision time, not
+    from a deeper join — so no +1 is needed for them. The production
     public suffix list has 5+-label rules (e.g.
     ``s3.cn-north-1.amazonaws.com.cn``), so the depth must follow the
     LOADED rules, not the vendored snapshot's."""
     depth = 1
-    for suffix, _r, is_wc, _e in rules:
-        depth = max(depth, suffix.count(".") + 1 + (1 if is_wc else 0))
+    for suffix, _r, _is_wc, _e in rules:
+        depth = max(depth, suffix.count(".") + 1)
     return depth
 
 
@@ -197,10 +196,15 @@ def registrable_domain_psl(
     # join depth follows the LOADED rules (the production PSL has
     # 5+-label rules the vendored snapshot doesn't); the dim is a tiny
     # broadcast dimension, so this plan-build-time collect is free
+    # null/empty suffix rows carry no matchable key (an equality join
+    # never matches null) — skip them here rather than crash at
+    # plan-build time on a malformed user-supplied psl table
     depth = _psl_depth(
         [
             (r["suffix"], False, bool(r["is_wildcard"]), False)
-            for r in dim.select("suffix", "is_wildcard").collect()
+            for r in dim.select("suffix", "is_wildcard")
+            .filter(F.col("suffix").isNotNull() & (F.col("suffix") != ""))
+            .collect()
         ]
     )
 

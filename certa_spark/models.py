@@ -90,20 +90,16 @@ class MLlibMatcher:
         # trainingSummary whose SparkSession reference (incl. the
         # non-serializable ObservationManager) gets dragged into the
         # transform closure — "Task not serializable" depending on
-        # session state. A save/load round-trip drops the summary; the
-        # loaded model is exactly what predict() would see in
-        # production anyway (get_model's load path).
-        import shutil
-        import tempfile
-
-        from pyspark.ml import PipelineModel
-
-        tmp = tempfile.mkdtemp(prefix="mllib_matcher_fit_")
-        try:
-            fitted.write().overwrite().save(tmp)
-            self._model = PipelineModel.load(tmp)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        # session state. Clear the summary on the JVM model directly
+        # (HasTrainingSummary.setSummary(None)) — zero IO, and unlike
+        # the earlier save/load round-trip through a driver-local
+        # tempdir it needs no filesystem shared with the executors, so
+        # it works identically on a real multi-node cluster.
+        none = train_pairs.sparkSession._jvm.scala.Option.empty()
+        for stage in fitted.stages:
+            if getattr(stage, "hasSummary", False):
+                stage._java_obj.setSummary(none)
+        self._model = fitted
         return self
 
     def predict(self, pairs: DataFrame) -> DataFrame:

@@ -1765,6 +1765,12 @@ def louvain(
             base_und, out, src="a", dst="b", partitions=partitions
         )
     if with_history:
+        # degenerate input (no surviving non-self edges -> level loop
+        # broke before the first objective): Q of the empty graph is
+        # 0 by convention, so callers indexing history[-1] get a clean
+        # scalar instead of an IndexError
+        if not history:
+            history.append(0.0)
         return out, history
     return out
 

@@ -203,6 +203,7 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH
     (OR-amplification): split ``planes`` into ``bands`` bands, a pair
@@ -261,7 +262,8 @@ def cosine_neardup_pairs(
             "a_id",
             "b_id",
             F.round(
-                cosine_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+                cosine_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+                round_to,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

@@ -381,3 +381,75 @@ def test_registrable_domain_psl_plan_is_broadcast_only(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_registrable_domain_psl_deep_rules(spark):
+    """The join depth must follow the LOADED rules (r6 fix,
+    url.py:_psl_depth): a production-class PSL with a 5-label plain
+    rule and a wildcard whose base is above the vendored snapshot's
+    max depth must both actually match — under the old fixed
+    _PSL_MAX_LABELS=4 scheme the 5-label rule was silently invisible
+    and hosts under it mis-registered at the com.cn level."""
+    from certa_spark.functions.url import registrable_domain_psl
+
+    # keyed form, as load_psl_rules produces: wildcard rules keyed by
+    # their BASE (the `*.alpha...` rule lands on the 4-label base row)
+    psl = spark.createDataFrame(
+        [
+            ("cn", True, False, False),
+            ("com.cn", True, False, False),
+            # the production-PSL class the fix exists for (5 labels)
+            ("s3.cn-north-1.amazonaws.com.cn", True, False, False),
+            ("dev", True, False, False),
+            ("gamma.dev", True, False, False),
+            ("beta.gamma.dev", True, False, False),
+            # plain rule AND `*.` wildcard on the same 4-label base
+            ("alpha.beta.gamma.dev", True, True, False),
+        ],
+        "suffix string, is_rule boolean, is_wildcard boolean, "
+        "is_exception boolean",
+    )
+    cases = [
+        # bucket.s3.cn-north-1.amazonaws.com.cn: the 5-label rule is
+        # the public suffix, so the 6-label host registers
+        (1, "https://bucket.s3.cn-north-1.amazonaws.com.cn/key"),
+        # bare 5-label public suffix -> no registrable domain
+        (2, "https://s3.cn-north-1.amazonaws.com.cn/"),
+        # other amazonaws subdomains fall back to the com.cn rule
+        (3, "https://ec2.cn-north-1.amazonaws.com.cn/x"),
+        # wildcard one label under a 4-label base: x.alpha.beta.gamma.dev
+        # is a public suffix, so y.x.alpha... registers
+        (4, "https://y.x.alpha.beta.gamma.dev/"),
+        (5, "https://x.alpha.beta.gamma.dev/"),  # IS a public suffix
+    ]
+    df = spark.createDataFrame(cases, "i long, u string")
+    out = registrable_domain_psl(df, "u", out_col="d", psl=psl)
+    got = {r["i"]: r["d"] for r in out.collect()}
+    assert got[1] == "bucket.s3.cn-north-1.amazonaws.com.cn"
+    assert got[2] is None
+    assert got[3] == "amazonaws.com.cn"
+    assert got[4] == "y.x.alpha.beta.gamma.dev"
+    assert got[5] is None
+
+
+def test_registrable_domain_psl_null_suffix_rows(spark):
+    """A user-supplied psl table containing null/empty suffix rows
+    must not crash plan-building (ADVICE r6: _psl_depth dereferenced
+    suffix.count without a guard) — such rows carry no matchable key
+    and are simply inert."""
+    from certa_spark.functions.url import registrable_domain_psl
+
+    psl = spark.createDataFrame(
+        [
+            ("com", True, False, False),
+            (None, True, False, False),
+            ("", True, False, False),
+        ],
+        "suffix string, is_rule boolean, is_wildcard boolean, "
+        "is_exception boolean",
+    )
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "i long, u string"
+    )
+    out = registrable_domain_psl(df, "u", out_col="d", psl=psl)
+    assert out.collect()[0]["d"] == "example.com"

@@ -817,3 +817,24 @@ def test_harmonic_centrality_hyperball(spark):
         for r in harmonic_centrality(e.repartition(5), rounds=6, p=8).collect()
     }
     assert out == out2
+
+
+def test_louvain_degenerate_graph_history(spark):
+    """VERDICT r6 item 7: an edge set that is empty (or all
+    self-loops) must yield an empty assignment and a clean
+    ``history == [0.0]`` with ``with_history=True`` — not an
+    IndexError in callers reading ``history[-1]`` (the q_part_louvain
+    shape)."""
+    from certa_spark.operators.graph import louvain
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out, hist = louvain(empty, with_history=True, partitions=2)
+    assert out.count() == 0
+    assert hist == [0.0]
+
+    selfloops = spark.createDataFrame(
+        [(1, 1), (2, 2)], "src long, dst long"
+    )
+    out2, hist2 = louvain(selfloops, with_history=True, partitions=2)
+    assert out2.count() == 0
+    assert hist2 == [0.0]

@@ -1025,3 +1025,88 @@ def test_streaming_heavy_hitters_bound_and_exact_smallcard(spark, tmp_path):
     want = {f"w{i}": 10 for i in range(5)}
     got11 = dict(zip(h11["item"], h11["c"].astype(int)))
     assert got11 == want
+
+
+def test_streaming_heavy_hitters_null_rows(spark, tmp_path):
+    """r6 fix regression (stateful.py dropna in the MG fold): null
+    tokens in the stream must not fabricate a 'None' heavy hitter, and
+    the surviving real counts must match the batch operator's on the
+    same rows."""
+    from certa_spark.operators.sketch import misra_gries
+    from certa_spark.streaming.stateful import heavy_hitters_stream
+
+    src = str(tmp_path / "hh_null_src")
+    rows = (
+        [("2024-01-01 10:00:00", "hot")] * 20
+        + [("2024-01-01 10:30:00", None)] * 50
+        + [(f"2024-01-01 10:{m:02d}:00", f"w{m % 3}") for m in range(12)]
+    )
+    batch = spark.createDataFrame(rows, ["ts", "tok"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = heavy_hitters_stream(stream, "tok", window_duration="1 hour", k=16)
+    q = (
+        out.writeStream.format("memory").queryName("hh_null_stream")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hh_null_stream").toPandas()
+    assert "None" not in set(got["item"])
+    # cardinality 4 <= k: the final summary is EXACT and equals the
+    # batch operator's result on the same rows
+    stream_final = dict(zip(got["item"], got["c"].astype(int)))
+    batch_got = {
+        r["item"]: r["c"] for r in misra_gries(batch, "tok", k=16).collect()
+    }
+    assert stream_final == batch_got
+    assert stream_final["hot"] == 20
+
+
+def test_cosine_neardup_blas_exact_equality_registry_planes(spark):
+    """ADVICE r6 closure: the r5 registry swap to the BLAS scorer is
+    safe at the ORACLE-HASH grain only if fold and BLAS sims are
+    EXACTLY equal after rounding — not 1e-4-close. Pin that on the
+    actual registry plane sets and banding, at every SF's embeddings
+    table (sf0.001/0.01 share one 500-row table; sf0.1 is 2000 rows):
+    both registry configurations (3x4 planes @ round 6, 3x2 @ round 4)
+    must produce bitwise-identical (a_id, b_id, sim) sets."""
+    from certa_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blas,
+    )
+    from certa_spark.queries import (
+        _ANN_PLANES,
+        _NEARDUP_BANDS,
+        _NEARDUP_PLANES,
+        _NEARDUP_TAU,
+        _t,
+    )
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.1",
+    ):
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        for planes, rnd in ((_NEARDUP_PLANES, 6), (_ANN_PLANES, 4)):
+            fold = {
+                (r["a_id"], r["b_id"]): r["sim"]
+                for r in cosine_neardup_pairs(
+                    e, planes, _NEARDUP_BANDS, _NEARDUP_TAU, round_to=rnd
+                ).collect()
+            }
+            blas = {
+                (r["a_id"], r["b_id"]): r["sim"]
+                for r in cosine_neardup_pairs_blas(
+                    e, planes, _NEARDUP_BANDS, _NEARDUP_TAU, round_to=rnd
+                ).collect()
+            }
+            assert fold, f"{sf_dir} planes@{rnd}: fixture produced no pairs"
+            assert fold == blas, (
+                f"{sf_dir} planes@{rnd}: fold and BLAS diverge at the "
+                f"rounded grain"
+            )

@@ -369,3 +369,31 @@ def test_kll_rank_error_and_determinism(spark):
         for r in rows:
             rank = (sv <= r["est"]).sum() / len(sv)
             assert abs(rank - r["q"]) <= 0.02, (r["q"], rank)
+
+
+def test_misra_gries_null_heavy_column(spark):
+    """r6 fix regression (sketch.py dropna-before-cast): a null-heavy
+    column must not fabricate a 'None' item — nulls are not items, and
+    a stringified 'None' candidate could never be recounted by pass
+    2's equi semi-join. Counts of real items stay within the MG bound
+    computed over the NON-NULL row count."""
+    from certa_spark.operators.sketch import heavy_hitters_exact, misra_gries
+
+    rows = (
+        [("a",)] * 40 + [("b",)] * 25
+        + [(None,)] * 300            # nulls dominate the column
+        + [(f"t{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = {r["item"]: r["c"] for r in misra_gries(df, "v", k=32).collect()}
+    assert "None" not in got and None not in got
+    n = 40 + 25 + 200  # nulls contribute no mass to the bound either
+    assert "a" in got and 40 - n / 33 <= got["a"] <= 40
+    assert "b" in got and 25 - n / 33 <= got["b"] <= 25
+
+    # two-pass recount agrees with the plain groupBy on the same data
+    hh = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters_exact(df, "v", top_n=2, k=64).collect()
+    }
+    assert hh == {("a", 40), ("b", 25)}
