@@ -1567,8 +1567,59 @@ def louvain(
         assign = deg.select("node", F.col("node").alias("comm"))
         assign = assign.localCheckpoint()
 
+        # Per-community stats (c, ec, dc) of an assignment: intra
+        # weight (incl. self-loops) and total member degree from ONE
+        # community-keyed shuffle. The round's J-gate and the NEXT
+        # round's ctot both read this single aggregate — previously
+        # each assignment was aggregated twice (once by the objective
+        # job, once as the ctot subchain inside the next proposal
+        # job), at one extra Spark job + one duplicate agg chain per
+        # accepted round (r6 verdict perf item: fuse proposal +
+        # objective into one job per round).
+        def _comm_stats(a):
+            ca = a.select(F.col("node").alias("a"), F.col("comm").alias("_ja"))
+            cb = a.select(F.col("node").alias("b"), F.col("comm").alias("_jb"))
+            ec_rows = (
+                und.join(ca, "a")
+                .join(cb, "b")
+                .filter(F.col("_ja") == F.col("_jb"))
+                .select(
+                    F.col("_ja").alias("c"),
+                    F.col("w").cast("long").alias("e"),
+                    F.lit(0).cast("long").alias("d"),
+                )
+            )
+            dc_rows = a.join(deg, "node").select(
+                F.col("comm").alias("c"),
+                F.lit(0).cast("long").alias("e"),
+                F.col("k").alias("d"),
+            )
+            return (
+                ec_rows.unionByName(dc_rows)
+                .groupBy("c")
+                .agg(
+                    F.sum("e").cast(DEC).alias("ec"),
+                    F.sum("d").cast("long").alias("dc"),
+                )
+            )
+
+        def _j_of(stats) -> int:
+            row = stats.agg(
+                F.sum("ec").alias("se"),
+                F.sum(F.col("dc").cast(DEC) * F.col("dc").cast(DEC)).alias("sd"),
+            ).first()
+            se = int(row["se"]) if row["se"] is not None else 0
+            sd = int(row["sd"]) if row["sd"] is not None else 0
+            return 2 * int(two_m) * se - sd
+
+        # level >= 1 skips the J read: contraction preserves the
+        # objective by construction, so j_best carries over and
+        # stats_cur stays lazy (round 1's single job computes it,
+        # exactly where the old ctot subchain ran)
+        stats_cur = _comm_stats(assign)
         if j_best is None:
-            j_best = _louvain_objective(und, assign, int(two_m), deg)
+            stats_cur = stats_cur.localCheckpoint()
+            j_best = _j_of(stats_cur)
             if with_history:
                 history.append(j_best / (float(two_m) * two_m))
 
@@ -1583,11 +1634,8 @@ def louvain(
         stall = 0
         direction = 0
         for _round in range(max_rounds):
-            ctot = (
-                assign.join(deg, "node")
-                .groupBy("comm")
-                .agg(F.sum("k").cast("long").alias("tot"))
-                .select(F.col("comm").alias("cand"), "tot")
+            ctot = stats_cur.select(
+                F.col("c").alias("cand"), F.col("dc").alias("tot")
             )
             bidir = nonself.select(
                 F.col("a").alias("i"), F.col("b").alias("j"), "w"
@@ -1673,25 +1721,72 @@ def louvain(
                 .otherwise(F.col("cur"))
                 .alias("comm"),
             )
-            # the J evaluation doubles as the no-moves check (no moves
-            # -> proposed == assign -> j_new == j_best); cache the
-            # proposal so the accept-path checkpoint reuses the
-            # materialization instead of re-running the round chain
+            # One HEAVY job per round (the J-gate first()): it
+            # materializes BOTH caches — the proposal and its
+            # per-community stats — computing the proposal chain once;
+            # the stats serve the gate now and, on accept, become the
+            # next round's ctot, so the old per-round duplicate (a
+            # separate objective job plus a ctot agg chain inside the
+            # NEXT proposal job) is gone. The accept-path checkpoint
+            # is a THIN union of the two materialized caches.
+            #
+            # The thin shape is load-bearing, not cosmetic: Spark
+            # preserves the origin plan's ESTIMATED stats on a
+            # checkpoint, and the size estimator multiplies join
+            # children. Checkpointing any plan with joins ABOVE
+            # un-materialized caches snapshots a product of estimates,
+            # and because each round's plan joins the previous
+            # checkpoint k>1 times the estimate feeds back as
+            # est(r+1) ~ est(r)^k — the BigInteger size estimate
+            # doubles in BIT LENGTH per round until Catalyst spends
+            # 40s/round inside BigInteger.multiply
+            # (SizeInBytesOnlyStatsPlanVisitor, observed via jstack).
+            # A checkpoint whose plan is just Project/Union over
+            # ALREADY-MATERIALIZED InMemoryRelations snapshots their
+            # ACTUAL byte sizes instead: real, small, no feedback, and
+            # broadcast planning downstream keeps working.
             proposed = proposed.persist()
-            j_new = _louvain_objective(und, proposed, int(two_m), deg)
+            stats_p = _comm_stats(proposed).persist()
+            j_new = _j_of(stats_p)
             if j_new <= j_best:
                 # no moves, or simultaneous moves fought each other —
                 # the objective is exact, so discard the round and try
                 # the other sweep direction; two consecutive dead
                 # rounds end the level
                 proposed.unpersist()
+                stats_p.unpersist()
                 stall += 1
                 direction ^= 1
                 if stall >= 2:
                     break
                 continue
-            assign = proposed.repartition(partitions, "node").localCheckpoint()
+            ntype = dict(proposed.dtypes)["node"]
+            ctype = dict(proposed.dtypes)["comm"]
+            combo = (
+                proposed.select(
+                    "node",
+                    "comm",
+                    F.lit(None).cast("long").alias("c"),
+                    F.lit(None).cast(DEC).alias("ec"),
+                    F.lit(None).cast("long").alias("dc"),
+                )
+                .unionByName(
+                    stats_p.select(
+                        F.lit(None).cast(ntype).alias("node"),
+                        F.lit(None).cast(ctype).alias("comm"),
+                        "c",
+                        "ec",
+                        "dc",
+                    )
+                )
+                .localCheckpoint()
+            )
             proposed.unpersist()
+            stats_p.unpersist()
+            assign = combo.filter(F.col("c").isNull()).select("node", "comm")
+            stats_cur = combo.filter(F.col("c").isNotNull()).select(
+                "c", "ec", "dc"
+            )
             j_best = j_new
             moved_any = True
             stall = 0
