@@ -2476,6 +2476,94 @@ _Q_EVENTS_STREAM_HH_SQL = """
 """
 
 
+def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
+    """Session windows computed by the REAL Structured Streaming
+    ``session_window`` operator — events read as a stream, drained
+    with Trigger.AvailableNow into a memory sink in complete output
+    mode (every session emitted once the input is exhausted, so the
+    result is batch-boundary-independent), then projected to an
+    oracle-hashable shape. Per-session value sums go through an exact
+    DECIMAL(30,6) sum inside the streaming aggregate itself (float
+    fold order across state updates is not deterministic; decimals
+    are), the cross-engine rule every batch aggregate here already
+    follows. session_window semantics: a new session starts when the
+    gap to the previous event is >= 30 minutes (the batch twin
+    ``events_sessionized`` uses strictly-greater; the fixture has no
+    exact-gap ties at any SF, verified, so the two agree — the oracle
+    below encodes the streaming >= rule on principle).
+
+    Second streaming operator behind the driver's full value-hash
+    gate, after ``events_stream_heavy_hitters``."""
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("user_id") % 20 == 0)
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            F.col("value").cast("decimal(30,6)").alias("value"),
+        )
+    )
+    sess = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("s"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("_sv"),
+        )
+    )
+    sink = "_q_events_stream_sess"
+    spark.catalog.dropTempView(sink)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("s.start")).alias("session_start_us"),
+        "n_events",
+        F.round(F.col("_sv"), 4).cast("double").alias("sum_value"),
+    )
+
+
+_Q_EVENTS_STREAM_SESS_SQL = """
+    WITH e AS (
+        SELECT user_id, value, epoch_ns(ts) AS ts_ns,
+               epoch_us(ts) AS ts_us, event_id
+        FROM events WHERE user_id % 20 = 0
+    ),
+    s AS (
+        SELECT user_id, value, ts_ns, ts_us, event_id,
+               CASE WHEN lag(ts_ns) OVER w IS NULL
+                         OR ts_ns - lag(ts_ns) OVER w >= 1800000000000
+                    THEN 1 ELSE 0 END AS b
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    ),
+    t AS (
+        SELECT user_id, value, ts_us,
+               CAST(sum(b) OVER (PARTITION BY user_id
+                    ORDER BY ts_ns, event_id) AS BIGINT) AS sid
+        FROM s
+    )
+    SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 4) AS DOUBLE)
+               AS sum_value
+    FROM t GROUP BY user_id, sid
+"""
+
+
 # ----------------------------------------------- LENS interventions
 
 _LENS_ATTRS = ["p_name", "p_brand", "p_type"]
@@ -9102,6 +9190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_builtin": q_events_session_builtin,
     "events_running_zscore": q_events_running_zscore,
     "events_stream_heavy_hitters": q_events_stream_heavy_hitters,
+    "events_stream_sessionized": q_events_stream_sessionized,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
     "orders_histogram": q_orders_histogram,
@@ -9460,7 +9549,10 @@ _DRIVER_GREEN_R56: frozenset[str] = frozenset(_R5_NEW) | frozenset(
 # driver-gated in r4 under the fold scorer — this window finally
 # attests the SHIPPING code path; (2) the 32 names whose last driver
 # gate is r1/r2; (3) the oldest r3 names to pad the window to 50.
-_R7_NEW: tuple[str, ...] = ("events_stream_heavy_hitters",)
+_R7_NEW: tuple[str, ...] = (
+    "events_stream_heavy_hitters",
+    "events_stream_sessionized",
+)
 _R7_REGATE: tuple[str, ...] = ("embedding_neardup", "embedding_neardup_blas")
 _R2_OLDEST: tuple[str, ...] = (
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
@@ -9479,7 +9571,6 @@ _R3_OLDEST: tuple[str, ...] = (
     "doc_bigram_lm", "part_triangles", "er_blocking_recall",
     "lineitem_skew_report", "orders_quantile_sketch",
     "doc_quality_model", "doc_vocab_coverage", "knn_hard_negatives",
-    "flagship_batch_saliency",
 )
 
 _GATED: frozenset[str] = (
@@ -9558,6 +9649,7 @@ ORACLES: dict[str, str] = {
     "events_session_builtin": _Q_SESSION_BUILTIN_SQL,
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_stream_heavy_hitters": _Q_EVENTS_STREAM_HH_SQL,
+    "events_stream_sessionized": _Q_EVENTS_STREAM_SESS_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
     "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,
