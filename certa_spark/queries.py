@@ -8508,6 +8508,58 @@ def _q_part_hyperball_sql(rounds: int = _HB_ROUNDS, p: int = _HB_P) -> str:
     )
 
 
+def q_part_betweenness(spark, sf_dir) -> DataFrame:
+    """EXACT Brandes betweenness (graph.betweenness_exact — pivot
+    batching over the simultaneous-BFS machinery) on a small
+    co-purchase graph, reported as the top-20 central parts plus a
+    whole-result checksum row (node=-1, rank=0: sum of EVERY node's
+    quantized centrality — attests the full assignment, not a
+    top-k snapshot). Centralities are quantized to integer
+    micro-units before ANY aggregation (floor(bc*1e6+0.5) as long;
+    the checksum sums them as decimal(38,0)), so output is integer
+    end-to-end and partition/batch-split invariant (unit-verified:
+    identical under repartition(7)/batch_size=31 vs one batch).
+    GOLDEN (sf0.01): the pivot-batched BFS accumulation is not
+    SQL-expressible; determinism is pinned by the quantization and
+    the betweenness test suite."""
+    from certa_spark.operators import graph as GR
+    from pyspark.sql.window import Window as W
+
+    # node = part BUCKET (l_partkey % 211): raw part co-purchase at
+    # this fixture is disjoint per-order cliques (betweenness 0
+    # everywhere); buckets recur across orders, so the graph has the
+    # bridge structure betweenness exists to measure, and V <= 211
+    # keeps exact Brandes one pivot batch at every SF
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 120 == 0)
+        .select("l_orderkey", (F.col("l_partkey") % 211).alias("bucket"))
+    )
+    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="bucket")
+    e = pairs.withColumnRenamed("pa", "src").withColumnRenamed("pb", "dst")
+    bc = GR.betweenness_exact(e, batch_size=2048, max_depth=12, partitions=8)
+    q = bc.select(
+        "node",
+        F.floor(F.col("bc") * 1e6 + F.lit(0.5)).cast("long").alias("bc_micro"),
+    )
+    w = W.orderBy(F.col("bc_micro").desc(), F.col("node").asc())
+    top = (
+        q.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("node", "rank", "bc_micro")
+    )
+    total = q.agg(
+        F.sum(F.col("bc_micro").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("bc_micro")
+    ).select(
+        F.lit(-1).cast("long").alias("node"),
+        F.lit(0).cast("int").alias("rank"),
+        "bc_micro",
+    )
+    return top.unionByName(total)
+
+
 def q_part_harmonic(spark, sf_dir) -> DataFrame:
     """Approximate harmonic centrality via HyperBall
     (graph.harmonic_centrality, Boldi-Vigna 2013): H(v) = sum 1/d(u,v)
@@ -8990,6 +9042,37 @@ _Q_EMBEDDING_KMEANS_GOLDEN_SQL = """
     ) AS t(cluster, n, c_norm, c_mean)
 """
 
+# Captured golden for the sf0.01 fixture (re-run q_part_betweenness at
+# sf0.01 and paste; integer micro-units end-to-end, invariance across
+# repartition/batch splits unit-verified).
+_Q_PART_BETWEENNESS_GOLDEN_SQL = """
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS INT) AS rank,
+           CAST(bc_micro AS BIGINT) AS bc_micro
+    FROM (VALUES
+        (-1, 0, 60850000001),
+        (31, 1, 2485326702),
+        (203, 2, 1702416743),
+        (126, 3, 1525808159),
+        (62, 4, 1486976258),
+        (23, 5, 1453500396),
+        (0, 6, 1335821598),
+        (103, 7, 1236343823),
+        (87, 8, 1192835450),
+        (143, 9, 1140003729),
+        (74, 10, 1105110301),
+        (146, 11, 1102748595),
+        (12, 12, 1029771114),
+        (8, 13, 1010144000),
+        (69, 14, 995554700),
+        (199, 15, 986071910),
+        (22, 16, 975375070),
+        (58, 17, 956026181),
+        (169, 18, 949625536),
+        (85, 19, 929959021),
+        (119, 20, 912297382)
+    ) AS t(node, rank, bc_micro)
+"""
+
 # Captured golden for the sf0.01 fixture (re-run q_part_louvain at
 # sf0.01 and paste; deterministic + partition-invariant by the
 # exact-integer design, see tests/test_graph.py louvain suite).
@@ -9191,6 +9274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_running_zscore": q_events_running_zscore,
     "events_stream_heavy_hitters": q_events_stream_heavy_hitters,
     "events_stream_sessionized": q_events_stream_sessionized,
+    "part_betweenness": q_part_betweenness,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
     "orders_histogram": q_orders_histogram,
@@ -9552,6 +9636,7 @@ _DRIVER_GREEN_R56: frozenset[str] = frozenset(_R5_NEW) | frozenset(
 _R7_NEW: tuple[str, ...] = (
     "events_stream_heavy_hitters",
     "events_stream_sessionized",
+    "part_betweenness",
 )
 _R7_REGATE: tuple[str, ...] = ("embedding_neardup", "embedding_neardup_blas")
 _R2_OLDEST: tuple[str, ...] = (
@@ -9570,7 +9655,7 @@ _R3_OLDEST: tuple[str, ...] = (
     "doc_rag_chunks", "er_sorted_neighborhood", "doc_token_budget_mix",
     "doc_bigram_lm", "part_triangles", "er_blocking_recall",
     "lineitem_skew_report", "orders_quantile_sketch",
-    "doc_quality_model", "doc_vocab_coverage", "knn_hard_negatives",
+    "doc_quality_model", "doc_vocab_coverage",
 )
 
 _GATED: frozenset[str] = (
@@ -9763,6 +9848,7 @@ ORACLES: dict[str, str] = {
     "doc_semdedup": _Q_DOC_SEMDEDUP_GOLDEN_SQL,
     "doc_url_dedup": _q_doc_url_dedup_sql(),
     "part_louvain": _Q_PART_LOUVAIN_GOLDEN_SQL,
+    "part_betweenness": _Q_PART_BETWEENNESS_GOLDEN_SQL,
     "knn_ivfpq": _q_knn_ivfpq_sql(),
     "doc_token_heavy_hitters": _Q_DOC_TOKEN_HH_SQL,
     "doc_domain_cap": _q_doc_domain_cap_sql(),
@@ -9781,4 +9867,5 @@ GOLDEN_SF001: frozenset[str] = frozenset({
     "mojito_token_saliency", "shap_token_saliency",
     "flagship_batch_saliency", "embedding_pca_project",
     "embedding_kmeans", "doc_semdedup", "part_louvain",
+    "part_betweenness",
 })

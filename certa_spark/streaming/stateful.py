@@ -79,9 +79,14 @@ def _score_group(
             mean += delta / cnt
             m2 += delta * (r.value - mean)
     state.update((cnt, mean, m2))
-    yield pd.DataFrame(
-        out_rows, columns=["user_id", "event_id", "ts_ns", "value", "n_prior", "z"]
-    )
+    # yield nothing for an empty update: pyspark's state serializer
+    # concatenates emitted frames, and empty/all-NA frames trip the
+    # pandas concat deprecation that becomes an error under pandas 3
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "event_id", "ts_ns", "value", "n_prior", "z"],
+        )
 
 
 def running_zscore_stream(
@@ -186,9 +191,10 @@ def make_funnel_fn(steps: list, horizon_ns: int | None):
                 if stage == len(steps):
                     out.append((key[0], t_prev, t_prev - t_first))
         state.update((stage, t_first, t_prev, failed))
-        yield pd.DataFrame(
-            out, columns=["user_id", "completed_ns", "duration_ns"]
-        )
+        if out:  # see _score_group: no empty frames to the serializer
+            yield pd.DataFrame(
+                out, columns=["user_id", "completed_ns", "duration_ns"]
+            )
 
     return _fn
 
@@ -253,13 +259,14 @@ def make_heavy_hitters_fn(col: str, k: int):
                 [int(v) for v in counters.values],
             )
         )
-        yield pd.DataFrame(
-            {
-                "window_start": key[0],
-                "item": counters.index.astype(str),
-                "c": counters.values,
-            }
-        )
+        if len(counters):  # see _score_group: no empty frames out
+            yield pd.DataFrame(
+                {
+                    "window_start": key[0],
+                    "item": counters.index.astype(str),
+                    "c": counters.values,
+                }
+            )
 
     return _fn
 
