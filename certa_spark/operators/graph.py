@@ -1444,6 +1444,128 @@ def modularity(
     return float(row["Q"] or 0.0)
 
 
+def _louvain_local(
+    rows,
+    max_rounds: int,
+    levels: int,
+    j_best,
+    want_history: bool,
+):
+    """Driver-local continuation of the :func:`louvain` level loop —
+    IDENTICAL arithmetic and sweep schedule (exact integer move
+    scores, alternating candidate-direction gate, strict-increase J
+    acceptance, ties to the smaller community id, least/greatest
+    contraction), just executed on a collected edge list. Python ints
+    are arbitrary-precision, so the exact-integer guarantees carry
+    over unchanged; the equivalence is pinned by
+    ``tests/test_graph.py::test_louvain_local_matches_distributed``.
+
+    ``rows``: (a, b, w) with a <= b, duplicates pre-summed (the shape
+    of the distributed ``und`` frame). Returns ``(mapping, history,
+    j_best)`` where mapping sends every node of the subgraph to its
+    final community."""
+    from collections import defaultdict
+
+    edges = {}
+    for a, b, w in rows:
+        edges[(a, b)] = edges.get((a, b), 0) + int(w)
+    mapping = None
+    history: list[float] = []
+    for _level in range(levels):
+        nonself = {e: w for e, w in edges.items() if e[0] != e[1]}
+        deg: dict = defaultdict(int)
+        for (a, b), w in edges.items():
+            if a == b:
+                deg[a] += 2 * w
+            else:
+                deg[a] += w
+                deg[b] += w
+        two_m = sum(deg.values())
+        if not two_m:
+            break
+        nodes = sorted(deg)
+        adj: dict = defaultdict(list)
+        for (a, b), w in nonself.items():
+            adj[a].append((b, w))
+            adj[b].append((a, w))
+        assign = {n: n for n in nodes}
+
+        def _j(asg):
+            ec = 0
+            for (a, b), w in edges.items():
+                if asg[a] == asg[b]:
+                    ec += w
+            dctot: dict = defaultdict(int)
+            for n, c in asg.items():
+                dctot[c] += deg[n]
+            return 2 * two_m * ec - sum(v * v for v in dctot.values())
+
+        if j_best is None:
+            j_best = _j(assign)
+            if want_history:
+                history.append(j_best / (float(two_m) * two_m))
+
+        moved_any = False
+        stall = 0
+        direction = 0
+        for _round in range(max_rounds):
+            ctot: dict = defaultdict(int)
+            for n, c in assign.items():
+                ctot[c] += deg[n]
+            proposed = {}
+            for i in nodes:
+                cur = assign[i]
+                k = deg[i]
+                kic: dict = defaultdict(int)
+                kic[cur] += 0
+                for jn, w in adj[i]:
+                    kic[assign[jn]] += w
+                best_key = None
+                best_cand = None
+                stay_score = None
+                for cand, s in kic.items():
+                    score = two_m * s - k * (
+                        ctot[cand] - (k if cand == cur else 0)
+                    )
+                    if cand == cur:
+                        stay_score = score
+                    elif (cand > cur) if direction == 0 else (cand < cur):
+                        continue  # direction gate on candidates
+                    key = (score, -cand)
+                    if best_key is None or key > best_key:
+                        best_key, best_cand = key, cand
+                do_move = best_key[0] > stay_score and best_cand != cur
+                proposed[i] = best_cand if do_move else cur
+            j_new = _j(proposed)
+            if j_new <= j_best:
+                stall += 1
+                direction ^= 1
+                if stall >= 2:
+                    break
+                continue
+            assign = proposed
+            j_best = j_new
+            moved_any = True
+            stall = 0
+            direction ^= 1
+            if want_history:
+                history.append(j_new / (float(two_m) * two_m))
+
+        mapping = (
+            dict(assign)
+            if mapping is None
+            else {orig: assign[c] for orig, c in mapping.items()}
+        )
+        if not moved_any:
+            break
+        newe: dict = defaultdict(int)
+        for (a, b), w in edges.items():
+            ca, cb = assign[a], assign[b]
+            newe[(ca, cb) if ca <= cb else (cb, ca)] += w
+        edges = dict(newe)
+    return (mapping or {}), history, j_best
+
+
 def louvain(
     edges: DataFrame,
     src: str = "src",
@@ -1454,6 +1576,7 @@ def louvain(
     partitions: int | None = None,
     with_history: bool = False,
     refine: bool = False,
+    local_max_edges: int | None = None,
 ):
     """Louvain-style community detection (Blondel et al. 2008) made
     DETERMINISTIC and partition-invariant: synchronous local-move
@@ -1496,6 +1619,16 @@ def louvain(
     contraction (so supernodes stay internally connected — Louvain's
     one guarantee gap) plus a final pass on the original graph; every
     split strictly raises Q, and the history records it.
+
+    ``local_max_edges`` (off by default): once a level's contracted
+    edge list has at most this many rows, the REMAINING levels run
+    the identical algorithm driver-locally (bounded collect — 10k
+    edges is ~240KB at any input scale) instead of paying ~15
+    scheduler-bound Spark stages per tiny round; this is the standard
+    coarsen-then-finish design of distributed Louvain/Leiden
+    implementations. Results are bit-identical to the distributed
+    path (same integer arithmetic; equivalence unit-tested). Ignored
+    under ``refine=True``.
 
     Scale shape per round: one join of the bidirectional edge list
     against the assignment (community tags), one (node, comm) partial
@@ -1543,6 +1676,41 @@ def louvain(
     m_total: int | None = None
 
     for _level in range(max_levels):
+        # Coarsen-then-finish-locally (the standard distributed-Louvain
+        # design): contraction shrinks the graph by orders of magnitude
+        # per level, so once a level's edge list fits a documented
+        # driver budget (local_max_edges rows x ~24B — e.g. 10k edges
+        # = 240KB, bounded at ANY input scale), the remaining levels
+        # run the IDENTICAL algorithm in-process instead of paying
+        # ~15 scheduler-bound Spark stages per tiny round. Disabled
+        # under refine=True (the Leiden split stays distributed) and
+        # by default (local_max_edges=None) so distributed-path tests
+        # keep testing the distributed path.
+        if (
+            local_max_edges is not None
+            and not refine
+            and und.count() <= local_max_edges
+        ):
+            rows = [(r["a"], r["b"], r["w"]) for r in und.collect()]
+            if rows:
+                mapping, hist2, j_best = _louvain_local(
+                    rows, max_rounds, max_levels - _level, j_best,
+                    with_history,
+                )
+                history.extend(hist2)
+                if mapping:
+                    ctype = dict(proj.dtypes)["community"]
+                    mdf = proj.sparkSession.createDataFrame(
+                        list(mapping.items()),
+                        f"community {ctype}, _nc {ctype}",
+                    )
+                    proj = (
+                        proj.join(F.broadcast(mdf), "community")
+                        .select("node", F.col("_nc").alias("community"))
+                        .repartition(partitions, "node")
+                        .localCheckpoint()
+                    )
+            break
         # degrees: k_i = sum_{j!=i} w_ij + 2*w_ii ; sum_i k_i = 2m
         nonself = und.filter(F.col("a") != F.col("b"))
         selfw = und.filter(F.col("a") == F.col("b")).select(

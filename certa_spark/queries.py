@@ -8999,9 +8999,14 @@ def q_part_louvain(spark, sf_dir) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    # local_max_edges: finish small contracted levels driver-side
+    # (the coarsen-then-finish design; bit-identical results, see the
+    # operator docstring) — at sf0.1 level 0 (39.9k edges) runs
+    # distributed and level 1 (13.2k edges, 360KB collected) finishes
+    # locally, replacing ~5 scheduler-bound tiny Spark rounds
     out, hist = GR.louvain(
         pairs, src="pa", dst="pb", max_rounds=5, max_levels=2,
-        partitions=8, with_history=True,
+        partitions=8, with_history=True, local_max_edges=15_000,
     )
     s = out.agg(
         F.count("*").cast("long").alias("n_nodes"),

@@ -838,3 +838,50 @@ def test_louvain_degenerate_graph_history(spark):
     out2, hist2 = louvain(selfloops, with_history=True, partitions=2)
     assert out2.count() == 0
     assert hist2 == [0.0]
+
+
+def test_louvain_local_matches_distributed(spark):
+    """The coarsen-then-finish-locally path (local_max_edges) must be
+    BIT-IDENTICAL to the distributed level loop: same assignment, same
+    accepted-round history (the J values come from the same integer
+    arithmetic), on graphs that exercise multi-level contraction."""
+    from certa_spark.operators.graph import louvain
+
+    # two 5-cliques + a 4-clique, sparsely bridged, plus a weighted
+    # multi-edge pair — forces moves, contraction, and a second level
+    ed = []
+    for base in (0, 10):
+        ed += [(base + i, base + j) for i in range(5) for j in range(i + 1, 5)]
+    ed += [(20 + i, 20 + j) for i in range(4) for j in range(i + 1, 4)]
+    ed += [(4, 10), (13, 20), (23, 0), (2, 3)]  # bridges + dup edge
+    e = spark.createDataFrame(ed, "src long, dst long")
+
+    for kwargs in (
+        dict(max_rounds=5, max_levels=3),
+        dict(max_rounds=3, max_levels=2),
+    ):
+        dist, h_dist = louvain(
+            e, with_history=True, partitions=4, **kwargs
+        )
+        loc, h_loc = louvain(
+            e, with_history=True, partitions=4,
+            local_max_edges=10**6, **kwargs
+        )
+        assert sorted(map(tuple, dist.collect())) == sorted(
+            map(tuple, loc.collect())
+        )
+        assert h_dist == h_loc
+
+    # hybrid: level 0 distributed, later levels local — same result as
+    # both pure paths (threshold between level sizes)
+    hyb, h_hyb = louvain(
+        e, with_history=True, partitions=4, max_rounds=5, max_levels=3,
+        local_max_edges=20,
+    )
+    dist2, h_dist2 = louvain(
+        e, with_history=True, partitions=4, max_rounds=5, max_levels=3
+    )
+    assert sorted(map(tuple, hyb.collect())) == sorted(
+        map(tuple, dist2.collect())
+    )
+    assert h_hyb == h_dist2
