@@ -133,10 +133,12 @@ def main() -> None:
         "neardup_clusters", "neardup_clusters_lsss",
         "curation_pipeline_v2", "embedding_kmeans",
     }
-    # driver-coordinated loops with ~10+ accepted rounds: one run only
-    # (a second sample would double ~30s of wall-clock for a number
-    # that is job-overhead-bound, not data-bound, on this fixture)
-    SINGLE_RUN = {"part_louvain"}
+    # driver-coordinated loops with many accepted rounds: one run only
+    # when a second sample would cost ~30s for a job-overhead-bound
+    # number. part_louvain left this set in r7 — the local-finish cut
+    # it to ~11s, so it now affords the same min-of-2 as everything
+    # else and the series stops reporting single-sample noise.
+    SINGLE_RUN: set[str] = set()
     # flagship_batch_saliency runs two full explains through the fused
     # scan — its machinery is already timed by the dedicated
     # flagship_explain / explains_per_min metrics below; double-running
