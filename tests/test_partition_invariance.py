@@ -65,6 +65,15 @@ QUERIES_UNDER_TEST = [
     "neardup_clusters_lsss",
     "part_pagerank_weighted",
     "events_quantile_approx_gate",
+    # round 7: the streaming gates must not depend on shuffle width
+    # (the MG summary CONTENT may, but the recounted top-N and the
+    # complete-mode session result must not); betweenness rides the
+    # pivot-batched BFS with quantize-before-aggregate; louvain's
+    # hybrid local-finish must equal itself under any width
+    "events_stream_heavy_hitters",
+    "events_stream_sessionized",
+    "part_betweenness",
+    "part_louvain",
 ]
 
 
