@@ -58,6 +58,32 @@ def _run_explain_microbench() -> dict:
     return {}
 
 
+def calibration_sentinel(spark, runs: int = 3) -> float:
+    """Fixed CPU-bound calibration job, min-of-``runs`` wall seconds.
+    Depends only on machine load — never on this repo's code — so the
+    recorded value is a pure ambient-noise probe."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        spark.range(50_000_000).select(
+            F.sum(F.xxhash64("id").cast("decimal(38,0)"))
+        ).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def calibration_flag(cal: float, cal_prev: float | None,
+                     band: float = 1.3) -> bool:
+    """True when this sweep's sentinel exceeds ``band`` x the previous
+    recorded sweep's — the machine is loaded and the sweep's numbers
+    should be treated as suspect (BENCH_r06's 1.13x-median inflation
+    would have been flagged instead of requiring judge forensics)."""
+    return bool(cal_prev and cal > band * cal_prev)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -95,14 +121,7 @@ def main() -> None:
     # run is machine-detectably contaminated instead of requiring
     # judge forensics (BENCH_r06 was noise-inflated 1.13x median with
     # nothing in the payload recording it).
-    cal = None
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(50_000_000).select(
-            F.sum(F.xxhash64("id").cast("decimal(38,0)"))
-        ).collect()
-        dt = time.time() - t0
-        cal = dt if cal is None else min(cal, dt)
+    cal = calibration_sentinel(spark)
     cal_prev = None
     try:
         with open(
@@ -112,9 +131,7 @@ def main() -> None:
             cal_prev = json.load(f).get("calibration_sec")
     except (OSError, ValueError):
         pass
-    # >30% slower than the previous recorded sweep's sentinel -> the
-    # machine is loaded; treat this sweep's numbers as suspect
-    cal_flag = bool(cal_prev and cal > 1.3 * cal_prev)
+    cal_flag = calibration_flag(cal, cal_prev)
 
     # Noise control: every query runs TWICE and the reported time is the
     # min of the two. First-call whole-stage-codegen compilation and

@@ -52,3 +52,17 @@ def test_sessionize_salted_equals_plain_on_skew(spark):
     # tiny blocks so the hot user spans many (incl. empty) blocks
     salted = sessionize_batch_salted(df, gap_ns=gap, block_ns=700)
     assert canon(plain) == canon(salted)
+
+
+def test_bench_calibration_sentinel_and_flag(spark):
+    """r7 bench hygiene: the ambient-load sentinel must produce a
+    positive wall-clock sample, and the flag logic must trip exactly
+    on a >1.3x regression vs the previous recorded sweep."""
+    import bench
+
+    cal = bench.calibration_sentinel(spark, runs=1)
+    assert cal > 0.0
+    assert bench.calibration_flag(1.0, None) is False
+    assert bench.calibration_flag(1.2, 1.0) is False
+    assert bench.calibration_flag(1.31, 1.0) is True
+    assert bench.calibration_flag(0.5, 1.0) is False
