@@ -2564,6 +2564,88 @@ _Q_EVENTS_STREAM_SESS_SQL = """
 """
 
 
+def q_events_stream_funnel(spark, sf_dir) -> DataFrame:
+    """The CUSTOM stateful streaming operator behind the hash gate:
+    ``streaming/stateful.funnel_stream`` (applyInPandasWithState, four
+    longs of state per user) runs the strict ordered
+    view->click->purchase funnel over events read as a stream,
+    emitting one row per completing user with end-to-end duration.
+    Greedy earliest-qualifying advance equals the batch funnel's
+    chained min-aggregates (a later step event past the horizon can
+    never re-qualify when the earliest one already couldn't —
+    parity-tested in tests/test_io_streaming_mm.py), and the fixture
+    drains in ONE AvailableNow batch with a (ts, event_id)-sorted
+    fold, so the output is deterministic and the oracle is the plain
+    chained-min SQL. Third streaming operator with a full value-hash
+    driver row, and the first APPEND-mode stateful one."""
+    from certa_spark.streaming.stateful import funnel_stream
+
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias(
+                "ts_ns"
+            ),
+        )
+    )
+    out = funnel_stream(
+        stream,
+        ["view", "click", "purchase"],
+        horizon_ns=72 * 3600 * 1_000_000_000,
+    )
+    sink = "_q_events_stream_funnel"
+    spark.catalog.dropTempView(sink)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id",
+        F.col("completed_ns").cast("long").alias("completed_ns"),
+        F.col("duration_ns").cast("long").alias("duration_ns"),
+    )
+
+
+_Q_EVENTS_STREAM_FUNNEL_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+    ),
+    s1 AS (
+        SELECT user_id AS u, min(t) AS t FROM e
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, min(e.t) AS t
+        FROM e JOIN s1 ON e.user_id = s1.u
+        WHERE e.event_type = 'click' AND e.t > s1.t
+          AND e.t <= s1.t + 259200000000000
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id AS u, min(e.t) AS t
+        FROM e JOIN s2 ON e.user_id = s2.u
+        WHERE e.event_type = 'purchase' AND e.t > s2.t
+          AND e.t <= s2.t + 259200000000000
+        GROUP BY 1
+    )
+    SELECT s3.u AS user_id, CAST(s3.t AS BIGINT) AS completed_ns,
+           CAST(s3.t - s1.t AS BIGINT) AS duration_ns
+    FROM s3 JOIN s1 ON s3.u = s1.u
+"""
+
+
 # ----------------------------------------------- LENS interventions
 
 _LENS_ATTRS = ["p_name", "p_brand", "p_type"]
@@ -9279,6 +9361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_running_zscore": q_events_running_zscore,
     "events_stream_heavy_hitters": q_events_stream_heavy_hitters,
     "events_stream_sessionized": q_events_stream_sessionized,
+    "events_stream_funnel": q_events_stream_funnel,
     "part_betweenness": q_part_betweenness,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
@@ -9641,6 +9724,7 @@ _DRIVER_GREEN_R56: frozenset[str] = frozenset(_R5_NEW) | frozenset(
 _R7_NEW: tuple[str, ...] = (
     "events_stream_heavy_hitters",
     "events_stream_sessionized",
+    "events_stream_funnel",
     "part_betweenness",
 )
 _R7_REGATE: tuple[str, ...] = ("embedding_neardup", "embedding_neardup_blas")
@@ -9660,7 +9744,7 @@ _R3_OLDEST: tuple[str, ...] = (
     "doc_rag_chunks", "er_sorted_neighborhood", "doc_token_budget_mix",
     "doc_bigram_lm", "part_triangles", "er_blocking_recall",
     "lineitem_skew_report", "orders_quantile_sketch",
-    "doc_quality_model", "doc_vocab_coverage",
+    "doc_quality_model",
 )
 
 _GATED: frozenset[str] = (
@@ -9740,6 +9824,7 @@ ORACLES: dict[str, str] = {
     "events_running_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_stream_heavy_hitters": _Q_EVENTS_STREAM_HH_SQL,
     "events_stream_sessionized": _Q_EVENTS_STREAM_SESS_SQL,
+    "events_stream_funnel": _Q_EVENTS_STREAM_FUNNEL_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
     "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,

@@ -72,6 +72,7 @@ QUERIES_UNDER_TEST = [
     # hybrid local-finish must equal itself under any width
     "events_stream_heavy_hitters",
     "events_stream_sessionized",
+    "events_stream_funnel",
     "part_betweenness",
     "part_louvain",
 ]
