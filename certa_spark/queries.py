@@ -2618,6 +2618,49 @@ def q_events_stream_funnel(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_events_stream_zscore(spark, sf_dir) -> DataFrame:
+    """The §2.10 flagship custom stateful operator behind the hash
+    gate: ``streaming/stateful.running_zscore_stream``
+    (applyInPandasWithState, Welford moments as three scalars of state
+    per user) scores every event against the running mean/variance of
+    the user's PRIOR events, over events read as a stream. One
+    AvailableNow batch + the fold's (ts, event_id) sort give the total
+    order, so the stream equals the batch twin exactly and shares its
+    DuckDB oracle (micros timestamps on both sides; z rounded to 4
+    decimals — Welford vs two-pass variance differ ~1e-12, far below
+    the grain). Emits one row per INPUT event (the per-event scoring
+    shape, vs the per-completion funnel and per-window summaries of
+    the other streaming gates)."""
+    from certa_spark.streaming.stateful import running_zscore_stream
+
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_ns"),
+            "value",
+        )
+    )
+    out = running_zscore_stream(stream)
+    sink = "_q_events_stream_zscore"
+    spark.catalog.dropTempView(sink)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 _Q_EVENTS_STREAM_FUNNEL_SQL = """
     WITH e AS (
         SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
@@ -9362,6 +9405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_heavy_hitters": q_events_stream_heavy_hitters,
     "events_stream_sessionized": q_events_stream_sessionized,
     "events_stream_funnel": q_events_stream_funnel,
+    "events_stream_zscore": q_events_stream_zscore,
     "part_betweenness": q_part_betweenness,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
@@ -9725,6 +9769,7 @@ _R7_NEW: tuple[str, ...] = (
     "events_stream_heavy_hitters",
     "events_stream_sessionized",
     "events_stream_funnel",
+    "events_stream_zscore",
     "part_betweenness",
 )
 _R7_REGATE: tuple[str, ...] = ("embedding_neardup", "embedding_neardup_blas")
@@ -9744,7 +9789,6 @@ _R3_OLDEST: tuple[str, ...] = (
     "doc_rag_chunks", "er_sorted_neighborhood", "doc_token_budget_mix",
     "doc_bigram_lm", "part_triangles", "er_blocking_recall",
     "lineitem_skew_report", "orders_quantile_sketch",
-    "doc_quality_model",
 )
 
 _GATED: frozenset[str] = (
@@ -9825,6 +9869,7 @@ ORACLES: dict[str, str] = {
     "events_stream_heavy_hitters": _Q_EVENTS_STREAM_HH_SQL,
     "events_stream_sessionized": _Q_EVENTS_STREAM_SESS_SQL,
     "events_stream_funnel": _Q_EVENTS_STREAM_FUNNEL_SQL,
+    "events_stream_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
     "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,

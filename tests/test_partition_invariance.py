@@ -73,6 +73,7 @@ QUERIES_UNDER_TEST = [
     "events_stream_heavy_hitters",
     "events_stream_sessionized",
     "events_stream_funnel",
+    "events_stream_zscore",
     "part_betweenness",
     "part_louvain",
 ]
