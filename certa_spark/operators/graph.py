@@ -1745,40 +1745,10 @@ def louvain(
         # accepted round (r6 verdict perf item: fuse proposal +
         # objective into one job per round).
         def _comm_stats(a):
-            ca = a.select(F.col("node").alias("a"), F.col("comm").alias("_ja"))
-            cb = a.select(F.col("node").alias("b"), F.col("comm").alias("_jb"))
-            ec_rows = (
-                und.join(ca, "a")
-                .join(cb, "b")
-                .filter(F.col("_ja") == F.col("_jb"))
-                .select(
-                    F.col("_ja").alias("c"),
-                    F.col("w").cast("long").alias("e"),
-                    F.lit(0).cast("long").alias("d"),
-                )
-            )
-            dc_rows = a.join(deg, "node").select(
-                F.col("comm").alias("c"),
-                F.lit(0).cast("long").alias("e"),
-                F.col("k").alias("d"),
-            )
-            return (
-                ec_rows.unionByName(dc_rows)
-                .groupBy("c")
-                .agg(
-                    F.sum("e").cast(DEC).alias("ec"),
-                    F.sum("d").cast("long").alias("dc"),
-                )
-            )
+            return _comm_stats_frame(und, a, deg)
 
         def _j_of(stats) -> int:
-            row = stats.agg(
-                F.sum("ec").alias("se"),
-                F.sum(F.col("dc").cast(DEC) * F.col("dc").cast(DEC)).alias("sd"),
-            ).first()
-            se = int(row["se"]) if row["se"] is not None else 0
-            sd = int(row["sd"]) if row["sd"] is not None else 0
-            return 2 * int(two_m) * se - sd
+            return _j_from_stats(stats, int(two_m))
 
         # level >= 1 skips the J read: contraction preserves the
         # objective by construction, so j_best carries over and
@@ -2087,22 +2057,19 @@ def refine_communities(
     )
 
 
-def _louvain_objective(
-    und: DataFrame, assign: DataFrame, two_m: int, deg: DataFrame
-) -> int:
-    """Exact integer Louvain objective J = 4m*sum_c(e_c) - sum_c(d_c^2)
-    over a weighted graph with self-loops (e_c counts intra weight
-    incl. self-loops; d_c = sum of member degrees, from the caller's
-    checkpointed degree frame). Q = J / (2m)^2. Integer end-to-end
-    (decimal(38,0) sums), so round-over-round comparisons are
-    partition-invariant."""
+def _comm_stats_frame(
+    und: DataFrame, assign: DataFrame, deg: DataFrame
+) -> DataFrame:
+    """Per-community ``(c, ec, dc)`` for an assignment: intra-community
+    edge weight (incl. self-loops) and total member degree, from ONE
+    community-keyed shuffle. The SINGLE source of truth for every J
+    evaluation (the louvain round gate, the level-boundary refine
+    check, and the next round's ctot all read this shape) — keeping
+    one implementation is what guarantees those comparisons stay
+    bit-consistent."""
+    DEC = "decimal(38,0)"
     ca = assign.select(F.col("node").alias("a"), F.col("comm").alias("_ja"))
     cb = assign.select(F.col("node").alias("b"), F.col("comm").alias("_jb"))
-    DEC = "decimal(38,0)"
-    # ONE job for both aggregates: union intra-edge weight rows with
-    # member-degree rows keyed by community, partial-agg per community,
-    # then fold to (sum_ec, sum_dc2) — the per-round objective costs a
-    # single community-keyed shuffle instead of two full evaluations
     ec_rows = (
         und.join(ca, "a")
         .join(cb, "b")
@@ -2118,22 +2085,38 @@ def _louvain_objective(
         F.lit(0).cast("long").alias("e"),
         F.col("k").alias("d"),
     )
-    row = (
+    return (
         ec_rows.unionByName(dc_rows)
         .groupBy("c")
         .agg(
             F.sum("e").cast(DEC).alias("ec"),
             F.sum("d").cast("long").alias("dc"),
         )
-        .agg(
-            F.sum("ec").alias("se"),
-            F.sum(F.col("dc").cast(DEC) * F.col("dc").cast(DEC)).alias("sd"),
-        )
-        .first()
     )
-    sum_ec = int(row["se"]) if row["se"] is not None else 0
-    sum_dc2 = int(row["sd"]) if row["sd"] is not None else 0
-    return 2 * two_m * sum_ec - sum_dc2
+
+
+def _j_from_stats(stats: DataFrame, two_m: int) -> int:
+    """Exact integer Louvain objective J = 4m*sum_c(e_c) - sum_c(d_c^2)
+    folded from a :func:`_comm_stats_frame` result. Q = J / (2m)^2.
+    Integer end-to-end (decimal(38,0) sums), so comparisons are
+    partition-invariant."""
+    DEC = "decimal(38,0)"
+    row = stats.agg(
+        F.sum("ec").alias("se"),
+        F.sum(F.col("dc").cast(DEC) * F.col("dc").cast(DEC)).alias("sd"),
+    ).first()
+    se = int(row["se"]) if row["se"] is not None else 0
+    sd = int(row["sd"]) if row["sd"] is not None else 0
+    return 2 * two_m * se - sd
+
+
+def _louvain_objective(
+    und: DataFrame, assign: DataFrame, two_m: int, deg: DataFrame
+) -> int:
+    """J of an assignment — one job. Thin composition of the shared
+    stats/fold helpers so the refine path's ``j_ref`` is produced by
+    the EXACT chain the round gate used for ``j_best``."""
+    return _j_from_stats(_comm_stats_frame(und, assign, deg), int(two_m))
 
 
 def betweenness_exact(

@@ -2400,10 +2400,14 @@ def q_events_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
     never shuffles on the candidate set) and keeps the exact per-day
     top-3 users. The MG guarantee (every item with in-window frequency
     > n/(k+1) survives the summary) makes the candidate set complete
-    for the true top-3 at k=256, so the final output is EXACT and
-    oracle-hashable even though intermediate summary CONTENT depends
-    on micro-batch boundaries — the two-pass pattern that replaces a
-    lambda architecture at 100 TB/day event volumes.
+    for the true top-3 REGARDLESS of micro-batch boundaries: at sf0.1
+    a day holds n ~ 3.3k events and the 3rd-place user ~7 of them, so
+    k = 1024 bounds the merge error at n/1025 < 4 < 7 with margin
+    (the original k = 256 left completeness resting on the fixture
+    draining in ONE availableNow batch — caught in review). The final
+    output is therefore EXACT and oracle-hashable even though summary
+    CONTENT depends on batch boundaries — the two-pass pattern that
+    replaces a lambda architecture at 100 TB/day event volumes.
 
     First registry query that drives a *streaming* operator through
     the driver's value-hash gate (r6 verdict stretch item 9)."""
@@ -2423,7 +2427,7 @@ def q_events_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
         )
     )
     out = heavy_hitters_stream(
-        stream, "user", ts_col="ts", window_duration="1 day", k=256
+        stream, "user", ts_col="ts", window_duration="1 day", k=1024
     )
     sink = "_q_events_stream_hh"
     spark.catalog.dropTempView(sink)
@@ -2434,7 +2438,11 @@ def q_events_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        # a timeout RETURNS False (it does not raise); proceeding
+        # would hash a partially-drained memory sink as the result
+        q.stop()
+        raise RuntimeError("streaming drain did not finish in 600s")
     cands = (
         spark.table(sink)
         .select(
@@ -2527,7 +2535,11 @@ def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        # a timeout RETURNS False (it does not raise); proceeding
+        # would hash a partially-drained memory sink as the result
+        q.stop()
+        raise RuntimeError("streaming drain did not finish in 600s")
     return spark.table(sink).select(
         "user_id",
         F.unix_micros(F.col("s.start")).alias("session_start_us"),
@@ -2610,7 +2622,11 @@ def q_events_stream_funnel(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        # a timeout RETURNS False (it does not raise); proceeding
+        # would hash a partially-drained memory sink as the result
+        q.stop()
+        raise RuntimeError("streaming drain did not finish in 600s")
     return spark.table(sink).select(
         "user_id",
         F.col("completed_ns").cast("long").alias("completed_ns"),
@@ -2657,7 +2673,11 @@ def q_events_stream_zscore(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        # a timeout RETURNS False (it does not raise); proceeding
+        # would hash a partially-drained memory sink as the result
+        q.stop()
+        raise RuntimeError("streaming drain did not finish in 600s")
     return spark.table(sink)
 
 

@@ -57,6 +57,24 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _round_like_spark(x: float, digits: int) -> float:
+    """Spark's ``F.round`` on doubles: HALF_UP on the SHORTEST decimal
+    representation (``BigDecimal.valueOf`` goes through
+    ``Double.toString``). Python's ``round()`` is half-even on the
+    binary value and disagrees on the ...5 shortest-repr tie class —
+    the exact divergence family documented in this repo's cross-engine
+    parity notes — so the stream fold must round THIS way to stay
+    bit-identical to the batch twin (and their shared oracle)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-digits),
+            rounding=decimal.ROUND_HALF_UP,
+        )
+    )
+
+
 def _score_group(
     key: Tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state
 ) -> Iterator["pd.DataFrame"]:
@@ -64,12 +82,29 @@ def _score_group(
 
     cnt, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_ns", "event_id"])
-        for r in pdf.itertuples(index=False):
+    # concat THEN sort: each element of pdfs is one Arrow chunk, and a
+    # group larger than arrow.maxRecordsPerBatch arrives as several —
+    # sorting per chunk would fold a multi-chunk group out of
+    # (ts_ns, event_id) order and break the total-order equality with
+    # the batch twin that the hash gate relies on
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = (
+            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["ts_ns", "event_id"])
+        for r in whole.itertuples(index=False):
+            if pd.isna(r.value):
+                # mirror the batch twin: count(value)/avg/var skip
+                # nulls, so a null-valued event is emitted (z null,
+                # n_prior = prior non-null count) without touching
+                # the moments
+                out_rows.append(
+                    (key[0], r.event_id, r.ts_ns, None, cnt, None)
+                )
+                continue
             var = m2 / (cnt - 1) if cnt >= 2 else 0.0
             z = (
-                round((r.value - mean) / var**0.5, 4)
+                _round_like_spark((r.value - mean) / var**0.5, 4)
                 if cnt >= MIN_PRIOR and var > VAR_FLOOR
                 else None
             )
@@ -172,11 +207,23 @@ def make_funnel_fn(steps: list, horizon_ns: int | None):
             state.get if state.exists else (0, 0, 0, 0)
         )
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_ns", "event_id"])
-            for r in pdf.itertuples(index=False):
+        # concat-then-sort for multi-chunk groups — see _score_group
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            (pd.concat(chunks) if len(chunks) > 1 else chunks[0])
+            .sort_values(["ts_ns", "event_id"])
+            if chunks
+            else None
+        )
+        if whole is not None:
+            for r in whole.itertuples(index=False):
                 if failed or stage >= len(steps):
                     break
+                # null ts/type rows can never satisfy the batch
+                # funnel's equality/range predicates — and a NaN ts
+                # would poison the integer stage clock
+                if pd.isna(r.ts_ns) or pd.isna(r.event_type):
+                    continue
                 if r.event_type != steps[stage]:
                     continue
                 if stage == 0:
