@@ -1110,3 +1110,113 @@ def test_cosine_neardup_blas_exact_equality_registry_planes(spark):
                 f"{sf_dir} planes@{rnd}: fold and BLAS diverge at the "
                 f"rounded grain"
             )
+
+
+def test_streaming_zscore_multichunk_order_and_nulls(spark, tmp_path):
+    """r7 review fixes pinned: (a) a group spanning multiple Arrow
+    chunks must fold in (ts_ns, event_id) order — per-chunk sorting
+    would score chunk-2 rows with earlier timestamps after chunk-1
+    rows; (b) null values must be emitted (z null, n_prior = prior
+    NON-null count) without touching the Welford state. Equality with
+    the batch twin is the oracle for both."""
+    from certa_spark.streaming.stateful import (
+        running_zscore_batch,
+        running_zscore_stream,
+    )
+
+    ns = 1_000_000_000
+    rows = []
+    # one user, 40 events written in REVERSE time order so arrival
+    # order disagrees with event time, with nulls sprinkled in
+    for i in range(40):
+        t = (40 - i) * 60 * ns
+        v = None if i % 7 == 3 else float((i * 13) % 11) + 0.25
+        rows.append((1, 1000 + i, t, v))
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ns long, value double"
+    )
+    src = str(tmp_path / "zmc_src")
+    batch.write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # force the 40-row group to arrive as ~6 Arrow chunks
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = running_zscore_stream(stream)
+        q = (
+            out.writeStream.format("memory").queryName("zmc_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            r["event_id"]: (r["n_prior"], r["z"], r["value"])
+            for r in spark.sql("SELECT * FROM zmc_stream").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    want = {
+        r["event_id"]: (r["n_prior"], r["z"], r["value"])
+        for r in running_zscore_batch(batch).collect()
+    }
+    assert got == want
+    # the nulls really are in the fixture and really emit null z
+    nulls = [k for k, v in want.items() if v[2] is None]
+    assert nulls and all(got[k][1] is None for k in nulls)
+
+
+def test_streaming_funnel_multichunk_order(spark, tmp_path):
+    """Funnel twin of the multi-chunk ordering fix: steps written in
+    reverse arrival order across several Arrow chunks must still
+    complete (the fold sorts the whole group once)."""
+    from certa_spark.operators.funnel import funnel_user_times
+    from certa_spark.streaming.stateful import funnel_stream
+    from pyspark.sql import functions as F
+
+    ns = 1_000_000_000
+    rows = []
+    eid = 0
+    # 12 users, each A->B->C within horizon, rows appended in reverse
+    # global time order; plus null-type noise rows
+    for u in range(1, 13):
+        for step, t in (("C", 300 + u), ("B", 200 + u), ("A", 100 + u)):
+            rows.append((u, eid, step, t * 60 * ns))
+            eid += 1
+        rows.append((u, eid, None, (250 + u) * 60 * ns))
+        eid += 1
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ns long"
+    )
+    src = str(tmp_path / "fmc_src")
+    batch.write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = funnel_stream(
+            stream, ["A", "B", "C"], horizon_ns=72 * 3600 * ns
+        )
+        q = (
+            out.writeStream.format("memory").queryName("fmc_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            r["user_id"]: (r["completed_ns"], r["duration_ns"])
+            for r in spark.sql("SELECT * FROM fmc_stream").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    bt = batch.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    want = {}
+    for r in funnel_user_times(bt, ["A", "B", "C"], horizon_hours=72).collect():
+        import datetime as dt
+
+        t3 = int(r["t_3"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+        t1 = int(r["t_1"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+        want[r["u"]] = (t3, t3 - t1)
+    assert len(want) == 12
+    assert got == want
