@@ -95,10 +95,20 @@ class MLlibMatcher:
         # the earlier save/load round-trip through a driver-local
         # tempdir it needs no filesystem shared with the executors, so
         # it works identically on a real multi-node cluster.
-        none = train_pairs.sparkSession._jvm.scala.Option.empty()
-        for stage in fitted.stages:
-            if getattr(stage, "hasSummary", False):
-                stage._java_obj.setSummary(none)
+        # setSummary is private[ml] (public only in bytecode) — guard
+        # the py4j reach-in so a Spark upgrade that renames it degrades
+        # to a fitted-but-summary-carrying model (usable; transform
+        # closures may then hit the serializability caveat above)
+        # instead of turning train() into a Py4JError.
+        try:
+            none = train_pairs.sparkSession._jvm.scala.Option.empty()
+            for stage in fitted.stages:
+                if getattr(stage, "hasSummary", False) and hasattr(
+                    stage._java_obj, "setSummary"
+                ):
+                    stage._java_obj.setSummary(none)
+        except Exception:  # py4j surface moved: keep the model usable
+            pass
         self._model = fitted
         return self
 

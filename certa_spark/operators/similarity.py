@@ -278,7 +278,7 @@ def cosine_neardup_pairs_blas(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 4,
+    round_to: int = 6,
 ) -> DataFrame:
     """Banded-LSH cosine near-dup, BLAS scale path: same candidate
     generation as :func:`cosine_neardup_pairs`, but each (band, bucket)
@@ -288,7 +288,8 @@ def cosine_neardup_pairs_blas(
     interpreted fold. ~3x faster already at sf0.1 and the gap widens
     with bucket size.
 
-    Sims are rounded to ``round_to`` (default 4) decimals: BLAS fold
+    Sims are rounded to ``round_to`` (default 6, same as the fold
+    scorer so the two are swap-compatible at defaults) decimals: BLAS fold
     order differs from a left-to-right fold by ~1e-15, far below the
     rounding grain, so results stay engine-portable. Size planes so
     buckets are bounded and #buckets >> #cores (pairwise matrix per

@@ -2415,6 +2415,10 @@ def q_events_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
 
     src = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(src).schema
+    # both the 1-day window() bucketing and date_format are
+    # timezone-sensitive — pin UTC like the sibling streaming gates so
+    # a non-UTC session can't shift day boundaries off the oracle's
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file-stream source requires a DIRECTORY basePath; narrow the
     # listing back to the events table with a glob filter
     stream = (
@@ -2576,6 +2580,28 @@ _Q_EVENTS_STREAM_SESS_SQL = """
 """
 
 
+def _assert_single_data_batch(q) -> None:
+    """Raise if a drained streaming query processed its input in more
+    than one micro-batch. The funnel and z-score gates' oracle hashes
+    rely on the fixture folding in ONE (ts, event_id)-sorted
+    AvailableNow batch (cross-batch arrival order would legally
+    reorder the stateful fold — see the multi-batch drain tests in
+    tests/test_io_streaming_mm.py for the state-carry contract). The
+    single-file fixture guarantees it today; this guard turns a future
+    multi-file table or maxFilesPerTrigger default silently breaking
+    that precondition into a loud error instead of a hash mismatch."""
+    data_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    if data_batches != 1:
+        raise RuntimeError(
+            f"streaming gate precondition violated: expected the "
+            f"fixture to drain in exactly 1 data micro-batch, got "
+            f"{data_batches} — the (ts, event_id) fold order no longer "
+            f"matches the batch twin's total order"
+        )
+
+
 def q_events_stream_funnel(spark, sf_dir) -> DataFrame:
     """The CUSTOM stateful streaming operator behind the hash gate:
     ``streaming/stateful.funnel_stream`` (applyInPandasWithState, four
@@ -2627,6 +2653,7 @@ def q_events_stream_funnel(spark, sf_dir) -> DataFrame:
         # would hash a partially-drained memory sink as the result
         q.stop()
         raise RuntimeError("streaming drain did not finish in 600s")
+    _assert_single_data_batch(q)
     return spark.table(sink).select(
         "user_id",
         F.col("completed_ns").cast("long").alias("completed_ns"),
@@ -2664,7 +2691,7 @@ def q_events_stream_zscore(spark, sf_dir) -> DataFrame:
         )
     )
     out = running_zscore_stream(stream)
-    sink = "_q_events_stream_zscore"
+    sink = "_q_events_stream_zscore"  # single-batch guard below
     spark.catalog.dropTempView(sink)
     q = (
         out.writeStream.format("memory")
@@ -2678,6 +2705,7 @@ def q_events_stream_zscore(spark, sf_dir) -> DataFrame:
         # would hash a partially-drained memory sink as the result
         q.stop()
         raise RuntimeError("streaming drain did not finish in 600s")
+    _assert_single_data_batch(q)
     return spark.table(sink)
 
 
