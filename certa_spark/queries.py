@@ -2490,29 +2490,54 @@ _Q_EVENTS_STREAM_HH_SQL = """
 
 def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
     """Session windows computed by the REAL Structured Streaming
-    ``session_window`` operator — events read as a stream, drained
-    with Trigger.AvailableNow into a memory sink in complete output
-    mode (every session emitted once the input is exhausted, so the
-    result is batch-boundary-independent), then projected to an
-    oracle-hashable shape. Per-session value sums go through an exact
+    ``session_window`` operator in APPEND output mode with watermark
+    eviction — the 100x-safe shape (r7 verdict ask #3): state holds
+    only OPEN sessions; a session is emitted exactly once, when the
+    watermark passes its close, instead of every session being
+    retained forever as the previous complete-mode drain did. To make
+    append mode emit the fixture's final sessions under AvailableNow,
+    the stream source is a temp dir holding the events file plus a
+    one-row far-future SENTINEL (user_id = -20 so it passes the %20
+    cohort filter and advances the watermark; filtered back out of the
+    result) — after the data batch the watermark sits 30 minutes
+    behind the sentinel, and Spark's no-data micro-batch evicts and
+    emits every real session. This is the standard flush pattern for
+    finite replays of an append-mode sessionization; on a real
+    unbounded stream the watermark advances by itself and no sentinel
+    is needed. Output (and oracle hash) is identical to the old
+    complete-mode drain. Per-session value sums go through an exact
     DECIMAL(30,6) sum inside the streaming aggregate itself (float
     fold order across state updates is not deterministic; decimals
-    are), the cross-engine rule every batch aggregate here already
-    follows. session_window semantics: a new session starts when the
-    gap to the previous event is >= 30 minutes (the batch twin
+    are). session_window semantics: a new session starts when the gap
+    to the previous event is >= 30 minutes (the batch twin
     ``events_sessionized`` uses strictly-greater; the fixture has no
     exact-gap ties at any SF, verified, so the two agree — the oracle
-    below encodes the streaming >= rule on principle).
+    below encodes the streaming >= rule on principle)."""
+    import datetime
+    import shutil
+    import tempfile
 
-    Second streaming operator behind the driver's full value-hash
-    gate, after ``events_stream_heavy_hitters``."""
     src = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(src).schema
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # stage the stream dir: the real events file + the flush sentinel
+    stage = tempfile.mkdtemp(prefix="certa_stream_sess_")
+    shutil.copy(src, f"{stage}/events.parquet")
+    sent = spark.createDataFrame(
+        [(-1, datetime.datetime(2030, 1, 1), -20, None, 0.0, None)],
+        schema=raw_schema,
+    )
+    sent_dir = f"{stage}/_sentinel_out"
+    sent.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    import glob as _glob
+
+    part = _glob.glob(f"{sent_dir}/part-*.parquet")[0]
+    shutil.move(part, f"{stage}/zz_sentinel.parquet")
+    shutil.rmtree(sent_dir)
     stream = (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
         .filter(F.col("user_id") % 20 == 0)
         .select(
             F.col("ts").cast("timestamp").alias("ts"),
@@ -2535,21 +2560,29 @@ def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
     q = (
         sess.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(600):
-        # a timeout RETURNS False (it does not raise); proceeding
-        # would hash a partially-drained memory sink as the result
-        q.stop()
-        raise RuntimeError("streaming drain did not finish in 600s")
-    return spark.table(sink).select(
-        "user_id",
-        F.unix_micros(F.col("s.start")).alias("session_start_us"),
-        "n_events",
-        F.round(F.col("_sv"), 4).cast("double").alias("sum_value"),
-    )
+    try:
+        if not q.awaitTermination(600):
+            # a timeout RETURNS False (it does not raise); proceeding
+            # would hash a partially-drained memory sink as the result
+            q.stop()
+            raise RuntimeError("streaming drain did not finish in 600s")
+        # the sentinel must share the data batch (or come last): if the
+        # real events ever arrived AFTER the sentinel's batch they
+        # would be late beyond the watermark and silently dropped —
+        # turn that into a loud error like the other gates' guard
+        _assert_single_data_batch(q)
+        return spark.table(sink).filter(F.col("user_id") >= 0).select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            "n_events",
+            F.round(F.col("_sv"), 4).cast("double").alias("sum_value"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 _Q_EVENTS_STREAM_SESS_SQL = """
@@ -2614,8 +2647,13 @@ def q_events_stream_funnel(spark, sf_dir) -> DataFrame:
     parity-tested in tests/test_io_streaming_mm.py), and the fixture
     drains in ONE AvailableNow batch with a (ts, event_id)-sorted
     fold, so the output is deterministic and the oracle is the plain
-    chained-min SQL. Third streaming operator with a full value-hash
-    driver row, and the first APPEND-mode stateful one."""
+    chained-min SQL. The single-batch precondition is now ASSERTED
+    (``_assert_single_data_batch``), and the cross-batch contract is
+    pinned by tests: in-event-time-order multi-batch drains equal the
+    batch twin (state carries the stage), late-arriving rows fold at
+    arrival (``test_streaming_funnel_multibatch_state_carry``). Third
+    streaming operator with a full value-hash driver row, and the
+    first APPEND-mode stateful one."""
     from certa_spark.streaming.stateful import funnel_stream
 
     src = f"{sf_dir}/events.parquet"
@@ -2667,9 +2705,12 @@ def q_events_stream_zscore(spark, sf_dir) -> DataFrame:
     (applyInPandasWithState, Welford moments as three scalars of state
     per user) scores every event against the running mean/variance of
     the user's PRIOR events, over events read as a stream. One
-    AvailableNow batch + the fold's (ts, event_id) sort give the total
-    order, so the stream equals the batch twin exactly and shares its
-    DuckDB oracle (micros timestamps on both sides; z rounded to 4
+    AvailableNow batch (asserted via ``_assert_single_data_batch``;
+    the cross-batch contract — in-order multi-batch == batch twin,
+    late rows score at arrival — is pinned by the multibatch tests in
+    tests/test_io_streaming_mm.py) + the fold's (ts, event_id) sort
+    give the total order, so the stream equals the batch twin exactly
+    and shares its DuckDB oracle (micros timestamps on both sides; z rounded to 4
     decimals — Welford vs two-pass variance differ ~1e-12, far below
     the grain). Emits one row per INPUT event (the per-event scoring
     shape, vs the per-completion funnel and per-window summaries of

@@ -1220,3 +1220,203 @@ def test_streaming_funnel_multichunk_order(spark, tmp_path):
         want[r["u"]] = (t3, t3 - t1)
     assert len(want) == 12
     assert got == want
+
+
+def _write_slab_files(spark, batch, slabs, dest):
+    """Write ``batch`` as one parquet FILE per slab predicate, with
+    strictly increasing mtimes so FileStreamSource (oldest-first)
+    ingests them in slab order under maxFilesPerTrigger=1."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(dest, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, pred in enumerate(slabs):
+        tmp = f"{dest}/_slab{i}"
+        batch.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        final = f"{dest}/{i:02d}.parquet"
+        shutil.move(part, final)
+        shutil.rmtree(tmp)
+        os.utime(final, (t0 + 100 * i, t0 + 100 * i))
+
+
+def _drain_batches(spark, out, name, nfiles):
+    """Start an AvailableNow drain with maxFilesPerTrigger handled by
+    the caller's source; return (rows, n_data_batches)."""
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    n_data = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    return spark.sql(f"SELECT * FROM {name}").collect(), n_data
+
+
+def test_streaming_zscore_multibatch_in_order_equals_batch(spark, tmp_path):
+    """r7 verdict ask #2, part 1: the SAME fixture drained as SEVERAL
+    micro-batches (one file per trigger, files in event-time order)
+    must equal the batch twin — the Welford state carries across batch
+    boundaries and in-order arrival keeps the fold total-ordered."""
+    from certa_spark.streaming.stateful import (
+        running_zscore_batch,
+        running_zscore_stream,
+    )
+    from pyspark.sql import functions as F
+
+    ns = 1_000_000_000
+    rows = []
+    for u in (1, 2):
+        for i in range(30):
+            v = None if i % 11 == 5 else float((u * 7 + i * 13) % 9) + 0.5
+            rows.append((u, u * 1000 + i, (i + 1) * 60 * ns, v))
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ns long, value double"
+    )
+    src = str(tmp_path / "zmb_src")
+    # three time slabs: [0,10), [10,20), [20,30) minutes-index
+    _write_slab_files(
+        spark, batch,
+        [F.col("ts_ns") <= 10 * 60 * ns,
+         (F.col("ts_ns") > 10 * 60 * ns) & (F.col("ts_ns") <= 20 * 60 * ns),
+         F.col("ts_ns") > 20 * 60 * ns],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    got_rows, n_data = _drain_batches(
+        spark, running_zscore_stream(stream), "zmb_stream", 3
+    )
+    assert n_data >= 2, "fixture must actually drain as multiple batches"
+    got = {r["event_id"]: (r["n_prior"], r["z"]) for r in got_rows}
+    want = {
+        r["event_id"]: (r["n_prior"], r["z"])
+        for r in running_zscore_batch(batch).collect()
+    }
+    assert got == want
+
+
+def test_streaming_zscore_multibatch_late_rows_score_at_arrival(
+    spark, tmp_path
+):
+    """r7 verdict ask #2, part 2 — the state-carry CONTRACT when a
+    later micro-batch delivers EARLIER event times: late rows score
+    against the state as of their ARRIVAL (per-batch (ts, event_id)
+    sort, batches folded in arrival order), not a global re-sort. The
+    oracle is the batch twin run over arrival order (ts_ns replaced by
+    arrival rank), which is exactly that fold — independent of the
+    stream implementation."""
+    from certa_spark.streaming.stateful import (
+        running_zscore_batch,
+        running_zscore_stream,
+    )
+    from pyspark.sql import functions as F
+
+    ns = 1_000_000_000
+    rows = []
+    # user 1: batch A has minutes 20..29, batch B has LATE minutes
+    # 1..10 (arrive after), batch C has minutes 30..39
+    for i in range(10):
+        rows.append((1, 100 + i, (20 + i) * 60 * ns, float(i % 5) + 1.0, 0))
+        rows.append((1, 200 + i, (1 + i) * 60 * ns, float(i % 7) + 2.0, 1))
+        rows.append((1, 300 + i, (30 + i) * 60 * ns, float(i % 3) + 0.5, 2))
+    batch = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts_ns long, value double, slab int",
+    )
+    src = str(tmp_path / "zlate_src")
+    _write_slab_files(
+        spark, batch,
+        [F.col("slab") == 0, F.col("slab") == 1, F.col("slab") == 2],
+        src,
+    )
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id long, ts_ns long, value double")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    got_rows, n_data = _drain_batches(
+        spark, running_zscore_stream(stream), "zlate_stream", 3
+    )
+    assert n_data == 3
+    got = {r["event_id"]: (r["n_prior"], r["z"]) for r in got_rows}
+    # arrival-order oracle: slab-major, (ts, event_id) within a slab
+    arr = batch.select(
+        "user_id", "event_id",
+        (F.col("slab").cast("long") * 10_000_000_000_000
+         + F.col("ts_ns")).alias("ts_ns"),
+        "value",
+    )
+    want = {
+        r["event_id"]: (r["n_prior"], r["z"])
+        for r in running_zscore_batch(arr).collect()
+    }
+    assert got == want
+    # and it genuinely differs from the global-time-order fold —
+    # otherwise this test wouldn't pin the arrival semantics at all
+    glob_order = {
+        r["event_id"]: (r["n_prior"], r["z"])
+        for r in running_zscore_batch(batch.drop("slab")).collect()
+    }
+    assert got != glob_order
+
+
+def test_streaming_funnel_multibatch_state_carry(spark, tmp_path):
+    """Funnel twin of the multi-batch drain: steps split ACROSS
+    micro-batches (view in batch 1, click in batch 2, purchase in
+    batch 3) still complete — the four-longs state carries the stage
+    across batch boundaries — and the in-order multi-batch result
+    equals the batch twin."""
+    from certa_spark.operators.funnel import funnel_user_times
+    from certa_spark.streaming.stateful import funnel_stream
+    from pyspark.sql import functions as F
+
+    ns = 1_000_000_000
+    rows, eid = [], 0
+    # 8 users complete across slabs; user 9 never clicks (no output);
+    # user 10 clicks past the horizon (failed)
+    for u in range(1, 9):
+        rows.append((u, eid, "A", (10 + u) * 60 * ns, 0)); eid += 1
+        rows.append((u, eid, "B", (500 + u) * 60 * ns, 1)); eid += 1
+        rows.append((u, eid, "C", (900 + u) * 60 * ns, 2)); eid += 1
+    rows.append((9, eid, "A", 15 * 60 * ns, 0)); eid += 1
+    rows.append((10, eid, "A", 16 * 60 * ns, 0)); eid += 1
+    rows.append((10, eid, "B", (16 + 80 * 60) * 60 * ns, 2)); eid += 1
+    batch = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, ts_ns long, slab int",
+    )
+    src = str(tmp_path / "fmb_src")
+    _write_slab_files(
+        spark, batch,
+        [F.col("slab") == 0, F.col("slab") == 1, F.col("slab") == 2],
+        src,
+    )
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id long, event_type string, ts_ns long")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    got_rows, n_data = _drain_batches(
+        spark,
+        funnel_stream(stream, ["A", "B", "C"], horizon_ns=72 * 3600 * ns),
+        "fmb_stream", 3,
+    )
+    assert n_data == 3
+    got = {
+        r["user_id"]: (r["completed_ns"], r["duration_ns"])
+        for r in got_rows
+    }
+    bt = batch.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    import datetime as dt
+
+    want = {}
+    for r in funnel_user_times(bt, ["A", "B", "C"], horizon_hours=72).collect():
+        t3 = int(r["t_3"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+        t1 = int(r["t_1"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+        want[r["u"]] = (t3, t3 - t1)
+    assert set(want) == set(range(1, 9))
+    assert got == want
