@@ -84,21 +84,7 @@ def calibration_flag(cal: float, cal_prev: float | None,
     return bool(cal_prev and cal > band * cal_prev)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = -1.0
-
-    clean_explains = _run_explain_microbench()
-
-    from certa_spark.queries import QUERIES
-    from certa_spark.session import get_spark
-
-    spark = get_spark(app_name="bench")
-
-    timings: dict[str, float] = {}
+def _warm_session(spark) -> None:
     # warm the JVM + the codegen paths the headline queries share
     # (broadcast join, window, explode, regexp) so the first timed query
     # measures its plan rather than one-time session/compiler startup
@@ -114,25 +100,13 @@ def main() -> None:
         .count()
     )
 
-    # Ambient-load sentinel (r6 verdict ask #2): a fixed CPU-bound
-    # calibration job timed before the sweep, min-of-3. Its wall-clock
-    # depends only on machine load, never on this repo's code, so a
-    # sweep whose calibration leaves the band of the PREVIOUS recorded
-    # run is machine-detectably contaminated instead of requiring
-    # judge forensics (BENCH_r06 was noise-inflated 1.13x median with
-    # nothing in the payload recording it).
-    cal = calibration_sentinel(spark)
-    cal_prev = None
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json")
-        ) as f:
-            cal_prev = json.load(f).get("calibration_sec")
-    except (OSError, ValueError):
-        pass
-    cal_flag = calibration_flag(cal, cal_prev)
 
+def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
+    """One timed pass over every registry query plus the flagship
+    explain; returns (timings, runs_used)."""
+    from certa_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
     # Noise control: every query runs TWICE and the reported time is the
     # min of the two. First-call whole-stage-codegen compilation and
     # Catalyst analysis swing iterative/multi-job queries (pagerank,
@@ -235,6 +209,74 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error in flagship_explain: {e}", file=sys.stderr)
         timings["flagship_explain"] = -1.0
+    return timings, runs_used
+
+
+def sweep_with_retry(spark, sf_dir, cal_prev,
+                     sentinel=None, sweep=None):
+    """Self-healing sweep (r7 verdict ask #4): run the sentinel, run
+    the sweep; if the sentinel flagged the machine as loaded,
+    re-calibrate and re-sweep ONCE and keep whichever attempt's
+    sentinel is lower — BENCH_r07 shipped a correctly-flagged-but-
+    contaminated payload that a single retry would have replaced with
+    clean numbers. Both sentinels are recorded (``attempts``) so the
+    retry is auditable. The explain microbench (own fresh subprocess,
+    measured before any sweep) is not re-run — only the flagged query
+    sweep is. Returns (cal, timings, runs_used, attempts)."""
+    sentinel = sentinel or calibration_sentinel
+    sweep = sweep or run_sweep
+    cal = sentinel(spark)
+    attempts = [round(cal, 3)]
+    timings, runs_used = sweep(spark, sf_dir)
+    if calibration_flag(cal, cal_prev):
+        print(
+            f"bench: calibration {cal:.3f}s left the band of "
+            f"{cal_prev}s — machine loaded; retrying the sweep once",
+            file=sys.stderr,
+        )
+        cal2 = sentinel(spark)
+        attempts.append(round(cal2, 3))
+        timings2, runs_used2 = sweep(spark, sf_dir)
+        if cal2 < cal:
+            cal, timings, runs_used = cal2, timings2, runs_used2
+    return cal, timings, runs_used, attempts
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    clean_explains = _run_explain_microbench()
+
+    from certa_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    _warm_session(spark)
+
+    # Ambient-load sentinel (r6 verdict ask #2): a fixed CPU-bound
+    # calibration job timed before the sweep, min-of-3. Its wall-clock
+    # depends only on machine load, never on this repo's code, so a
+    # sweep whose calibration leaves the band of the PREVIOUS recorded
+    # run is machine-detectably contaminated instead of requiring
+    # judge forensics (BENCH_r06 was noise-inflated 1.13x median with
+    # nothing in the payload recording it).
+    cal_prev = None
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json")
+        ) as f:
+            cal_prev = json.load(f).get("calibration_sec")
+    except (OSError, ValueError):
+        pass
+
+    cal, timings, runs_used, attempts = sweep_with_retry(
+        spark, sf_dir, cal_prev
+    )
+    cal_flag = calibration_flag(cal, cal_prev)
 
     timings.update(clean_explains)
     total = round(
@@ -257,6 +299,7 @@ def main() -> None:
         "calibration_sec": round(cal, 3),
         "calibration_prev_sec": cal_prev,
         "calibration_flag": cal_flag,
+        "calibration_attempts": attempts,
         "runs_used": runs_used,
         "queries": {
             k: (round(v, 2) if isinstance(v, float) else v)
@@ -286,6 +329,7 @@ def main() -> None:
         "heavy_loop_runs": 3,
         "calibration_sec": round(cal, 3),
         "calibration_flag": cal_flag,
+        "calibration_attempts": attempts,
         "n_queries": len(timings),
     }
     prio = [k for k in timings if "explains_per_min" in k or "flagship" in k]

@@ -66,3 +66,50 @@ def test_bench_calibration_sentinel_and_flag(spark):
     assert bench.calibration_flag(1.2, 1.0) is False
     assert bench.calibration_flag(1.31, 1.0) is True
     assert bench.calibration_flag(0.5, 1.0) is False
+
+
+def test_bench_sweep_auto_retry_on_flag():
+    """r7 verdict ask #4: a flagged sweep triggers exactly one retry
+    and the lower-sentinel attempt's numbers win; an in-band sweep
+    never retries. Stub sentinel/sweep — no Spark needed."""
+    import bench
+
+    calls = {"sent": 0, "sweep": 0}
+    cals = [2.0, 0.4]  # attempt 1 loaded, attempt 2 clean
+
+    def sent(spark):
+        v = cals[calls["sent"]]
+        calls["sent"] += 1
+        return v
+
+    def sweep(spark, sf_dir):
+        calls["sweep"] += 1
+        return {"q": float(calls["sweep"])}, {"q": 2}
+
+    cal, timings, runs, attempts = bench.sweep_with_retry(
+        None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
+    )
+    assert calls == {"sent": 2, "sweep": 2}
+    assert cal == 0.4 and attempts == [2.0, 0.4]
+    assert timings == {"q": 2.0}, "the clean retry's numbers must win"
+    assert bench.calibration_flag(cal, 0.4) is False
+
+    # in-band: no retry
+    calls = {"sent": 0, "sweep": 0}
+    cals = [0.45]
+    cal, timings, runs, attempts = bench.sweep_with_retry(
+        None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
+    )
+    assert calls == {"sent": 1, "sweep": 1}
+    assert attempts == [0.45] and timings == {"q": 1.0}
+
+    # retry that stays loaded: first attempt (lower sentinel) kept,
+    # flag remains true in the payload
+    calls = {"sent": 0, "sweep": 0}
+    cals = [2.0, 3.0]
+    cal, timings, runs, attempts = bench.sweep_with_retry(
+        None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
+    )
+    assert calls["sweep"] == 2
+    assert cal == 2.0 and timings == {"q": 1.0}
+    assert bench.calibration_flag(cal, 0.4) is True
