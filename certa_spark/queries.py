@@ -2389,6 +2389,16 @@ _Q_RUNNING_ZSCORE_SQL = """
 """
 
 
+# Misra-Gries summary size for the streaming heavy-hitters gate. The
+# two-pass output is EXACT only while every true per-day top-3 user
+# survives the MG summary, i.e. max-per-day n/(k+1) < the smallest
+# 3rd-place count of any day. Verified tri-scale by
+# tests/test_sketch.py::test_stream_hh_completeness_margin_tri_scale,
+# which recomputes both sides from the fixtures and fails loudly if a
+# future fixture (or larger SF) erodes the margin.
+_STREAM_HH_K = 1024
+
+
 def q_events_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
     """End-to-end streaming heavy hitters, lambda-free two-pass: pass
     1 runs the REAL Structured Streaming operator
@@ -2431,7 +2441,8 @@ def q_events_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
         )
     )
     out = heavy_hitters_stream(
-        stream, "user", ts_col="ts", window_duration="1 day", k=1024
+        stream, "user", ts_col="ts", window_duration="1 day",
+        k=_STREAM_HH_K,
     )
     sink = "_q_events_stream_hh"
     spark.catalog.dropTempView(sink)

@@ -397,3 +397,48 @@ def test_misra_gries_null_heavy_column(spark):
         for r in heavy_hitters_exact(df, "v", top_n=2, k=64).collect()
     }
     assert hh == {("a", 40), ("b", 25)}
+
+
+def test_stream_hh_completeness_margin_tri_scale():
+    """r7 verdict ask #6: the streaming heavy-hitters gate's k bounds
+    the Misra-Gries merge error at max-per-window n/(k+1); the exact
+    two-pass output is complete only while that bound sits strictly
+    below every day's 3rd-place count. The r7 docstring proved this by
+    hand at sf0.1 — this test recomputes BOTH sides from each fixture
+    (DuckDB, no Spark) so a future fixture or SF that silently erodes
+    the margin fails loudly instead of flipping the oracle hash."""
+    import duckdb
+
+    from certa_spark.queries import _STREAM_HH_K
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        row = duckdb.sql(
+            f"""
+            WITH c AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS d, user_id AS u,
+                       count(*) AS cnt
+                FROM '/root/testdata/{sf}/events.parquet'
+                WHERE user_id IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT d, cnt,
+                       row_number() OVER (
+                           PARTITION BY d ORDER BY cnt DESC) AS rk,
+                       sum(cnt) OVER (PARTITION BY d) AS n
+                FROM c
+            )
+            SELECT max(n) AS max_n,
+                   min(CASE WHEN rk = 3 THEN cnt END) AS min_third
+            FROM r
+            """
+        ).fetchone()
+        max_n, min_third = row
+        bound = max_n / (_STREAM_HH_K + 1)
+        # strict, with a 25% safety factor: the gate claims "safely
+        # below", not "just below"
+        assert bound * 1.25 < min_third, (
+            f"{sf}: MG bound {bound:.2f} (n={max_n}, k={_STREAM_HH_K}) "
+            f"is not safely below the weakest 3rd-place count "
+            f"{min_third} — raise k or re-derive the gate's margin"
+        )
