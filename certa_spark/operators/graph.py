@@ -1664,11 +1664,12 @@ def louvain(
         .localCheckpoint()
     )
     base_und = und  # level-0 edges, kept for the refinement pass
-    # original-node -> current community, carried across levels
-    proj = und.select(F.col("a").alias("node")).unionByName(
-        und.select(F.col("b").alias("node"))
-    ).distinct().select("node", F.col("node").alias("community"))
-    proj = proj.repartition(partitions, "node").localCheckpoint()
+    # original-node -> current community, carried across levels.
+    # Level 0's projection is the level-0 assignment ITSELF (every
+    # original node is a level-0 node), so proj stays None until the
+    # first level completes — the old eager union+distinct checkpoint
+    # was a full extra job before any real work
+    proj: DataFrame | None = None
 
     DEC = "decimal(38,0)"
     history: list[float] = []
@@ -1686,13 +1687,35 @@ def louvain(
         # under refine=True (the Leiden split stays distributed) and
         # by default (local_max_edges=None) so distributed-path tests
         # keep testing the distributed path.
+        # one tiny job reads BOTH level scalars off the checkpointed
+        # edge list: the row count (local-finish gate) and 2m
+        # (= 2*sum w; each edge contributes w to both endpoints'
+        # degrees, a self-loop contributes 2w to its node's) — the old
+        # shape paid separate und.count() and deg-sum jobs per level
+        lvl = und.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("w").alias("_sw")
+        ).first()
+        n_edges = int(lvl["_n"])
+        two_m = 2 * int(lvl["_sw"]) if lvl["_sw"] is not None else 0
         if (
             local_max_edges is not None
             and not refine
-            and und.count() <= local_max_edges
+            and n_edges <= local_max_edges
         ):
             rows = [(r["a"], r["b"], r["w"]) for r in und.collect()]
             if rows:
+                if proj is None:
+                    # level-0 local finish: the projection is the
+                    # identity over the (tiny) edge list's nodes
+                    proj = (
+                        und.select(F.col("a").alias("node"))
+                        .unionByName(und.select(F.col("b").alias("node")))
+                        .distinct()
+                        .select(
+                            "node", F.col("node").alias("community")
+                        )
+                        .localCheckpoint()
+                    )
                 mapping, hist2, j_best = _louvain_local(
                     rows, max_rounds, max_levels - _level, j_best,
                     with_history,
@@ -1707,11 +1730,18 @@ def louvain(
                     proj = (
                         proj.join(F.broadcast(mdf), "community")
                         .select("node", F.col("_nc").alias("community"))
-                        .repartition(partitions, "node")
                         .localCheckpoint()
                     )
             break
-        # degrees: k_i = sum_{j!=i} w_ij + 2*w_ii ; sum_i k_i = 2m
+        if not two_m:
+            break
+        if m_total is None:
+            m_total = int(two_m) // 2
+        # degrees: k_i = sum_{j!=i} w_ij + 2*w_ii ; sum_i k_i = 2m.
+        # deg stays LAZY — the assignment checkpoint below is the one
+        # materialization (it carries k, so the per-round proposal and
+        # stats jobs never join deg again: two fewer join stages per
+        # round, and the old separate deg checkpoint job is gone)
         nonself = und.filter(F.col("a") != F.col("b"))
         selfw = und.filter(F.col("a") == F.col("b")).select(
             F.col("a").alias("node"), (2 * F.col("w")).alias("kw")
@@ -1724,15 +1754,8 @@ def louvain(
             .unionByName(selfw)
             .groupBy("node")
             .agg(F.sum("kw").cast("long").alias("k"))
-            .repartition(partitions, "node")
-            .localCheckpoint()
         )
-        two_m = deg.agg(F.sum("k").cast("long")).first()[0]
-        if not two_m:
-            break
-        if m_total is None:
-            m_total = int(two_m) // 2
-        assign = deg.select("node", F.col("node").alias("comm"))
+        assign = deg.select("node", F.col("node").alias("comm"), "k")
         assign = assign.localCheckpoint()
 
         # Per-community stats (c, ec, dc) of an assignment: intra
@@ -1771,17 +1794,33 @@ def louvain(
         # reachable. Stop after both directions stall back-to-back.
         stall = 0
         direction = 0
-        for _round in range(max_rounds):
-            ctot = stats_cur.select(
-                F.col("c").alias("cand"), F.col("dc").alias("tot")
-            )
-            bidir = nonself.select(
-                F.col("a").alias("i"), F.col("b").alias("j"), "w"
-            ).unionByName(
+        # The bidirectional edge list is ROUND-INVARIANT (only the
+        # assignment changes between rounds): materialize it once per
+        # level, hash-partitioned on the probe key j, so each round's
+        # neighbor join reuses this partitioning instead of
+        # re-exchanging the 2E-row frame every round (r7 continuity
+        # note #1 — the per-round cost was AQE scheduling over
+        # exchanges whose inputs never changed).
+        bidir = (
+            nonself.select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
+            .unionByName(
                 nonself.select(
                     F.col("b").alias("i"), F.col("a").alias("j"), "w"
                 )
             )
+            .repartition(partitions, "j")
+            .localCheckpoint()
+        )
+        for _round in range(max_rounds):
+            ctot = stats_cur.select(
+                F.col("c").alias("cand"), F.col("dc").alias("tot")
+            )
+            # one fused aggregate: neighbor-community contributions and
+            # the always-present stay-home candidate (kic = 0) union
+            # BEFORE the single (node, cand) groupBy — previously two
+            # back-to-back aggregations (groupBy(i, cand) then a second
+            # groupBy(node, cand) over its output) cost an extra full
+            # exchange per round for the same associative sum
             nbr = (
                 bidir.join(
                     assign.select(
@@ -1789,25 +1828,30 @@ def louvain(
                     ),
                     "j",
                 )
-                .groupBy("i", "cand")
-                .agg(F.sum("w").cast("long").alias("kic"))
-                .select(F.col("i").alias("node"), "cand", "kic")
+                .select(F.col("i").alias("node"), "cand", "w")
             )
-            # the stay-home candidate always exists, even with no
-            # neighbors in the own community (kic = 0)
+            # one node-keyed exchange serves the WHOLE proposal chain:
+            # HashPartitioning(node) satisfies the (node, cand)
+            # aggregate's clustering, the assign join key, and the
+            # final per-node argmax — without it each of those plans
+            # its own exchange wave under AQE. (Cost: the contribution
+            # rows shuffle pre-aggregation; per node that's its
+            # candidate multiplicity — bounded by degree, the same
+            # stream the neighbor join already carried.)
             cand = nbr.unionByName(
                 assign.select(
-                    "node", F.col("comm").alias("cand"), F.lit(0).alias("kic")
+                    "node", F.col("comm").alias("cand"),
+                    F.lit(0).cast("long").alias("w"),
                 )
-            ).groupBy("node", "cand").agg(
-                F.sum("kic").cast("long").alias("kic")
+            ).repartition(partitions, "node").groupBy("node", "cand").agg(
+                F.sum("w").cast("long").alias("kic")
             )
             scored = (
                 cand.join(assign, "node")
-                .join(deg, "node")
                 .join(ctot, "cand", "left")
                 .select(
                     "node",
+                    "k",
                     F.col("cand"),
                     F.col("comm").alias("cur"),
                     (
@@ -1844,6 +1888,7 @@ def louvain(
                     F.when(F.col("cand") == F.col("cur"), F.col("score"))
                 ).alias("stay"),
                 F.first("cur").alias("cur"),
+                F.first("k").alias("k"),
             ).select(
                 "node",
                 (-F.col("b.nc")).alias("target"),
@@ -1852,12 +1897,14 @@ def louvain(
                     & (-F.col("b.nc") != F.col("cur"))
                 ).alias("do_move"),
                 "cur",
+                "k",
             )
             proposed = best.select(
                 "node",
                 F.when(F.col("do_move"), F.col("target"))
                 .otherwise(F.col("cur"))
                 .alias("comm"),
+                "k",
             )
             # One HEAVY job per round (the J-gate first()): it
             # materializes BOTH caches — the proposal and its
@@ -1904,6 +1951,7 @@ def louvain(
                 proposed.select(
                     "node",
                     "comm",
+                    "k",
                     F.lit(None).cast("long").alias("c"),
                     F.lit(None).cast(DEC).alias("ec"),
                     F.lit(None).cast("long").alias("dc"),
@@ -1912,6 +1960,7 @@ def louvain(
                     stats_p.select(
                         F.lit(None).cast(ntype).alias("node"),
                         F.lit(None).cast(ctype).alias("comm"),
+                        F.lit(None).cast("long").alias("k"),
                         "c",
                         "ec",
                         "dc",
@@ -1921,7 +1970,9 @@ def louvain(
             )
             proposed.unpersist()
             stats_p.unpersist()
-            assign = combo.filter(F.col("c").isNull()).select("node", "comm")
+            assign = combo.filter(F.col("c").isNull()).select(
+                "node", "comm", "k"
+            )
             stats_cur = combo.filter(F.col("c").isNotNull()).select(
                 "c", "ec", "dc"
             )
@@ -1957,19 +2008,26 @@ def louvain(
                 if with_history:
                     history.append(j_ref / (float(two_m) * two_m))
 
-        # project original nodes through this level's assignment
-        proj = (
-            proj.join(
-                assign.select(
-                    F.col("node").alias("community"),
-                    F.col("comm").alias("_nc"),
-                ),
-                "community",
+        # project original nodes through this level's assignment. At
+        # level 0 the projection IS the assignment (every original
+        # node is a level-0 node), so the join — and the old eager
+        # identity-projection checkpoint it joined against — vanishes
+        if proj is None:
+            proj = assign.select(
+                "node", F.col("comm").alias("community")
+            ).localCheckpoint()
+        else:
+            proj = (
+                proj.join(
+                    assign.select(
+                        F.col("node").alias("community"),
+                        F.col("comm").alias("_nc"),
+                    ),
+                    "community",
+                )
+                .select("node", F.col("_nc").alias("community"))
+                .localCheckpoint()
             )
-            .select("node", F.col("_nc").alias("community"))
-            .repartition(partitions, "node")
-            .localCheckpoint()
-        )
         if not moved_any:
             break
         # contract: communities become nodes, intra weight becomes a
@@ -1989,6 +2047,16 @@ def louvain(
             .localCheckpoint()
         )
 
+    if proj is None:
+        # degenerate input (empty/self-loop-only graph): identity
+        # projection over whatever nodes the edge list has, matching
+        # the old eager initializer's behavior
+        proj = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("community"))
+        )
     out = proj.select("node", "community")
     if refine:
         # final pass on the ORIGINAL graph: covers the last level's
@@ -2080,11 +2148,21 @@ def _comm_stats_frame(
             F.lit(0).cast("long").alias("d"),
         )
     )
-    dc_rows = assign.join(deg, "node").select(
-        F.col("comm").alias("c"),
-        F.lit(0).cast("long").alias("e"),
-        F.col("k").alias("d"),
-    )
+    # an assignment that already carries the member degree (the louvain
+    # round loop threads k through the proposal) skips the deg join —
+    # one fewer AQE stage per J evaluation
+    if "k" in assign.columns:
+        dc_rows = assign.select(
+            F.col("comm").alias("c"),
+            F.lit(0).cast("long").alias("e"),
+            F.col("k").alias("d"),
+        )
+    else:
+        dc_rows = assign.join(deg, "node").select(
+            F.col("comm").alias("c"),
+            F.lit(0).cast("long").alias("e"),
+            F.col("k").alias("d"),
+        )
     return (
         ec_rows.unionByName(dc_rows)
         .groupBy("c")

@@ -2789,6 +2789,103 @@ _Q_EVENTS_STREAM_FUNNEL_SQL = """
 """
 
 
+def q_events_stream_attribution(spark, sf_dir) -> DataFrame:
+    """The first MULTI-INPUT streaming plan behind the hash gate: a
+    STREAM-STREAM inner join (Spark's symmetric-hash stream join with
+    per-side watermarks and an event-time range condition) attributing
+    every purchase to every click by the same user within the
+    preceding hour. Both sides are branches of the events file stream;
+    the event-time bound (``purchase_ts`` in ``(click_ts, click_ts +
+    1h]``) plus the 2h watermarks let Spark evict join state — the
+    bounded-state shape a real CDC/attribution pipeline runs at 100
+    TB/day. An inner join emits each qualifying pair exactly once
+    regardless of micro-batch boundaries while both rows are inside
+    the watermark; the AvailableNow drain plus the single-batch guard
+    pin the gate's determinism the same way the sibling stateful gates
+    do. Oracle: the plain batch range join."""
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+    sink = "_q_events_stream_attr"
+    spark.catalog.dropTempView(sink)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        # a timeout RETURNS False (it does not raise); proceeding
+        # would hash a partially-drained memory sink as the result
+        q.stop()
+        raise RuntimeError("streaming drain did not finish in 600s")
+    _assert_single_data_batch(q)
+    return spark.table(sink).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "lag_us"
+        ),
+    )
+
+
+_Q_EVENTS_STREAM_ATTR_SQL = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 # ----------------------------------------------- LENS interventions
 
 _LENS_ATTRS = ["p_name", "p_brand", "p_type"]
@@ -9223,7 +9320,14 @@ def q_part_louvain(spark, sf_dir) -> DataFrame:
         .filter(F.col("l_orderkey") % 30 == 0)
         .select("l_orderkey", "l_partkey")
     )
-    pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    # distinct_pairs=False: louvain's own edge canonicalization
+    # (groupBy(a,b) in the und build) dedups the pair stream anyway,
+    # so the operator's global distinct would be a redundant full
+    # exchange over the widest frame in the query — same edge set,
+    # same hashes, one fewer shuffle
+    pairs = GR.cooccurrence_pairs(
+        l, key="l_orderkey", item="l_partkey", distinct_pairs=False
+    )
     # local_max_edges: finish small contracted levels driver-side
     # (the coarsen-then-finish design; bit-identical results, see the
     # operator docstring) — at sf0.1 level 0 (39.9k edges) runs
@@ -9506,6 +9610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_sessionized": q_events_stream_sessionized,
     "events_stream_funnel": q_events_stream_funnel,
     "events_stream_zscore": q_events_stream_zscore,
+    "events_stream_attribution": q_events_stream_attribution,
     "part_betweenness": q_part_betweenness,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
@@ -9970,6 +10075,7 @@ ORACLES: dict[str, str] = {
     "events_stream_sessionized": _Q_EVENTS_STREAM_SESS_SQL,
     "events_stream_funnel": _Q_EVENTS_STREAM_FUNNEL_SQL,
     "events_stream_zscore": _Q_RUNNING_ZSCORE_SQL,
+    "events_stream_attribution": _Q_EVENTS_STREAM_ATTR_SQL,
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
     "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,
