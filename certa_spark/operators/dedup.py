@@ -154,6 +154,69 @@ def minhash_signature(text: Column, k: int = N_MINHASH, n: int = 3) -> Column:
     )
 
 
+def minhash_signatures_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = N_MINHASH,
+    n: int = 3,
+) -> DataFrame:
+    """``(_id, _sig)`` signature frame with the two-step projection
+    that keeps the shingle array a once-per-row column (see the
+    CollapseProject note in :func:`minhash_lsh_pairs` — inlining the
+    shingle expression into each of the k array_min transforms is a
+    k-fold recompute). No checkpoint: the caller decides (batch paths
+    checkpoint; a STREAMING caller cannot, and per-micro-batch
+    execution bounds the reuse there anyway)."""
+
+    def seeded(seed: int):
+        return lambda s: hash32(s, seed)
+
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    return sh.select(
+        "_id",
+        F.array(
+            *[
+                F.array_min(F.transform("_sh", seeded(seed)))
+                for seed in range(k)
+            ]
+        ).alias("_sig"),
+    )
+
+
+def band_hashes(
+    sigs: DataFrame, k: int = N_MINHASH, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Explode a ``(_id, _sig)`` signature frame into
+    ``(_id, _sig, _band, _bh)`` LSH band-bucket rows — ``bands`` rows
+    per doc, each bucket a 32-bit hash of its k/bands signature
+    slice. Shared by the batch LSH paths and the streaming-ingest
+    gate (band the drained signatures batch-side)."""
+    rows = k // bands
+    band_start = F.col("_band") * rows + 1
+    return sigs.select(
+        "_id",
+        "_sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
+    ).select(
+        "_id",
+        "_sig",
+        "_band",
+        hash32(
+            F.array_join(
+                F.transform(
+                    F.slice("_sig", band_start, F.lit(rows)),
+                    lambda x: x.cast("string"),
+                ),
+                "_",
+            )
+        ).alias("_bh"),
+    )
+
+
 def duck_minhash_signature(expr: str, k: int = N_MINHASH, n: int = 3) -> str:
     sh = duck_shingles(expr, n)
     mins = ", ".join(
@@ -404,46 +467,36 @@ def minhash_lsh_pairs_incremental(
     threshold.
     """
 
-    def seeded(seed: int):
-        return lambda s: hash32(s, seed)
+    batch_sigs = minhash_signatures_frame(
+        batch, text_col, id_col, k, n
+    ).localCheckpoint()
+    return minhash_lsh_pairs_incremental_from_sigs(
+        batch_sigs, corpus, text_col=text_col, id_col=id_col,
+        threshold=threshold, k=k, bands=bands, n=n,
+    )
 
-    def banded_sigs(docs: DataFrame) -> DataFrame:
-        # same two-step projection + checkpoint discipline as
-        # minhash_lsh_pairs (see the CollapseProject note there)
-        sh = docs.select(
-            F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
-        )
-        sigs = sh.select(
-            "_id",
-            F.array(
-                *[F.array_min(F.transform("_sh", seeded(seed))) for seed in range(k)]
-            ).alias("_sig"),
-        ).localCheckpoint()
-        rows = k // bands
-        band_start = F.col("_band") * rows + 1
-        return sigs.select(
-            "_id",
-            "_sig",
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
-        ).select(
-            "_id",
-            "_sig",
-            "_band",
-            hash32(
-                F.array_join(
-                    F.transform(
-                        F.slice("_sig", band_start, F.lit(rows)),
-                        lambda x: x.cast("string"),
-                    ),
-                    "_",
-                )
-            ).alias("_bh"),
-        )
 
-    c = banded_sigs(corpus).select(
+def minhash_lsh_pairs_incremental_from_sigs(
+    batch_sigs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs_incremental` over a PRE-COMPUTED batch
+    signature frame ``(_id, _sig)`` — the entry point the streaming
+    ingest gate uses (signatures computed in-stream, banding and the
+    corpus join batch-side). The corpus side still signs from text."""
+    corpus_sigs = minhash_signatures_frame(
+        corpus, text_col, id_col, k, n
+    ).localCheckpoint()
+    c = band_hashes(corpus_sigs, k=k, bands=bands).select(
         F.col("_id").alias("corpus_id"), F.col("_sig").alias("_sig_c"), "_band", "_bh"
     )
-    b = banded_sigs(batch).select(
+    b = band_hashes(batch_sigs, k=k, bands=bands).select(
         F.col("_id").alias("batch_id"), F.col("_sig").alias("_sig_b"), "_band", "_bh"
     )
     cand = (

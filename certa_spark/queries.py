@@ -2886,6 +2886,95 @@ _Q_EVENTS_STREAM_ATTR_SQL = """
 """
 
 
+def q_doc_stream_minhash_ingest(spark, sf_dir) -> DataFrame:
+    """Streaming twin of ``minhash_incremental`` (r7 verdict stretch
+    #8): the fresh-crawl batch is read as a STREAM and its MinHash
+    signatures are computed IN-STREAM (the k seeded array_min folds —
+    the expensive per-document work of a 100 TB/day ingest — run as a
+    stateless streaming projection over Arrow batches, exactly the
+    shape a production ingest pipeline deploys); the drained
+    ``(_id, _sig)`` frame is then banded and LSH-joined against the
+    persisted corpus batch-side via
+    ``dedup.minhash_lsh_pairs_incremental_from_sigs``, never
+    corpus x corpus. The signature of a document is
+    batch-boundary-independent (stateless map), so the gate is
+    deterministic under ANY batching — no single-batch precondition
+    needed. Shares the incremental oracle's construction with the
+    fresh-docs-only cohort."""
+    from certa_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental_from_sigs,
+        minhash_signatures_frame,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 5 == 3)
+        .select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    )
+    sigs = minhash_signatures_frame(stream)
+    sink = "_q_doc_stream_minhash"
+    spark.catalog.dropTempView(sink)
+    q = (
+        sigs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        # a timeout RETURNS False (it does not raise); proceeding
+        # would hash a partially-drained memory sink as the result
+        q.stop()
+        raise RuntimeError("streaming drain did not finish in 600s")
+    batch_sigs = spark.table(sink)
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    return minhash_lsh_pairs_incremental_from_sigs(
+        batch_sigs, corpus, threshold=0.5
+    )
+
+
+def _q_doc_stream_minhash_sql() -> str:
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch AS (
+        SELECT doc_id + 300000 AS doc_id, text
+        FROM documents WHERE doc_id % 5 = 3
+    ),
+    csig AS (
+        SELECT doc_id, {DD.duck_minhash_signature('text')} AS sig FROM corpus
+    ),
+    bsig AS (
+        SELECT doc_id, {DD.duck_minhash_signature('text')} AS sig FROM batch
+    ),
+    cband AS (
+        SELECT doc_id, sig, band, {_duck_band_hash()} AS bh
+        FROM csig CROSS JOIN (SELECT unnest(range(0, {DD.LSH_BANDS})) AS band) bb
+    ),
+    bband AS (
+        SELECT doc_id, sig, band, {_duck_band_hash()} AS bh
+        FROM bsig CROSS JOIN (SELECT unnest(range(0, {DD.LSH_BANDS})) AS band) bb
+    ),
+    cand AS (
+        SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+               c.sig AS sc, b.sig AS sb
+        FROM cband c JOIN bband b ON c.band = b.band AND c.bh = b.bh
+    )
+    SELECT corpus_id, batch_id,
+           round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
+                 i -> sc[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) AS est_jaccard
+    FROM cand
+    WHERE round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
+          i -> sc[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) >= 0.5
+    """
+
+
 # ----------------------------------------------- LENS interventions
 
 _LENS_ATTRS = ["p_name", "p_brand", "p_type"]
@@ -9611,6 +9700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_funnel": q_events_stream_funnel,
     "events_stream_zscore": q_events_stream_zscore,
     "events_stream_attribution": q_events_stream_attribution,
+    "doc_stream_minhash_ingest": q_doc_stream_minhash_ingest,
     "part_betweenness": q_part_betweenness,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
@@ -9996,10 +10086,63 @@ _R3_OLDEST: tuple[str, ...] = (
     "lineitem_skew_report", "orders_quantile_sketch",
 )
 
-_GATED: frozenset[str] = (
-    _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4 | _DRIVER_GREEN_R56
+# Names gated green by the driver in round 7 (CORRECTNESS_r07.json —
+# the full r7 window, all 50 hash-green): the 5 r7 additions, the
+# embedding_neardup re-gate pair, the 32 r1/r2-stale names, and the
+# 11 oldest r3 names.
+_DRIVER_GREEN_R7: frozenset[str] = frozenset(
+    _R7_NEW + _R7_REGATE + _R2_OLDEST + _R3_OLDEST
 )
-_FRONT: tuple[str, ...] = _R7_NEW + _R7_REGATE + _R2_OLDEST + _R3_OLDEST
+
+# Round-8 window (r7 verdict ask #1): (0) the two round-8 additions —
+# the stream-stream attribution join and the streaming MinHash ingest;
+# (1) the re-gate tier: every query whose CODE changed this round
+# (append-mode sessionized rewrite, the Louvain exchange cut, the
+# minhash banding refactor, the UTC pin + single-batch guards on the
+# other three streaming gates) so no gate row attests superseded code;
+# (2) the 39 r3 names not yet rotated forward; (3) the oldest r4
+# names to pad to exactly 50.
+_R8_NEW: tuple[str, ...] = (
+    "events_stream_attribution",
+    "doc_stream_minhash_ingest",
+)
+_R8_REGATE: tuple[str, ...] = (
+    "events_stream_sessionized",
+    "part_louvain",
+    "minhash_incremental",
+    "events_stream_heavy_hitters",
+    "events_stream_funnel",
+    "events_stream_zscore",
+)
+_R3_REMAINING: tuple[str, ...] = (
+    "doc_quality_model", "doc_vocab_coverage", "knn_hard_negatives",
+    "flagship_batch_saliency", "er_fuzzy_levenshtein", "orders_scd2",
+    "orders_psi_drift", "events_resample_ffill", "events_funnel",
+    "events_retention", "orders_snapshot_diff", "events_sliding_hll",
+    "embedding_covariance", "embedding_pca_project", "doc_span_dedup",
+    "doc_bpe_merges", "events_session_sequences",
+    "embedding_standardize", "orders_scd2_pitl",
+    "part_clustering_coeff", "doc_novelty", "events_robust_outliers",
+    "events_funnel_latency", "embedding_woe_bins", "part_pmi",
+    "events_markov_transitions", "embedding_centroid_eval",
+    "orders_profile", "part_pagerank_personalized", "er_golden_record",
+    "doc_source_overlap", "events_incremental_rollup",
+    "doc_split_balance", "orders_rfm", "events_seasonal_anomaly",
+    "orders_pareto", "doc_zipf_slope", "curation_pipeline_v2",
+    "events_wow_growth",
+)
+_R4_OLDEST: tuple[str, ...] = (
+    "neardup_clusters_lsss", "part_pagerank_weighted",
+    "events_quantile_approx_gate",
+)
+
+_GATED: frozenset[str] = (
+    _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
+    | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7
+)
+_FRONT: tuple[str, ...] = (
+    _R8_NEW + _R8_REGATE + _R3_REMAINING + _R4_OLDEST
+)
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
     **{k: v for k, v in QUERIES.items()
@@ -10076,6 +10219,7 @@ ORACLES: dict[str, str] = {
     "events_stream_funnel": _Q_EVENTS_STREAM_FUNNEL_SQL,
     "events_stream_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_stream_attribution": _Q_EVENTS_STREAM_ATTR_SQL,
+    "doc_stream_minhash_ingest": _q_doc_stream_minhash_sql(),
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
     "orders_histogram": _Q_ORDERS_HISTOGRAM_SQL,

@@ -33,44 +33,53 @@ def test_goldens_are_registered_queries():
 def test_rotation_puts_ungated_queries_first():
     """The driver gates the FIRST 50 entries; the rotation must place
     never-driver-gated queries before driver-green ones — otherwise
-    gate coverage silently erodes as the registry grows. Round-7
-    order: the r7 addition (ungated), the embedding_neardup re-gate
-    pair (code changed in r5, last gated r4 — the window must attest
-    the shipping BLAS path), then the stalest gated names (r1/r2, then
-    the oldest r3 window entries) as padding. What matters
-    invariantly: every ungated name sits inside the 50-entry window,
-    and the window is exactly 50 deep so the padding actually rotates
-    stale attestations forward."""
+    gate coverage silently erodes as the registry grows. Round-8
+    order: the two r8 additions (ungated), the changed-code re-gate
+    tier (append-mode sessionized, the Louvain exchange cut, the
+    minhash banding refactor, the guarded streaming gates), the 39
+    r3 names not yet rotated forward, then the oldest r4 names as
+    padding. What matters invariantly: every ungated name sits inside
+    the 50-entry window, and the window is exactly 50 deep so the
+    padding actually rotates stale attestations forward."""
     from certa_spark.queries import (
         _DRIVER_GREEN,
         _DRIVER_GREEN_R3,
         _DRIVER_GREEN_R4,
         _DRIVER_GREEN_R56,
+        _DRIVER_GREEN_R7,
         _FRONT,
-        _R2_OLDEST,
         _R3_OLDEST,
-        _R7_NEW,
-        _R7_REGATE,
+        _R3_REMAINING,
+        _R4_OLDEST,
+        _R8_NEW,
+        _R8_REGATE,
     )
 
     gated = (
         _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
-        | _DRIVER_GREEN_R56
+        | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7
     )
     names = list(QUERIES)
-    front = _R7_NEW + _R7_REGATE + _R2_OLDEST + _R3_OLDEST
+    front = _R8_NEW + _R8_REGATE + _R3_REMAINING + _R4_OLDEST
     assert front == _FRONT
     assert len(front) == 50, "driver window must be exactly 50 deep"
     assert len(set(front)) == 50, "front tier has duplicates"
     assert tuple(names[: len(front)]) == front, "front tier out of order"
-    # the r7 additions are the only never-gated names, and lead
-    assert [n for n in names if n not in gated] == list(_R7_NEW)
-    # the re-gate pair's last gate is R4 (stale vs the r5 code swap)
-    for n in _R7_REGATE:
-        assert n in _DRIVER_GREEN_R4 and n not in _DRIVER_GREEN_R56
-    # padding names come from the stalest ledgers, not recent windows
-    assert set(_R2_OLDEST) <= _DRIVER_GREEN - _DRIVER_GREEN_R56
-    assert set(_R3_OLDEST) <= _DRIVER_GREEN_R3 - _DRIVER_GREEN_R56
+    # the r8 additions are the only never-gated names, and lead
+    assert [n for n in names if n not in gated] == list(_R8_NEW)
+    # the re-gate tier is code that changed in r8 — its members were
+    # all driver-green before (most recently in r7 or r4)
+    for n in _R8_REGATE:
+        assert n in gated
+    # the r3 rotation tiers partition the r3 ledger exactly: the 11
+    # already rotated in r7's window plus the 39 rotated now
+    assert set(_R3_OLDEST) | set(_R3_REMAINING) == set(_DRIVER_GREEN_R3)
+    assert not set(_R3_OLDEST) & set(_R3_REMAINING)
+    # padding comes from the stalest remaining ledger (r4 names whose
+    # last gate is r4)
+    assert set(_R4_OLDEST) <= (
+        _DRIVER_GREEN_R4 - _DRIVER_GREEN_R56 - _DRIVER_GREEN_R7
+    )
     # every ungated query fits inside the 50-entry driver window
     ungated = [n for n in names if n not in gated]
     assert set(ungated) <= set(names[:50]), "ungated query outside window"
