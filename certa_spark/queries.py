@@ -2743,6 +2743,10 @@ def q_events_stream_zscore(spark, sf_dir) -> DataFrame:
         )
     )
     out = running_zscore_stream(stream)
+    # memory sink holds one row per INPUT event — fixture-bounded by
+    # design (100k rows at sf0.1; the gate harness collects it anyway).
+    # On an unbounded stream this per-event score feed goes to a real
+    # sink (kafka/parquet); the OPERATOR's state stays 3 doubles/key.
     sink = "_q_events_stream_zscore"  # single-batch guard below
     spark.catalog.dropTempView(sink)
     q = (
