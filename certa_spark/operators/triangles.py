@@ -42,6 +42,7 @@ BOOKKEEPING = ("alteredAttributes", "droppedValues", "copiedValues", "triangle")
 
 def mixed_triangles(
     support_pairs: DataFrame,
+    probe_col: str | None = None,
 ) -> DataFrame:
     """J3 — enumerate open triangles (pivot, anchor, free).
 
@@ -50,26 +51,42 @@ def mixed_triangles(
     <v,w> a non-match (triangles_method.py:26). Returns columns
     ``pivot, anchor, free`` ("src@id" strings) and ``side``
     ('left' when the pivot/free records live in the left source).
+
+    ``probe_col``: when the support frame carries several instances'
+    pairs tagged by a probe column (the fused batch path), the wedge
+    joins also equi-join on it, so triangles never cross instances and
+    the output keeps the tag — one plan enumerates every instance's
+    triangles.
     """
     parts = F.split(F.col("id"), "#")
+    tag = [F.col(probe_col)] if probe_col else []
     edges = support_pairs.select(
+        *tag,
         parts.getItem(0).alias("lt"),
         parts.getItem(1).alias("rt"),
         F.col("label").cast("int").alias("label"),
     )
-    pos = edges.filter(F.col("label") == 1).select("lt", "rt")
+    pos = edges.filter(F.col("label") == 1).select(*tag, "lt", "rt")
     neg = edges.filter(F.col("label") == 0).select(
-        F.col("lt").alias("n_lt"), F.col("rt").alias("n_rt")
+        *([F.col(probe_col).alias("_n_probe")] if probe_col else []),
+        F.col("lt").alias("n_lt"),
+        F.col("rt").alias("n_rt"),
     )
+    same_probe = (
+        (F.col(probe_col) == F.col("_n_probe")) if probe_col else F.lit(True)
+    )
+    out_tag = [F.col(probe_col)] if probe_col else []
     # shared right endpoint: (l, r) match + (l', r) non-match -> <l, r, l'>
-    left_tri = pos.join(neg, pos.rt == neg.n_rt).select(
+    left_tri = pos.join(neg, (pos.rt == neg.n_rt) & same_probe).select(
+        *out_tag,
         F.col("lt").alias("pivot"),
         F.col("rt").alias("anchor"),
         F.col("n_lt").alias("free"),
         F.lit("left").alias("side"),
     )
     # shared left endpoint: (l, r) match + (l, r') non-match -> <r, l, r'>
-    right_tri = pos.join(neg, pos.lt == neg.n_lt).select(
+    right_tri = pos.join(neg, (pos.lt == neg.n_lt) & same_probe).select(
+        *out_tag,
         F.col("rt").alias("pivot"),
         F.col("lt").alias("anchor"),
         F.col("n_rt").alias("free"),
@@ -179,9 +196,12 @@ def perturbations_from_resolved(
     class_to_explain: int,
     lprefix: str = LPREFIX,
     rprefix: str = RPREFIX,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode the depth-``depth`` attribute subsets over pre-resolved
-    triangle records (no joins — narrow stage only)."""
+    triangle records (no joins — narrow stage only). ``keep`` names
+    extra columns of the resolved frames (e.g. the batch path's
+    ``_probe`` tag) to carry through to the perturbation rows."""
     l_attrs = [c for c in lsource.columns if c != "id"]
     r_attrs = [c for c in rsource.columns if c != "id"]
 
@@ -231,6 +251,7 @@ def perturbations_from_resolved(
         cols = pivot_cols + anchor_cols if side == "left" else anchor_cols + pivot_cols
         out.append(
             exploded.select(
+                *[F.col(c) for c in keep],
                 *cols,
                 F.col("alteredAttributes"),
                 F.transform(
@@ -550,3 +571,230 @@ def counterfactuals(
         .orderBy("attr_count")
     )
     return out
+
+
+# ---------------------------------------------------------------- batch fusion
+#
+# Cross-instance fusion of the post-scan micro-phases (round-8 perf
+# work). Profiling the batch-16 explain showed the fused corpus scan is
+# no longer the bottleneck (~9s of ~95s thread-time): the 16 per-
+# instance post-scan pipelines each issue ~8 tiny Spark actions, and
+# all of them serialize through the single-threaded DAGScheduler event
+# loop. The set-oriented fix mirrors support_predictions_batch: tag
+# every frame with the instance index (_probe) and run ONE plan per
+# phase for the whole batch — triangles, resolution, perturb+predict,
+# rankings, summaries — so a chunk costs ~8 actions total instead of
+# ~8 per instance. Outputs are bit-identical per instance (parity
+# pinned by tests/test_explainer.py batch-vs-single tests).
+
+
+def perturb_predict_fused_batch(
+    resolved: dict[str, DataFrame],
+    lsource: DataFrame,
+    rsource: DataFrame,
+    matcher: Matcher,
+    pcs_by_probe: dict[int, int],
+    attr_length: int,
+    lprefix: str = LPREFIX,
+    rprefix: str = RPREFIX,
+) -> tuple[DataFrame, DataFrame, dict[int, int]]:
+    """Cross-instance variant of ``_perturb_predict_fused``: the
+    resolved triangle frames carry ``_probe``; perturbations for every
+    instance and every depth union into ONE model round. Instances may
+    have different predicted classes — the perturbation direction is
+    built per polarity group and the flip test reads a per-row ``_pc``
+    column. The reference's per-depth monotonicity rule is then
+    re-applied PER PROBE from one (probe, depth) stats pass, exactly
+    as the single-instance fused path does per instance.
+
+    Returns ``(flipped, rankings, n_flipped_by_probe)`` — the first
+    two probe-tagged, the dict carrying each instance's flip total
+    (so callers skip per-instance count() actions).
+    """
+    probes_by_pc: dict[int, list[int]] = {0: [], 1: []}
+    for p, pc in pcs_by_probe.items():
+        probes_by_pc[int(pc)].append(p)
+
+    parts: list[DataFrame] = []
+    for pc, probes in probes_by_pc.items():
+        if not probes:
+            continue
+        res_pc = {
+            side: df.filter(F.col("_probe").isin(probes))
+            for side, df in resolved.items()
+        }
+        for d in range(1, attr_length):
+            parts.append(
+                perturbations_from_resolved(
+                    res_pc, lsource, rsource, d, pc, lprefix, rprefix,
+                    keep=("_probe",),
+                )
+                .withColumn("depth", F.lit(d))
+                .withColumn("_pc", F.lit(pc))
+            )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    predicted = tmpcache.track(matcher.predict(allp).cache())
+    score_of_class = F.when(
+        F.col("_pc") == 1, F.col("match_score")
+    ).otherwise(F.col("nomatch_score"))
+    flip = score_of_class < 0.5
+
+    stats: dict[tuple[int, int], tuple[int, int]] = {
+        (r["_probe"], r["depth"]): (r["n"], r["nf"])
+        for r in predicted.groupBy("_probe", "depth")
+        .agg(F.count("*").alias("n"), F.sum(flip.cast("long")).alias("nf"))
+        .collect()
+    }
+    # per-probe first fully-flipped depth (the all_good rule,
+    # triangles_method.py:309-327); attr_length (> max depth) encodes
+    # "never" so a single filter expression serves every probe
+    eff_dstar: dict[int, int] = {}
+    for p in pcs_by_probe:
+        eff_dstar[p] = attr_length
+        for d in range(1, attr_length):
+            n, nf = stats.get((p, d), (0, 0))
+            if n > 0 and nf == n:
+                eff_dstar[p] = d
+                break
+    dstar_map = F.create_map(
+        *[F.lit(x) for p, d in eff_dstar.items() for x in (p, d)]
+    )
+    dstar_col = F.element_at(dstar_map, F.col("_probe"))
+
+    real = predicted.filter(F.col("depth") <= dstar_col)
+    syn = allp.filter(F.col("depth") > dstar_col)
+    match_syn = F.when(F.col("_pc") == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    syn = syn.withColumn("match_score", match_syn).withColumn(
+        "nomatch_score", F.lit(1.0) - match_syn
+    ).select(*real.columns)
+
+    flipped = real.filter(flip).unionByName(syn)
+    rankings = (
+        real.groupBy("_probe", "alteredAttributes", "depth")
+        .agg(F.sum(flip.cast("long")).alias("flips"))
+        .unionByName(
+            syn.groupBy("_probe", "alteredAttributes", "depth").agg(
+                F.count("*").cast("long").alias("flips")
+            )
+        )
+        .select("_probe", "alteredAttributes", "flips", "depth")
+    )
+    n_flipped_by_probe = {
+        p: sum(
+            (nf if d <= eff_dstar[p] else n)
+            for (pp, d), (n, nf) in stats.items()
+            if pp == p
+        )
+        for p in pcs_by_probe
+    }
+    return flipped, rankings, n_flipped_by_probe
+
+
+def aggregate_rankings_batch(
+    rankings: DataFrame, n_tri_by_probe: dict[int, int], attr_length: int
+) -> DataFrame:
+    """Probe-tagged :func:`aggregate_rankings` — per-instance PSS
+    normalization via a probe -> n_triangles literal map, one plan for
+    the whole batch."""
+    ntri_map = F.create_map(
+        *[F.lit(x) for p, n in n_tri_by_probe.items() for x in (p, float(n))]
+    )
+    return (
+        rankings.filter(F.size("alteredAttributes") <= attr_length)
+        .groupBy("_probe", "alteredAttributes")
+        .agg(
+            (
+                F.sum("flips") / F.element_at(ntri_map, F.col("_probe"))
+            ).alias("pss")
+        )
+        .withColumn("attr_set", F.array_join("alteredAttributes", "/"))
+    )
+
+
+def saliency_batch(
+    rankings: DataFrame,
+    attributes: list[str],
+    n_tri_by_probe: dict[int, int],
+    n_flipped_by_probe: dict[int, int],
+) -> dict[int, dict[str, float]]:
+    """Probe-tagged :func:`saliency`: ONE collect of per-(probe, attr)
+    flip counts, per-instance assembly driver-side."""
+    per_attr = (
+        rankings.select(
+            "_probe", F.explode("alteredAttributes").alias("attr"), "flips"
+        )
+        .groupBy("_probe", "attr")
+        .agg(F.sum("flips").alias("cnt"))
+        .collect()
+    )
+    counts: dict[int, dict[str, int]] = {}
+    for r in per_attr:
+        counts.setdefault(r["_probe"], {})[r["attr"]] = r["cnt"]
+    out: dict[int, dict[str, float]] = {}
+    for p, n_tri in n_tri_by_probe.items():
+        flips = n_flipped_by_probe.get(p, 0) + n_tri
+        base = n_tri / flips if flips else 0.0
+        cp = counts.get(p, {})
+        out[p] = {a: base + cp.get(a, 0) / flips for a in attributes}
+    return out
+
+
+def cf_summary_batch(explanation: DataFrame) -> DataFrame:
+    """Probe-tagged :func:`cf_summary`: the per-instance max-PSS read
+    becomes a window over ``_probe`` (no per-instance collect), and the
+    minimality anti-join is probe-local."""
+    from pyspark.sql.window import Window
+
+    top = tmpcache.track(
+        explanation.withColumn(
+            "_m", F.max("pss").over(Window.partitionBy("_probe"))
+        )
+        .filter(F.col("pss") == F.col("_m"))
+        .drop("_m")
+        .cache()
+    )
+    a = top.select(
+        "_probe",
+        F.col("alteredAttributes").alias("a_set"),
+        F.col("pss"),
+        F.col("attr_set"),
+    )
+    b = top.select(
+        F.col("_probe").alias("_bp"), F.col("alteredAttributes").alias("b_set")
+    )
+    strict_superset = (
+        (F.col("_probe") == F.col("_bp"))
+        & (
+            F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
+            == F.size(F.col("b_set"))
+        )
+        & (F.size(F.col("a_set")) > F.size(F.col("b_set")))
+    )
+    return a.join(b, on=strict_superset, how="left_anti").select(
+        "_probe", F.col("a_set").alias("alteredAttributes"), "attr_set", "pss"
+    )
+
+
+def counterfactuals_batch(
+    flipped: DataFrame, summary: DataFrame
+) -> DataFrame:
+    """Probe-tagged :func:`counterfactuals`: semi-join on
+    (probe, attr-set key), dedup per probe. Ordering is applied by the
+    caller when splitting per instance (simplest-first within each
+    probe, same contract as the single path's orderBy)."""
+    keys = F.broadcast(
+        summary.select(
+            "_probe", F.col("attr_set").alias("_k")
+        ).distinct()
+    )
+    return (
+        flipped.withColumn("attr_count", F.size("alteredAttributes"))
+        .withColumn("_k", F.array_join("alteredAttributes", "/"))
+        .join(keys, ["_probe", "_k"], "left_semi")
+        .drop("_k")
+        .dropDuplicates(
+            ["_probe", "copiedValues", "alteredAttributes", "droppedValues"]
+        )
+    )
