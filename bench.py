@@ -84,6 +84,15 @@ def calibration_flag(cal: float, cal_prev: float | None,
     return bool(cal_prev and cal > band * cal_prev)
 
 
+# Noise control: every query runs TWICE and the reported time is the
+# min of the two. First-call whole-stage-codegen compilation and
+# Catalyst analysis swing iterative/multi-job queries (pagerank,
+# flagship) by up to 2x between otherwise-identical runs
+# (PLANS.md "Round-2 bench summary"); min-of-2 measures the plan,
+# not the compiler.
+RUNS = 2
+
+
 def _warm_session(spark) -> None:
     # warm the JVM + the codegen paths the headline queries share
     # (broadcast join, window, explode, regexp) so the first timed query
@@ -107,13 +116,6 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
     from certa_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
-    # Noise control: every query runs TWICE and the reported time is the
-    # min of the two. First-call whole-stage-codegen compilation and
-    # Catalyst analysis swing iterative/multi-job queries (pagerank,
-    # flagship) by up to 2x between otherwise-identical runs
-    # (PLANS.md "Round-2 bench summary"); min-of-2 measures the plan,
-    # not the compiler.
-    RUNS = 2
     # the driver-coordinated iterative loops (many small jobs per run)
     # swing +/-15% between otherwise-identical sweeps even at min-of-2;
     # give them one extra sample so the reported number is the plan's
@@ -242,6 +244,25 @@ def sweep_with_retry(spark, sf_dir, cal_prev,
     return cal, timings, runs_used, attempts
 
 
+def payload_dest(here: str, cal_flag: bool) -> str:
+    """Where this sweep's full payload goes. A sweep that is STILL
+    flagged after its retry must not clobber a previous in-band
+    artifact (learned the hard way: a degrading host flagged sweep 2
+    and overwrote sweep 1's clean payload) — flagged payloads land in
+    BENCH_LOCAL_FLAGGED.json whenever BENCH_LOCAL.json already holds a
+    sentinel-in-band sweep; with no prior in-band artifact the flagged
+    one is better than nothing."""
+    dest = os.path.join(here, "BENCH_LOCAL.json")
+    if cal_flag and os.path.exists(dest):
+        try:
+            with open(dest) as f:
+                if json.load(f).get("calibration_flag") is False:
+                    return os.path.join(here, "BENCH_LOCAL_FLAGGED.json")
+        except (OSError, ValueError):
+            pass
+    return dest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -306,12 +327,9 @@ def main() -> None:
             for k, v in timings.items()
         },
     }
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json"),
-            "w",
-        ) as f:
+        with open(payload_dest(here, cal_flag), "w") as f:
             f.write(json.dumps(full, separators=(",", ":")) + "\n")
     except OSError:
         pass

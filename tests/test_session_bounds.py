@@ -113,3 +113,27 @@ def test_bench_sweep_auto_retry_on_flag():
     assert calls["sweep"] == 2
     assert cal == 2.0 and timings == {"q": 1.0}
     assert bench.calibration_flag(cal, 0.4) is True
+
+
+def test_bench_flagged_sweep_does_not_clobber_clean_artifact(tmp_path):
+    """A sweep still flagged after its retry must write to
+    BENCH_LOCAL_FLAGGED.json when BENCH_LOCAL.json holds an in-band
+    payload; in-band sweeps (or flagged ones with no prior clean
+    artifact) keep writing BENCH_LOCAL.json."""
+    import json as _json
+
+    import bench
+
+    here = str(tmp_path)
+    local = tmp_path / "BENCH_LOCAL.json"
+    # no prior artifact: flagged still writes the main file
+    assert bench.payload_dest(here, True).endswith("BENCH_LOCAL.json")
+    # prior CLEAN artifact: flagged diverts, in-band overwrites
+    local.write_text(_json.dumps({"calibration_flag": False}))
+    assert bench.payload_dest(here, True).endswith(
+        "BENCH_LOCAL_FLAGGED.json"
+    )
+    assert bench.payload_dest(here, False).endswith("BENCH_LOCAL.json")
+    # prior artifact itself flagged: a newer flagged sweep may replace it
+    local.write_text(_json.dumps({"calibration_flag": True}))
+    assert bench.payload_dest(here, True).endswith("BENCH_LOCAL.json")
