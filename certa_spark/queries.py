@@ -2528,23 +2528,47 @@ def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
     import shutil
     import tempfile
 
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     src = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(src).schema
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # stage the stream dir: the real events file + the flush sentinel
+    # stage the stream dir: the real events file (hardlink when the
+    # filesystems allow — zero copy) + the flush sentinel, written
+    # directly with pyarrow so staging costs no Spark jobs (the first
+    # version's createDataFrame+write added ~2 jobs and ~3s per run).
+    # Sentinel values per column: ts far-future (advances the
+    # watermark), user_id -20 (passes the %20 cohort filter, filtered
+    # back out), everything else null/zero.
     stage = tempfile.mkdtemp(prefix="certa_stream_sess_")
-    shutil.copy(src, f"{stage}/events.parquet")
-    sent = spark.createDataFrame(
-        [(-1, datetime.datetime(2030, 1, 1), -20, None, 0.0, None)],
-        schema=raw_schema,
+    try:
+        os.link(src, f"{stage}/events.parquet")
+    except OSError:
+        shutil.copy(src, f"{stage}/events.parquet")
+    _PA_TYPES = {
+        "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
+        "float": pa.float32(), "string": pa.string(),
+        "timestamp_ntz": pa.timestamp("us"),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+    sent_cols = {}
+    for f_ in raw_schema.fields:
+        patype = _PA_TYPES[f_.dataType.simpleString()]
+        if f_.name == "ts":
+            val = datetime.datetime(2030, 1, 1)
+        elif f_.name == "user_id":
+            val = -20
+        elif f_.name == "value":
+            val = 0.0
+        else:
+            val = None
+        sent_cols[f_.name] = pa.array([val], patype)
+    pq.write_table(
+        pa.table(sent_cols), f"{stage}/zz_sentinel.parquet"
     )
-    sent_dir = f"{stage}/_sentinel_out"
-    sent.coalesce(1).write.mode("overwrite").parquet(sent_dir)
-    import glob as _glob
-
-    part = _glob.glob(f"{sent_dir}/part-*.parquet")[0]
-    shutil.move(part, f"{stage}/zz_sentinel.parquet")
-    shutil.rmtree(sent_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "*.parquet")
