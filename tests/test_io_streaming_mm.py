@@ -1420,3 +1420,99 @@ def test_streaming_funnel_multibatch_state_carry(spark, tmp_path):
         want[r["u"]] = (t3, t3 - t1)
     assert set(want) == set(range(1, 9))
     assert got == want
+
+
+def test_stateful_operators_under_rocksdb_state_store(spark, tmp_path):
+    """The 100TB state story, executed: the custom stateful operators
+    run under the RocksDB state-store provider (off-heap, spillable —
+    what a production cluster uses for large keyed state) and produce
+    EXACTLY the default-provider/batch-twin results, across a
+    multi-batch drain with state carry. Guards against the operators
+    accidentally depending on HDFSBackedStateStore semantics."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.streaming.stateful import (
+        funnel_stream,
+        running_zscore_batch,
+        running_zscore_stream,
+    )
+
+    ns = 1_000_000_000
+    rows = []
+    for u in (1, 2, 3):
+        for i in range(20):
+            rows.append((u, u * 100 + i, (i + 1) * 60 * ns,
+                         float((u * 3 + i) % 5) + 0.5))
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ns long, value double"
+    )
+    src = str(tmp_path / "rdb_src")
+    _write_slab_files(
+        spark, batch,
+        [F.col("ts_ns") <= 10 * 60 * ns, F.col("ts_ns") > 10 * 60 * ns],
+        src,
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        got_rows, n_data = _drain_batches(
+            spark, running_zscore_stream(stream), "rdb_z", 2
+        )
+        assert n_data == 2, "must exercise cross-batch RocksDB state"
+        got = {r["event_id"]: (r["n_prior"], r["z"]) for r in got_rows}
+        want = {
+            r["event_id"]: (r["n_prior"], r["z"])
+            for r in running_zscore_batch(batch).collect()
+        }
+        assert got == want
+
+        # funnel: A in batch 1, B/C in batch 2 — stage carried in RocksDB
+        frows = []
+        for u in (1, 2):
+            frows.append((u, u * 10, "A", (5 + u) * 60 * ns, 0))
+            frows.append((u, u * 10 + 1, "B", (700 + u) * 60 * ns, 1))
+            frows.append((u, u * 10 + 2, "C", (800 + u) * 60 * ns, 1))
+        fb = spark.createDataFrame(
+            frows,
+            "user_id long, event_id long, event_type string, "
+            "ts_ns long, slab int",
+        )
+        fsrc = str(tmp_path / "rdb_fsrc")
+        _write_slab_files(
+            spark, fb, [F.col("slab") == 0, F.col("slab") == 1], fsrc
+        )
+        fstream = (
+            spark.readStream
+            .schema("user_id long, event_id long, event_type string, "
+                    "ts_ns long")
+            .option("maxFilesPerTrigger", "1").parquet(fsrc)
+        )
+        fgot, fn = _drain_batches(
+            spark,
+            funnel_stream(fstream, ["A", "B", "C"],
+                          horizon_ns=72 * 3600 * ns),
+            "rdb_f", 2,
+        )
+        assert fn == 2
+        assert {
+            (r["user_id"], r["duration_ns"]) for r in fgot
+        } == {(1, (801 - 6) * 60 * ns), (2, (802 - 7) * 60 * ns)}
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
