@@ -75,19 +75,21 @@ def _round_like_spark(x: float, digits: int) -> float:
     )
 
 
-def _score_group(
-    key: Tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state
-) -> Iterator["pd.DataFrame"]:
+def _fold_zscore_chunks(
+    key0, chunks, cnt: int, mean: float, m2: float
+) -> tuple[list, int, float, float]:
+    """The shared Welford fold over one group's Arrow chunks — SINGLE
+    source of truth for both stateful APIs (applyInPandasWithState and
+    transformWithStateInPandas), so the two implementations cannot
+    drift. Concat THEN sort: a group larger than
+    arrow.maxRecordsPerBatch arrives as several chunks — sorting per
+    chunk would fold a multi-chunk group out of (ts_ns, event_id)
+    order and break the total-order equality with the batch twin that
+    the hash gate relies on."""
     import pandas as pd
 
-    cnt, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
-    out_rows = []
-    # concat THEN sort: each element of pdfs is one Arrow chunk, and a
-    # group larger than arrow.maxRecordsPerBatch arrives as several —
-    # sorting per chunk would fold a multi-chunk group out of
-    # (ts_ns, event_id) order and break the total-order equality with
-    # the batch twin that the hash gate relies on
-    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out_rows: list = []
+    chunks = [pdf for pdf in chunks if len(pdf)]
     if chunks:
         whole = (
             pd.concat(chunks) if len(chunks) > 1 else chunks[0]
@@ -99,7 +101,7 @@ def _score_group(
                 # n_prior = prior non-null count) without touching
                 # the moments
                 out_rows.append(
-                    (key[0], r.event_id, r.ts_ns, None, cnt, None)
+                    (key0, r.event_id, r.ts_ns, None, cnt, None)
                 )
                 continue
             var = m2 / (cnt - 1) if cnt >= 2 else 0.0
@@ -108,11 +110,23 @@ def _score_group(
                 if cnt >= MIN_PRIOR and var > VAR_FLOOR
                 else None
             )
-            out_rows.append((key[0], r.event_id, r.ts_ns, r.value, cnt, z))
+            out_rows.append((key0, r.event_id, r.ts_ns, r.value, cnt, z))
             cnt += 1
             delta = r.value - mean
             mean += delta / cnt
             m2 += delta * (r.value - mean)
+    return out_rows, cnt, mean, m2
+
+
+def _score_group(
+    key: Tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    cnt, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    out_rows, cnt, mean, m2 = _fold_zscore_chunks(
+        key[0], pdfs, cnt, mean, m2
+    )
     state.update((cnt, mean, m2))
     # yield nothing for an empty update: pyspark's state serializer
     # concatenates emitted frames, and empty/all-NA frames trip the
@@ -143,6 +157,60 @@ def running_zscore_stream(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def running_zscore_stream_tws(stream: DataFrame) -> DataFrame:
+    """:func:`running_zscore_stream` on Spark 4's NEW arbitrary-state
+    API (``transformWithStateInPandas`` + ``StatefulProcessor``):
+    typed ValueState (the same 3 scalars), per-key handleInputRows,
+    and — the reasons to migrate at scale — native TTL on every state
+    handle, timers, and first-class RocksDB backing. The fold is the
+    SAME function the applyInPandasWithState path runs
+    (:func:`_fold_zscore_chunks`), so the two APIs are output-
+    equivalent by construction.
+
+    ENVIRONMENT SEAM: transformWithState's state-server protocol
+    needs the ``protobuf`` package, which this sandbox lacks (the
+    driver worker raises ``ImportError: google.protobuf`` at query
+    start) — the equality test in tests/test_io_streaming_mm.py
+    skips when protobuf is missing and runs verbatim where it is
+    installed. The fold itself stays fully covered through the
+    applyInPandasWithState twin."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _ZScoreProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._moments = handle.getValueState(
+                "moments", "cnt long, mean double, m2 double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            st = self._moments.get()
+            cnt, mean, m2 = st if st is not None else (0, 0.0, 0.0)
+            out_rows, cnt, mean, m2 = _fold_zscore_chunks(
+                key[0], rows, cnt, mean, m2
+            )
+            self._moments.update((cnt, mean, m2))
+            if out_rows:  # no empty frames to the serializer
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[
+                        "user_id", "event_id", "ts_ns", "value",
+                        "n_prior", "z",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_ZScoreProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
 
 

@@ -1516,3 +1516,80 @@ def test_stateful_operators_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+def test_running_zscore_transformwithstate_equals_batch(spark, tmp_path):
+    """Spark 4's new arbitrary-state API (transformWithStateInPandas +
+    StatefulProcessor, typed ValueState) must produce EXACTLY the
+    applyInPandasWithState/batch-twin output across a multi-batch
+    drain — both stateful APIs share one fold function, and this pins
+    that the new API's state carry and chunk delivery behave the
+    same. transformWithState requires the RocksDB state store AND the
+    protobuf package (its state-server protocol); this sandbox lacks
+    protobuf, so the test skips here and runs verbatim on a normal
+    cluster image."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from certa_spark.streaming.stateful import (
+        running_zscore_batch,
+        running_zscore_stream_tws,
+    )
+
+    ns = 1_000_000_000
+    rows = []
+    for u in (1, 2):
+        for i in range(25):
+            v = None if i % 9 == 4 else float((u * 5 + i * 3) % 7) + 0.25
+            rows.append((u, u * 100 + i, (i + 1) * 60 * ns, v))
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ns long, value double"
+    )
+    src = str(tmp_path / "tws_src")
+    _write_slab_files(
+        spark, batch,
+        [F.col("ts_ns") <= 12 * 60 * ns, F.col("ts_ns") > 12 * 60 * ns],
+        src,
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        got_rows, n_data = _drain_batches(
+            spark, running_zscore_stream_tws(stream), "tws_z", 2
+        )
+        assert n_data == 2, "must exercise cross-batch state carry"
+        got = {
+            r["event_id"]: (r["n_prior"], r["z"], r["value"])
+            for r in got_rows
+        }
+        want = {
+            r["event_id"]: (r["n_prior"], r["z"], r["value"])
+            for r in running_zscore_batch(batch).collect()
+        }
+        assert got == want
+        nulls = [k for k, v in want.items() if v[2] is None]
+        assert nulls and all(got[k][1] is None for k in nulls)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
