@@ -44,6 +44,43 @@ def _default_partitions(df: DataFrame, partitions: int | None) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
+def _integral_type(dt) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                           T.ByteType))
+
+
+def _cc_local_min_labels(pdf):
+    """Driver-local connected components over a collected (a, b) edge
+    list — EXACT same fixpoint as the distributed loop (every node's
+    label = the minimum node id reachable from it), computed with
+    numpy hook + pointer-jumping rounds. Labels live in index space of
+    the sorted unique-id array, so index order == id order and the
+    index-space minimum IS the id-space minimum. Returns
+    ``(ids, clusters)`` numpy arrays aligned per node."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[ai], lab[bi])
+        np.minimum.at(lab, ai, m)
+        np.minimum.at(lab, bi, m)
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, before):
+            break
+    return ids, ids[lab]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -51,6 +88,7 @@ def connected_components(
     max_iter: int = 25,
     partitions: int | None = None,
     shortcut: bool = False,
+    local_finish_edges: int = 0,
 ) -> DataFrame:
     """Cluster nodes of an undirected graph: returns ``(node, cluster)``
     where ``cluster`` is the minimum node id reachable from ``node``.
@@ -67,7 +105,18 @@ def connected_components(
     near-dup clusters (single-digit diameter) converge in 2-3 rounds
     anyway and the extra per-round materialization would cost more
     than it saves; turn it on for chained/deep graphs (MDM entity
-    closures, long dup chains)."""
+    closures, long dup chains).
+
+    ``local_finish_edges > 0`` opts into the bounded local-finish path
+    (the :func:`louvain` precedent): when the materialized symmetrized
+    edge list holds at most ``2 * local_finish_edges`` rows AND node
+    ids are integral, the closure runs driver-side as a numpy
+    hook/pointer-jump loop (:func:`_cc_local_min_labels`) — same
+    unique fixpoint, one collect of two-long rows instead of
+    O(diameter) shuffle rounds. Oversized graphs always stay on the
+    distributed loop, so the budget bounds driver memory, not
+    correctness; equivalence is pinned by
+    ``tests/test_graph.py::test_cc_local_matches_distributed``."""
     partitions = _default_partitions(edges, partitions)
     # no distinct() on the symmetrized edges: the min-aggregate below is
     # duplicate-insensitive and the dedup shuffle costs more than the
@@ -78,6 +127,23 @@ def connected_components(
         .repartition(partitions, "b")
         .localCheckpoint()
     )
+    if (
+        local_finish_edges > 0
+        and _integral_type(sym.schema["a"].dataType)
+        and sym.count() <= 2 * local_finish_edges
+    ):
+        import pandas as pd
+
+        node_t = sym.schema["a"].dataType.simpleString()
+        ids, clusters = _cc_local_min_labels(sym.toPandas())
+        spark = edges.sparkSession
+        # hand the result back as a pandas frame: the Arrow batch path,
+        # NOT a Python tuple list (pickling O(V) tuples through py4j
+        # measured 6x slower end-to-end on a 400k-node closure)
+        return spark.createDataFrame(
+            pd.DataFrame({"node": ids, "cluster": clusters}),
+            schema=f"node {node_t}, cluster {node_t}",
+        )
 
     # initial labels stay LAZY: round 1's shuffle computes them in the
     # same job, saving one materialization; from round 1 on, `labels`
@@ -256,6 +322,7 @@ def assign_clusters(
     max_iter: int = 25,
     shortcut: bool = False,
     algorithm: str = "propagate",
+    local_finish_edges: int = 0,
 ) -> DataFrame:
     """Per-node cluster ids over a full node set: nodes touched by an
     edge get their component's min id, isolated nodes cluster with
@@ -263,14 +330,17 @@ def assign_clusters(
 
     ``algorithm='lsss'`` swaps min-label propagation for the
     large-star/small-star edge-rewrite scheme (same labels, O(log n)
-    rounds on deep graphs — see :func:`connected_components_lsss`)."""
+    rounds on deep graphs — see :func:`connected_components_lsss`).
+    ``local_finish_edges`` passes through to
+    :func:`connected_components` (ignored under lsss)."""
     if algorithm == "lsss":
         cc = connected_components_lsss(
             edges, src=src, dst=dst, max_iter=max_iter
         )
     else:
         cc = connected_components(
-            edges, src=src, dst=dst, max_iter=max_iter, shortcut=shortcut
+            edges, src=src, dst=dst, max_iter=max_iter, shortcut=shortcut,
+            local_finish_edges=local_finish_edges,
         )
     return (
         nodes.select(F.col(node_col).alias("node"))
@@ -811,6 +881,34 @@ def pagerank_personalized(
     return ranks
 
 
+def _kcore_local(pdf, k: int):
+    """Driver-local k-core peel over a collected canonical (a, b) edge
+    list — the same synchronous delete-all-sub-k schedule as the
+    distributed loop, so the (unique, schedule-independent) fixpoint
+    AND the surviving degrees match exactly. Pure integer numpy.
+    Returns ``(ids, degrees)`` for the surviving nodes."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    alive_n = np.ones(n, dtype=bool)
+    alive_e = np.ones(len(ai), dtype=bool)
+    while True:
+        deg = (
+            np.bincount(ai[alive_e], minlength=n)
+            + np.bincount(bi[alive_e], minlength=n)
+        )
+        bad = alive_n & (deg < k)
+        if not bad.any():
+            break
+        alive_n &= ~bad
+        alive_e &= alive_n[ai] & alive_n[bi]
+    return ids[alive_n], deg[alive_n]
+
+
 def kcore(
     edges: DataFrame,
     k: int = 3,
@@ -818,21 +916,37 @@ def kcore(
     dst: str = "dst",
     max_iter: int = 20,
     partitions: int | None = None,
+    local_finish_edges: int = 0,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
     nodes of degree < k (and their edges) until every survivor has
     degree >= k. Returns the surviving ``(node, degree)`` table — the
     dense backbone used for community seeds and spam/bot filtering.
 
-    Per round: one degree aggregation over the (checkpointed) edge
-    set, one broadcast-able "bad node" table, two anti-joins to drop
-    their edges, one checkpoint — only (node, degree) pairs and the
-    shrinking edge list ever shuffle. Rounds are bounded by the
-    peeling depth (<= max degree, usually tiny); a converged round
-    costs one count. Deterministic: peeling is confluent (the k-core
-    is unique regardless of deletion order), which is what lets a
-    fixed-round unrolled SQL oracle agree with the driver-coordinated
-    convergence loop."""
+    Degrees are computed ONCE and then maintained by DELTA (round-8
+    exchange cut): when the round's sub-k nodes die, each removed
+    edge decrements its surviving endpoint, so the per-round shuffle
+    is over REMOVED-edge endpoints (shrinking toward zero) instead of
+    the 2|E|-row union+groupBy the previous shape re-ran every round.
+    The delta-maintained table is exactly the recomputed one —
+    new_deg[v] = old_deg[v] - #removed edges incident to v — so the
+    fixpoint (and the round schedule, hence the statically unrolled
+    SQL oracle) is unchanged. Per round: one cheap count on the
+    materialized degree leaf, one edge rewrite (two node-keyed joins
+    against the small sub-k set — AQE broadcasts it), one degree
+    update checkpoint. Deterministic: peeling is confluent (the
+    k-core is unique regardless of deletion order).
+
+    ``local_finish_edges > 0`` opts into the bounded local-finish path
+    (the :func:`louvain` / :func:`connected_components` precedent):
+    when the materialized canonical edge list fits the budget and ids
+    are integral, the whole peel runs driver-side in numpy
+    (:func:`_kcore_local`) — the k-core is unique whatever the
+    schedule and the local peel uses the SAME synchronous schedule,
+    so the surviving (node, degree) set is identical (pinned by
+    ``tests/test_graph.py::test_kcore_local_matches_distributed``).
+    Oversized graphs always stay on the distributed loop, so the
+    budget bounds driver memory, not correctness."""
     partitions = _default_partitions(edges, partitions)
     und = (
         edges.select(
@@ -844,31 +958,20 @@ def kcore(
         .repartition(partitions, "a")
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        # deg IS checkpointed: it feeds both the convergence count and
-        # the two anti-joins of the edge rewrite — lazy, the union+agg
-        # over the full edge list would run twice per round (measured
-        # 7.2s vs 5.9s at sf0.1)
-        deg = (
-            und.select(F.col("a").alias("node"))
-            .unionByName(und.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").cast("long").alias("degree"))
-            .localCheckpoint()
+    if (
+        local_finish_edges > 0
+        and _integral_type(und.schema["a"].dataType)
+        and und.count() <= local_finish_edges
+    ):
+        import pandas as pd
+
+        node_t = und.schema["a"].dataType.simpleString()
+        ids, degs = _kcore_local(und.toPandas(), k)
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            pd.DataFrame({"node": ids, "degree": degs.astype("int64")}),
+            schema=f"node {node_t}, degree long",
         )
-        bad = deg.filter(F.col("degree") < k).select("node")
-        if bad.count() == 0:
-            return deg
-        und = (
-            und.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
-            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
-            .select("a", "b")
-            .localCheckpoint()
-        )
-    # max_iter exhausted without a clean round: the survivors may still
-    # contain sub-k degrees, and silently returning them would hand the
-    # caller a non-core (correctness vs the unrolled oracle only held
-    # because both used the same round count). Fail loudly instead.
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -876,6 +979,51 @@ def kcore(
         .agg(F.count("*").cast("long").alias("degree"))
         .localCheckpoint()
     )
+    for _ in range(max_iter):
+        bad = deg.filter(F.col("degree") < k).select("node")
+        if bad.count() == 0:
+            return deg
+        bad_a = bad.select(F.col("node").alias("a"))
+        bad_b = bad.select(F.col("node").alias("b"))
+        # STATS-SAFE shapes only (PLANS.md round-7 item 8): semi/anti
+        # joins keep the LEFT child's size estimate and union+agg is
+        # additive, so the per-round checkpoints grow linearly. An
+        # outer-join-topped checkpoint here multiplies estimates and
+        # feeds back est^k per round — a first draft of this loop sat
+        # minutes per plan in BigInteger.multiply at sf0.1's ~16 rounds.
+        # Mixed edges (exactly one dying endpoint) decrement the live
+        # end; fully-dead edges vanish without touching any survivor.
+        dec_b = (
+            und.join(bad_a, "a", "left_semi")
+            .join(bad_b, "b", "left_anti")
+            .select(F.col("b").alias("node"))
+        )
+        dec_a = (
+            und.join(bad_b, "b", "left_semi")
+            .join(bad_a, "a", "left_anti")
+            .select(F.col("a").alias("node"))
+        )
+        negs = (
+            dec_b.unionByName(dec_a)
+            .groupBy("node")
+            .agg((-F.count("*")).cast("long").alias("degree"))
+        )
+        und = (
+            und.join(bad_a, "a", "left_anti")
+            .join(bad_b, "b", "left_anti")
+            .localCheckpoint()
+        )
+        deg = (
+            deg.filter(F.col("degree") >= k)
+            .unionByName(negs)
+            .groupBy("node")
+            .agg(F.sum("degree").cast("long").alias("degree"))
+            .localCheckpoint()
+        )
+    # max_iter exhausted without a clean round: the survivors may still
+    # contain sub-k degrees, and silently returning them would hand the
+    # caller a non-core (correctness vs the unrolled oracle only held
+    # because both used the same round count). Fail loudly instead.
     remaining = deg.filter(F.col("degree") < k).count()
     if remaining > 0:
         raise RuntimeError(
@@ -1242,6 +1390,136 @@ def kcore_weighted(
     return stg
 
 
+_KTRUSS_LOCAL_WEDGE_BUDGET = 32_000_000
+
+
+def _ktruss_local(pdf, k: int):
+    """Driver-local k-truss peel over a collected canonical (a, b)
+    edge list — same (degree, id) orientation, same synchronous
+    delete-all-sub-support schedule, so the (unique) fixpoint AND the
+    surviving supports match the distributed loop exactly. Pure
+    integer numpy: wedges are generated per pivot from the
+    okey-sorted out-neighbor blocks, closed by a searchsorted
+    membership probe, and supports counted over encoded edge keys.
+
+    Returns ``(a_ids, b_ids, supports)`` or ``None`` when the initial
+    wedge count exceeds the internal budget (a dense graph whose
+    wedge expansion should stay distributed even though its edge list
+    fit the collect budget — wedge counts only shrink as edges peel,
+    so the one up-front check suffices)."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    n = np.int64(len(ids))
+    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+    # okey = rank under (degree, id); index order == id order, so this
+    # is exactly the distributed orientation's total order (okey is a
+    # permutation — ties cannot happen, matching the explicit
+    # (_d, id) tie-break)
+    okey = np.empty(int(n), dtype=np.int64)
+    okey[np.lexsort((np.arange(int(n)), deg))] = np.arange(int(n))
+    fwd = okey[ai] < okey[bi]
+    s = np.where(fwd, ai, bi)
+    t = np.where(fwd, bi, ai)
+    outdeg = np.bincount(s, minlength=n)
+    wedge_count = int(
+        (outdeg.astype(np.int64) * (outdeg.astype(np.int64) - 1) // 2).sum()
+    )
+    if wedge_count > _KTRUSS_LOCAL_WEDGE_BUDGET:
+        return None
+    need = k - 2
+    sup = np.zeros(0, dtype=np.int64)
+    while True:
+        m = len(s)
+        if m == 0:
+            break
+        # sort edges by (pivot, okey of target): each pivot's targets
+        # become a contiguous okey-ascending block
+        order = np.lexsort((okey[t], s))
+        ss, tt = s[order], t[order]
+        grp = np.bincount(ss, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(grp)[:-1]))
+        pos = np.arange(m) - np.repeat(
+            starts[grp > 0], grp[grp > 0]
+        )
+        # element p (offset pos[p] in its block) closes pos[p] wedges
+        # as the okey-larger leg v, against every earlier leg u
+        v_rep = np.repeat(np.arange(m), pos)
+        cum = np.concatenate(([0], np.cumsum(pos)))
+        u_rep = (
+            np.arange(cum[-1])
+            - np.repeat(cum[:-1], pos)
+            + np.repeat(np.arange(m) - pos, pos)
+        )
+        wp, wu, wv = ss[v_rep], tt[u_rep], tt[v_rep]
+        ekeys_sorted = np.sort(s * n + t)
+        wkeys = wu * n + wv
+        ins = np.searchsorted(ekeys_sorted, wkeys)
+        closed = (ins < m) & (ekeys_sorted[np.minimum(ins, m - 1)] == wkeys)
+        tp, tu, tv = wp[closed], wu[closed], wv[closed]
+        tri_keys = np.concatenate([tp * n + tu, tp * n + tv, tu * n + tv])
+        uk, counts = np.unique(tri_keys, return_counts=True)
+        cur = s * n + t
+        ins2 = np.searchsorted(uk, cur)
+        sup = np.zeros(m, dtype=np.int64)
+        hit = (ins2 < len(uk)) & (
+            uk[np.minimum(ins2, max(len(uk) - 1, 0))] == cur
+        ) if len(uk) else np.zeros(m, dtype=bool)
+        sup[hit] = counts[ins2[hit]]
+        keep = sup >= need
+        if keep.all():
+            break
+        s, t, sup = s[keep], t[keep], sup[keep]
+    lo = np.minimum(s, t)
+    hi = np.maximum(s, t)
+    return ids[lo], ids[hi], sup
+
+
+def _ktruss_support(ed: DataFrame) -> DataFrame:
+    """Per-edge triangle supports over an oriented edge set
+    ``(s, t, _dt)`` where ``_dt`` is the order key of ``t`` under the
+    orientation's total order. Each triangle's three edges are all
+    oriented edges — (p,u), (p,v), (u,v) for pivot p with
+    order(u) < order(v) — so supports are keyed by the ORIENTED pair
+    directly and the target's order key is known at credit time
+    ((p,u) targets u with _du; the other two target v with _dv).
+    Returns ``(s, t, _dt, support)`` for every edge in >= 1 triangle.
+    """
+    w1 = ed.select(F.col("s").alias("p"), F.col("t").alias("u"),
+                   F.col("_dt").alias("_du"))
+    w2 = ed.select(F.col("s").alias("p"), F.col("t").alias("v"),
+                   F.col("_dt").alias("_dv"))
+    wedges = (
+        w1.join(w2, "p")
+        .filter(
+            (F.col("_du") < F.col("_dv"))
+            | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
+        )
+    )
+    tris = wedges.join(
+        ed.select(F.col("s").alias("u"), F.col("t").alias("v")), ["u", "v"]
+    )
+    return (
+        tris.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("p").alias("s"), F.col("u").alias("t"),
+                             F.col("_du").alias("_dt")),
+                    F.struct(F.col("p").alias("s"), F.col("v").alias("t"),
+                             F.col("_dv").alias("_dt")),
+                    F.struct(F.col("u").alias("s"), F.col("v").alias("t"),
+                             F.col("_dv").alias("_dt")),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.s", "e.t", "e._dt")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+
+
 def ktruss(
     edges: DataFrame,
     k: int = 3,
@@ -1249,6 +1527,7 @@ def ktruss(
     dst: str = "dst",
     max_iter: int = 30,
     partitions: int | None = None,
+    local_finish_edges: int = 0,
 ) -> DataFrame:
     """k-truss decomposition: the maximal subgraph in which every
     EDGE participates in at least ``k-2`` triangles — the
@@ -1257,15 +1536,38 @@ def ktruss(
     triangles), the standard community-backbone / spam-edge filter.
     Returns the surviving canonical edge set ``(a, b, support)``.
 
-    Per round: ONE degree-ordered triangle enumeration over the
-    (checkpointed, shrinking) edge set — the same hub-safe
-    orientation as :func:`triangle_counts`, out-degree bounded
-    O(sqrt(|E|)) so a mega-hub cannot blow up the wedge join — then
-    per-edge support credit (each triangle credits its 3 edges via
-    one explode + map-side-combined aggregate) and one support
-    filter. Edge peeling is confluent like node peeling, so deletion
-    order cannot change the fixpoint; the loop fails loudly on
-    max_iter exhaustion (same guard as :func:`kcore`).
+    Per round: ONE job — a degree-ordered triangle enumeration over
+    the (checkpointed, shrinking) oriented edge set, per-edge support
+    credit (each triangle credits its 3 edges via one explode +
+    map-side-combined aggregate), and the support filter, fused into
+    a single checkpoint — plus a count on the materialized result.
+
+    The orientation is HOISTED out of the loop (round-8 exchange
+    cut): edges are directed once by the ORIGINAL (degree, id) total
+    order. Correctness is orientation-independent — any total order
+    enumerates each triangle exactly once (at its order-minimal
+    corner), and support counts only depend on the current triangle
+    set — and the hub-safety bound survives deletion: out-degrees
+    under a fixed orientation only shrink as edges are peeled, so the
+    original O(sqrt(|E|)) wedge bound keeps holding. This removes the
+    per-round degree aggregation, two degree joins, and the
+    re-orientation exchange the previous shape paid (measured ~5.1s
+    -> see PLANS.md round-8 notes at sf0.1). Supports are keyed by
+    the oriented pair (every triangle edge IS an oriented edge), so
+    no per-round canonicalization either.
+
+    Edge peeling is confluent like node peeling, so deletion order
+    cannot change the fixpoint; the loop fails loudly on max_iter
+    exhaustion (same guard as :func:`kcore`).
+
+    ``local_finish_edges > 0`` opts into the bounded local-finish path
+    (the :func:`kcore` / :func:`louvain` precedent): a graph whose
+    canonical edge list fits the budget — AND whose wedge expansion
+    fits an internal wedge budget, checked after the collect — peels
+    driver-side in vectorized numpy (:func:`_ktruss_local`), identical
+    orientation and schedule, identical output (pinned by
+    ``tests/test_graph.py::test_ktruss_local_matches_distributed``).
+    Oversized graphs always stay on the distributed loop.
     """
     partitions = _default_partitions(edges, partitions)
     need = k - 2
@@ -1276,90 +1578,97 @@ def ktruss(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .repartition(partitions, "a")
+    )
+    if (
+        need > 0
+        and local_finish_edges > 0
+        and _integral_type(und.schema["a"].dataType)
+    ):
+        undc = und.repartition(partitions, "a").localCheckpoint()
+        if undc.count() <= local_finish_edges:
+            res = _ktruss_local(undc.toPandas(), k)
+            if res is not None:
+                import pandas as pd
+
+                node_t = undc.schema["a"].dataType.simpleString()
+                a_ids, b_ids, sups = res
+                return edges.sparkSession.createDataFrame(
+                    pd.DataFrame(
+                        {"a": a_ids, "b": b_ids,
+                         "support": sups.astype("int64")}
+                    ),
+                    schema=f"a {node_t}, b {node_t}, support long",
+                )
+        # over one of the budgets: reuse the materialized edge list for
+        # the distributed loop below instead of recomputing it
+        und = undc
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_d"))
+    )
+    ed = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("_d").alias("_da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("_d").alias("_db")),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t"),
+                         F.col("_db").alias("_dt")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("s"), F.col("a").alias("t"),
+                         F.col("_da").alias("_dt"))
+            )
+            .alias("e")
+        )
+        .select("e.s", "e.t", "e._dt")
+        .repartition(partitions, "s")
         .localCheckpoint()
     )
-    n_edges = und.count()
-    for _ in range(max_iter):
-        deg = (
-            und.select(F.col("a").alias("node"))
-            .unionByName(und.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("_d"))
-        )
-        ed = (
-            und.join(
-                deg.select(F.col("node").alias("a"), F.col("_d").alias("_da")),
-                "a",
-            )
-            .join(
-                deg.select(F.col("node").alias("b"), F.col("_d").alias("_db")),
-                "b",
-            )
+    n_edges = ed.count()
+    if need <= 0:
+        # k <= 2: every edge survives; one enumeration for the counts
+        return (
+            ed.join(_ktruss_support(ed), ["s", "t"], "left")
             .select(
-                F.when(
-                    (F.col("_da") < F.col("_db"))
-                    | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
-                    F.struct(F.col("a").alias("s"), F.col("b").alias("t"),
-                             F.col("_db").alias("_dt")),
-                )
-                .otherwise(
-                    F.struct(F.col("b").alias("s"), F.col("a").alias("t"),
-                             F.col("_da").alias("_dt"))
-                )
-                .alias("e")
+                F.least("s", "t").alias("a"),
+                F.greatest("s", "t").alias("b"),
+                F.coalesce("support", F.lit(0)).alias("support"),
             )
-            .select("e.s", "e.t", "e._dt")
+        )
+    for _ in range(max_iter):
+        # every surviving edge has support >= need >= 1, so it HAS a
+        # support row — kept is a pure filter over the aggregate, no
+        # join back against ed (the _dt order key rides the groupBy).
+        # Stats-safe enough: the agg's estimate is est(ed)^3 from the
+        # two enumeration joins, i.e. ~x3 bit growth per round, and
+        # truss peels converge in a handful of rounds (vs the outer-
+        # join-topped kept of the first draft at ^4 PLUS the re-
+        # orientation's ^3 every round).
+        kept = (
+            _ktruss_support(ed)
+            .filter(F.col("support") >= need)
             .repartition(partitions, "s")
             .localCheckpoint()
         )
-        w1 = ed.select(F.col("s").alias("p"), F.col("t").alias("u"),
-                       F.col("_dt").alias("_du"))
-        w2 = ed.select(F.col("s").alias("p"), F.col("t").alias("v"),
-                       F.col("_dt").alias("_dv"))
-        wedges = (
-            w1.join(w2, "p")
-            .filter(
-                (F.col("_du") < F.col("_dv"))
-                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v")))
-            )
-            .select("p", "u", "v")
-        )
-        tris = wedges.join(
-            ed.select(F.col("s").alias("u"), F.col("t").alias("v")), ["u", "v"]
-        )
-        pair = lambda x, y: F.struct(  # noqa: E731
-            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
-        )
-        sup = (
-            tris.select(
-                F.explode(
-                    F.array(
-                        pair(F.col("p"), F.col("u")),
-                        pair(F.col("p"), F.col("v")),
-                        pair(F.col("u"), F.col("v")),
-                    )
-                ).alias("e")
-            )
-            .groupBy("e.a", "e.b")
-            .agg(F.count("*").cast("long").alias("support"))
-        )
-        kept = (
-            und.join(sup, ["a", "b"], "left")
-            .select(
-                "a", "b", F.coalesce("support", F.lit(0)).alias("support")
-            )
-            .filter(F.col("support") >= need)
-            .repartition(partitions, "a")
-            .localCheckpoint()
-        )
         n_kept = kept.count()
-        if n_kept == n_edges:
-            return kept
-        und = kept.select("a", "b")
+        if n_kept == n_edges or n_kept == 0:
+            return kept.select(
+                F.least("s", "t").alias("a"),
+                F.greatest("s", "t").alias("b"),
+                "support",
+            )
+        ed = kept.select("s", "t", "_dt")
         n_edges = n_kept
-        if n_edges == 0:
-            return kept
     raise RuntimeError(
         f"ktruss: peel did not converge within max_iter={max_iter}; "
         "raise max_iter"

@@ -7233,7 +7233,11 @@ def q_er_golden_record(spark, sf_dir) -> DataFrame:
     )
     # measured: this entity graph converges in few rounds (hub-like
     # blocks, not chains), so plain propagation beats the pointer-
-    # jumping variant's extra per-round checkpoint (5.0s vs 6.2s sf0.1)
+    # jumping variant's extra per-round checkpoint (5.0s vs 6.2s
+    # sf0.1) — and ALSO beats the local-finish path: 1.67M pairs
+    # collapse onto only 24k nodes, so the per-round (node, label)
+    # shuffles are tiny while a local finish would collect the 3.3M-row
+    # symmetrized multigraph (measured ~3x slower end-to-end)
     cc = GR.assign_clusters(members, edges, "node", src="src", dst="dst")
     g = members.join(cc.withColumnRenamed("node", "node"), "node")
     best = F.min(
@@ -7828,6 +7832,7 @@ def q_curation_pipeline_v2(spark, sf_dir) -> DataFrame:
     cc = GR.assign_clusters(
         kept.select("doc_id"), pairs, "doc_id",
         src="doc_id_a", dst="doc_id_b",
+        local_finish_edges=4_000_000,
     )
     reps = (
         kept.join(cc, "doc_id")
@@ -8146,7 +8151,13 @@ def q_part_kcore(spark, sf_dir) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
-    return GR.kcore(pairs, k=8, src="pa", dst="pb")
+    # bounded local finish (louvain precedent): the whole co-purchase
+    # graph fits the 4M-edge budget at bench SFs, collapsing ~16
+    # driver-coordinated peel rounds into one collect + numpy peel;
+    # over-budget graphs stay on the distributed loop unchanged
+    return GR.kcore(
+        pairs, k=8, src="pa", dst="pb", local_finish_edges=4_000_000
+    )
 
 
 def _q_part_kcore_sql(rounds: int = 20, k: int = 8) -> str:
@@ -8434,7 +8445,12 @@ def q_part_ktruss(spark, sf_dir) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
-    return GR.ktruss(pairs, k=5, src="pa", dst="pb")
+    # bounded local finish (kcore/louvain precedent): the co-purchase
+    # graph (~40k edges, ~90k wedges at sf0.1) peels driver-side in
+    # one collect; over-budget graphs stay on the distributed loop
+    return GR.ktruss(
+        pairs, k=5, src="pa", dst="pb", local_finish_edges=4_000_000
+    )
 
 
 def _q_part_ktruss_sql(rounds: int = 5, k: int = 5) -> str:
@@ -10141,6 +10157,11 @@ _R8_REGATE: tuple[str, ...] = (
     "events_stream_heavy_hitters",
     "events_stream_funnel",
     "events_stream_zscore",
+    # late-r8 perf work, plans changed: hoisted-orientation /
+    # local-finish k-truss, delta-peel / local-finish k-core (both
+    # hash-identical tri-scale vs their oracles before shipping)
+    "part_ktruss",
+    "part_kcore",
 )
 _R3_REMAINING: tuple[str, ...] = (
     "doc_quality_model", "doc_vocab_coverage", "knn_hard_negatives",
@@ -10160,8 +10181,10 @@ _R3_REMAINING: tuple[str, ...] = (
     "events_wow_growth",
 )
 _R4_OLDEST: tuple[str, ...] = (
-    "neardup_clusters_lsss", "part_pagerank_weighted",
-    "events_quantile_approx_gate",
+    # was 3 names; two r4-stale pads yielded their window slots to the
+    # part_ktruss/part_kcore re-gates (changed code outranks stale
+    # padding) and rotate in r9 with the rest of the r4 tail
+    "neardup_clusters_lsss",
 )
 
 _GATED: frozenset[str] = (

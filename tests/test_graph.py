@@ -885,3 +885,91 @@ def test_louvain_local_matches_distributed(spark):
         map(tuple, dist2.collect())
     )
     assert h_hyb == h_dist2
+
+
+def test_cc_local_matches_distributed(spark):
+    # the bounded local-finish path (numpy hook + pointer jumping) must
+    # reproduce the distributed fixpoint exactly: min reachable id per
+    # node, across chain / hub / random / multi-component shapes
+    import random
+
+    rng = random.Random(7)
+    fixtures = {
+        "chain": [(i, i + 1) for i in range(20)],
+        "hub": [(0, i) for i in range(1, 20)],
+        "random": [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+        ],
+        "two_comp": [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        "offset_ids": [(1_000_005, 3), (3, 7), (2_000_000, 1_000_005)],
+    }
+    for name, edges in fixtures.items():
+        df = spark.createDataFrame(edges, "src long, dst long")
+        dist = connected_components(df, partitions=4)
+        loc = connected_components(
+            df, partitions=4, local_finish_edges=10**6
+        )
+        assert sorted(map(tuple, dist.collect())) == sorted(
+            map(tuple, loc.collect())
+        ), name
+        assert dict(dist.dtypes) == dict(loc.dtypes), name
+
+    # over-budget graphs must stay distributed (budget smaller than the
+    # edge list) — same answer either way, via the distributed loop
+    df = spark.createDataFrame(fixtures["random"], "src long, dst long")
+    small = connected_components(df, partitions=4, local_finish_edges=3)
+    full = connected_components(df, partitions=4)
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_kcore_local_matches_distributed(spark):
+    import random
+
+    from certa_spark.operators.graph import kcore
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(160)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 5):
+        dist = kcore(df, k=k, partitions=4)
+        loc = kcore(df, k=k, partitions=4, local_finish_edges=10**6)
+        assert sorted(map(tuple, dist.collect())) == sorted(
+            map(tuple, loc.collect())
+        ), k
+        assert dict(dist.dtypes) == dict(loc.dtypes), k
+    # peel-to-empty: local path returns the same empty (node, degree)
+    tree = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert kcore(tree, k=3, local_finish_edges=10**6).count() == 0
+
+
+def test_ktruss_local_matches_distributed(spark):
+    import random
+
+    from certa_spark.operators.graph import ktruss
+
+    rng = random.Random(23)
+    # dense-ish random graph so triangles exist at several k levels,
+    # plus a clique-with-tail fixture where the peel takes >1 round
+    rand_edges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(200)
+    ]
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    tail = [(5, 10), (10, 11), (11, 12)]
+    for name, edges in {
+        "random": rand_edges, "clique_tail": clique + tail
+    }.items():
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for k in (3, 4, 5):
+            dist = ktruss(df, k=k, partitions=4)
+            loc = ktruss(df, k=k, partitions=4, local_finish_edges=10**6)
+            assert sorted(map(tuple, dist.collect())) == sorted(
+                map(tuple, loc.collect())
+            ), (name, k)
+            assert dict(dist.dtypes) == dict(loc.dtypes), (name, k)
+    # peel-to-empty parity
+    df = spark.createDataFrame(tail, "src long, dst long")
+    assert ktruss(df, k=3, local_finish_edges=10**6).count() == 0

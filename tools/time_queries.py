@@ -1,0 +1,75 @@
+"""Time individual registry queries at a given SF — the iteration
+loop for performance work, mirroring bench.py's measurement discipline
+(warmed session, min-of-N to full materialization) without the
+160-query sweep.
+
+Usage: python tools/time_queries.py [--sf sf0.1] [--runs 3] query ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf = "sf0.1"
+    runs = 3
+    names: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            sf = args[i + 1]
+            i += 2
+        elif args[i] == "--runs":
+            runs = int(args[i + 1])
+            i += 2
+        else:
+            names.append(args[i])
+            i += 1
+    sf_dir = f"/root/testdata/{sf}"
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("time_queries")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import bench
+    from certa_spark.queries import QUERIES
+
+    bench._warm_session(spark)
+    cal = bench.calibration_sentinel(spark, runs=2)
+    print(f"calibration_sec={cal:.3f}", flush=True)
+
+    for name in names:
+        fn = QUERIES[name]
+        best, all_runs = None, []
+        for _ in range(runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            all_runs.append(round(dt, 2))
+            best = dt if best is None else min(best, dt)
+        print(
+            f"{name:35s} min={best:6.2f}s rows={n} runs={all_runs}",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
