@@ -973,3 +973,29 @@ def test_ktruss_local_matches_distributed(spark):
     # peel-to-empty parity
     df = spark.createDataFrame(tail, "src long, dst long")
     assert ktruss(df, k=3, local_finish_edges=10**6).count() == 0
+
+
+def test_local_finish_empty_and_isolating_edges(spark):
+    # empty edge set through the local-finish branches: both must
+    # return empty frames with the distributed schema, not crash on
+    # zero-row numpy/Arrow conversions
+    from certa_spark.operators.graph import kcore, ktruss
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(
+        empty, local_finish_edges=10**6
+    ).count() == 0
+    assert kcore(empty, k=2, local_finish_edges=10**6).count() == 0
+    assert ktruss(empty, k=3, local_finish_edges=10**6).count() == 0
+    # a peel that strands a survivor with zero edges: the delta-deg
+    # loop removes it one round later than a recompute would, but the
+    # fixpoint (and so the output) is identical to the local peel
+    # star + triangle sharing node 0: peeling the star leaves 0 with
+    # only triangle edges
+    edges = [(0, i) for i in range(10, 16)] + [(0, 1), (0, 2), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dist = kcore(df, k=2, partitions=4)
+    loc = kcore(df, k=2, partitions=4, local_finish_edges=10**6)
+    assert sorted(map(tuple, dist.collect())) == sorted(
+        map(tuple, loc.collect())
+    ) == [(0, 2), (1, 2), (2, 2)]
