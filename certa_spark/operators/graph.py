@@ -796,6 +796,7 @@ def pagerank_personalized(
     iterations: int = 3,
     partitions: int | None = None,
     symmetric: bool = False,
+    degree: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank: the teleport vector concentrates on the
     ``seeds`` set instead of spreading uniformly — the standard
@@ -808,6 +809,14 @@ def pagerank_personalized(
     checkpoints); the only differences are the seed-conditional
     teleport term and the seed-concentrated initial vector. Non-seed
     nodes unreachable from the seeds correctly converge to rank 0.
+
+    ``degree``: name of a pre-computed out-degree column on ``edges``.
+    Callers that already materialized the (src, dst, out-degree)
+    invariant (e.g. to derive the seed set from the same frame) pass
+    it here and the builder's repartition + window + checkpoint pass
+    is skipped — the caller's frame is used as the loop invariant
+    directly, so it should be a materialized leaf (localCheckpoint /
+    cached), or each iteration re-computes it.
     """
     if not seeds:
         raise ValueError("pagerank_personalized: seeds must be non-empty")
@@ -816,13 +825,20 @@ def pagerank_personalized(
         # teleport mass (1/len splits over occurrences, not ids)
         raise ValueError("pagerank_personalized: duplicate seed ids")
     partitions = _default_partitions(edges, partitions)
-    w_deg = Window.partitionBy("s")
-    ed = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .repartition(partitions, "s")
-        .withColumn("_deg", F.count(F.lit(1)).over(w_deg).cast("double"))
-        .localCheckpoint()
-    )
+    if degree is not None:
+        ed = edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("t"),
+            F.col(degree).cast("double").alias("_deg"),
+        )
+    else:
+        w_deg = Window.partitionBy("s")
+        ed = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+            .repartition(partitions, "s")
+            .withColumn("_deg", F.count(F.lit(1)).over(w_deg).cast("double"))
+            .localCheckpoint()
+        )
     nodes = (
         ed.select(F.col("s").alias("node"))
         .unionByName(ed.select(F.col("t").alias("node")))

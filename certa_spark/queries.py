@@ -7145,19 +7145,32 @@ def q_part_pagerank_personalized(spark, sf_dir) -> DataFrame:
         .filter(F.col("l_orderkey") % 3 == 0)
         .select("l_orderkey", "l_partkey")
     )
+    from pyspark.sql.window import Window
+
     pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
-    edges = pairs.select(
-        F.col("pa").alias("s"), F.col("pb").alias("t")
-    ).unionByName(
-        pairs.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
-    ).localCheckpoint()  # seeds collect + PR invariant share one build
+    # ONE materialization serves seeds AND the PR loop invariant: the
+    # symmetrized edges are checkpointed WITH the window out-degree in
+    # the same pass, and pagerank_personalized(degree=...) skips its
+    # own repartition+window+checkpoint rebuild of the identical frame
+    parts = spark.sparkContext.defaultParallelism
+    edges = (
+        pairs.select(F.col("pa").alias("s"), F.col("pb").alias("t"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+        )
+        .repartition(parts, "s")
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        )
+        .localCheckpoint()
+    )
     seeds = [
         int(r["s"])
         for r in edges.select("s").distinct().orderBy("s").limit(5).collect()
     ]
     ranks = GR.pagerank_personalized(
         edges, seeds, src="s", dst="t", damping=0.85, iterations=3,
-        symmetric=True,
+        symmetric=True, degree="deg",
     )
     return ranks.select("node", F.round("r", 8).alias("rank"))
 
