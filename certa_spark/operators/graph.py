@@ -47,8 +47,7 @@ def _default_partitions(df: DataFrame, partitions: int | None) -> int:
 def _integral_type(dt) -> bool:
     from pyspark.sql import types as T
 
-    return isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
-                           T.ByteType))
+    return isinstance(dt, T.IntegralType)
 
 
 def _cc_local_min_labels(pdf):
@@ -132,18 +131,25 @@ def connected_components(
         and _integral_type(sym.schema["a"].dataType)
         and sym.count() <= 2 * local_finish_edges
     ):
-        import pandas as pd
+        pdf = sym.toPandas()
+        # null endpoints act as join-through hubs in the distributed
+        # label algebra (F.min skips nulls, so a null node adopts and
+        # relays the min label of every component touching it) — a
+        # semantics the integer-only numpy path cannot reproduce.
+        # Decline and fall through rather than diverge or crash.
+        if not pdf.isna().any().any():
+            import pandas as pd
 
-        node_t = sym.schema["a"].dataType.simpleString()
-        ids, clusters = _cc_local_min_labels(sym.toPandas())
-        spark = edges.sparkSession
-        # hand the result back as a pandas frame: the Arrow batch path,
-        # NOT a Python tuple list (pickling O(V) tuples through py4j
-        # measured 6x slower end-to-end on a 400k-node closure)
-        return spark.createDataFrame(
-            pd.DataFrame({"node": ids, "cluster": clusters}),
-            schema=f"node {node_t}, cluster {node_t}",
-        )
+            node_t = sym.schema["a"].dataType.simpleString()
+            ids, clusters = _cc_local_min_labels(pdf)
+            spark = edges.sparkSession
+            # hand the result back as a pandas frame: the Arrow batch
+            # path, NOT a Python tuple list (pickling O(V) tuples
+            # through py4j measured 6x slower on a 400k-node closure)
+            return spark.createDataFrame(
+                pd.DataFrame({"node": ids, "cluster": clusters}),
+                schema=f"node {node_t}, cluster {node_t}",
+            )
 
     # initial labels stay LAZY: round 1's shuffle computes them in the
     # same job, saving one materialization; from round 1 on, `labels`
@@ -741,13 +747,22 @@ def clustering_coefficient(
     src: str = "src",
     dst: str = "dst",
     partitions: int | None = None,
+    local_finish_edges: int = 0,
 ) -> DataFrame:
     """Local clustering coefficient per node:
     ``cc = 2*T / (d * (d-1))`` for every node with degree >= 2 (nodes
     in no triangle report 0.0). Rides :func:`triangle_counts` (degree-
     ordered orientation — hub-safe) plus one degree aggregation and a
     left join; the degree table is node-cardinality, so the extra cost
-    over triangle counting is one small join."""
+    over triangle counting is one small join.
+
+    ``local_finish_edges > 0`` opts into the bounded local-finish path
+    (the :func:`ktruss` precedent, sharing its triangle enumerator and
+    wedge budget): degrees + per-node triangle counts come from one
+    collect + numpy pass; the ``cc`` arithmetic stays a SPARK
+    projection over the created frame so the rounding is the same
+    ``F.round`` (HALF_UP) both ways. Oversized graphs always stay
+    distributed."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -760,6 +775,35 @@ def clustering_coefficient(
         # shuffle (Catalyst does not CSE across join branches)
         .localCheckpoint()
     )
+    if (
+        local_finish_edges > 0
+        and _integral_type(und.schema["a"].dataType)
+        and und.count() <= local_finish_edges
+    ):
+        res = _triangle_counts_local(und.toPandas())
+        if res is not None:
+            import pandas as pd
+
+            node_t = und.schema["a"].dataType.simpleString()
+            ids, degs, tcounts = res
+            base = edges.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {"node": ids, "degree": degs.astype("int64"),
+                     "triangles": tcounts.astype("int64")}
+                ),
+                schema=f"node {node_t}, degree long, triangles long",
+            )
+            d_l = F.col("degree").cast("double")
+            return base.filter(F.col("degree") >= 2).select(
+                "node",
+                "degree",
+                "triangles",
+                F.round(
+                    (F.lit(2.0) * F.col("triangles"))
+                    / (d_l * (d_l - F.lit(1.0))),
+                    6,
+                ).alias("cc"),
+            )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -946,8 +990,13 @@ def kcore(
     the 2|E|-row union+groupBy the previous shape re-ran every round.
     The delta-maintained table is exactly the recomputed one —
     new_deg[v] = old_deg[v] - #removed edges incident to v — so the
-    fixpoint (and the round schedule, hence the statically unrolled
-    SQL oracle) is unchanged. Per round: one cheap count on the
+    fixpoint (hence the statically unrolled SQL oracle) is unchanged.
+    One scheduling nuance: a survivor stranded at degree 0 sits in the
+    delta table one round longer than a recompute would keep it (it
+    is flagged, not absent), an identity round that cannot change the
+    fixpoint; the exhaustion check below discounts such nodes so a
+    peel that reached the fixpoint at exactly max_iter is not
+    misreported as non-converged. Per round: one cheap count on the
     materialized degree leaf, one edge rewrite (two node-keyed joins
     against the small sub-k set — AQE broadcasts it), one degree
     update checkpoint. Deterministic: peeling is confluent (the
@@ -1039,14 +1088,20 @@ def kcore(
     # max_iter exhausted without a clean round: the survivors may still
     # contain sub-k degrees, and silently returning them would hand the
     # caller a non-core (correctness vs the unrolled oracle only held
-    # because both used the same round count). Fail loudly instead.
-    remaining = deg.filter(F.col("degree") < k).count()
+    # because both used the same round count). Fail loudly — EXCEPT for
+    # nodes stranded at degree 0: they carry no edges, so flagging them
+    # is the delta table's +1 identity round, not non-convergence (a
+    # recompute schedule would already have dropped them). Discount
+    # them from the check and from the returned core.
+    remaining = deg.filter(
+        (F.col("degree") < k) & (F.col("degree") > 0)
+    ).count()
     if remaining > 0:
         raise RuntimeError(
             f"kcore: peel did not converge within max_iter={max_iter} "
             f"({remaining} nodes still below degree {k}); raise max_iter"
         )
-    return deg
+    return deg.filter(F.col("degree") >= k)
 
 
 def pagerank_weighted(
@@ -1409,6 +1464,72 @@ def kcore_weighted(
 _KTRUSS_LOCAL_WEDGE_BUDGET = 32_000_000
 
 
+def _local_triangles(s, t, okey, n):
+    """Enumerate every triangle of the oriented edge set ``(s, t)``
+    exactly once (at its okey-minimal corner) — the numpy twin of the
+    distributed wedge-join + close: per pivot, the okey-sorted target
+    block yields ordered wedges, closed by a searchsorted membership
+    probe against the encoded edge keys. Returns index arrays
+    ``(tp, tu, tv)`` with okey(tp) < okey(tu) < okey(tv)."""
+    import numpy as np
+
+    m = len(s)
+    # sort edges by (pivot, okey of target): each pivot's targets
+    # become a contiguous okey-ascending block
+    order = np.lexsort((okey[t], s))
+    ss, tt = s[order], t[order]
+    grp = np.bincount(ss, minlength=n)
+    starts = np.concatenate(([0], np.cumsum(grp)[:-1]))
+    pos = np.arange(m) - np.repeat(starts[grp > 0], grp[grp > 0])
+    # element p (offset pos[p] in its block) closes pos[p] wedges
+    # as the okey-larger leg v, against every earlier leg u
+    v_rep = np.repeat(np.arange(m), pos)
+    cum = np.concatenate(([0], np.cumsum(pos)))
+    u_rep = (
+        np.arange(cum[-1])
+        - np.repeat(cum[:-1], pos)
+        + np.repeat(np.arange(m) - pos, pos)
+    )
+    wp, wu, wv = ss[v_rep], tt[u_rep], tt[v_rep]
+    ekeys_sorted = np.sort(s * n + t)
+    wkeys = wu * n + wv
+    ins = np.searchsorted(ekeys_sorted, wkeys)
+    closed = (ins < m) & (ekeys_sorted[np.minimum(ins, m - 1)] == wkeys)
+    return wp[closed], wu[closed], wv[closed]
+
+
+def _triangle_counts_local(pdf):
+    """Driver-local degrees + per-node triangle counts over a
+    collected canonical (a, b) edge list — one :func:`_local_triangles`
+    pass, each triangle credited to its three corners exactly like the
+    distributed explode + aggregate. Returns ``(ids, degrees,
+    triangle_counts)`` aligned per node, or ``None`` when the wedge
+    count exceeds the shared :data:`_KTRUSS_LOCAL_WEDGE_BUDGET`."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    n = np.int64(len(ids))
+    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+    okey = np.empty(int(n), dtype=np.int64)
+    okey[np.lexsort((np.arange(int(n)), deg))] = np.arange(int(n))
+    fwd = okey[ai] < okey[bi]
+    s = np.where(fwd, ai, bi)
+    t = np.where(fwd, bi, ai)
+    outdeg = np.bincount(s, minlength=n).astype(np.int64)
+    if int((outdeg * (outdeg - 1) // 2).sum()) > _KTRUSS_LOCAL_WEDGE_BUDGET:
+        return None
+    if len(s) == 0:
+        return ids, deg, np.zeros(0, dtype=np.int64)
+    tp, tu, tv = _local_triangles(s, t, okey, n)
+    tcount = np.bincount(
+        np.concatenate([tp, tu, tv]), minlength=n
+    ).astype(np.int64)
+    return ids, deg, tcount
+
+
 def _ktruss_local(pdf, k: int):
     """Driver-local k-truss peel over a collected canonical (a, b)
     edge list — same (degree, id) orientation, same synchronous
@@ -1452,30 +1573,7 @@ def _ktruss_local(pdf, k: int):
         m = len(s)
         if m == 0:
             break
-        # sort edges by (pivot, okey of target): each pivot's targets
-        # become a contiguous okey-ascending block
-        order = np.lexsort((okey[t], s))
-        ss, tt = s[order], t[order]
-        grp = np.bincount(ss, minlength=n)
-        starts = np.concatenate(([0], np.cumsum(grp)[:-1]))
-        pos = np.arange(m) - np.repeat(
-            starts[grp > 0], grp[grp > 0]
-        )
-        # element p (offset pos[p] in its block) closes pos[p] wedges
-        # as the okey-larger leg v, against every earlier leg u
-        v_rep = np.repeat(np.arange(m), pos)
-        cum = np.concatenate(([0], np.cumsum(pos)))
-        u_rep = (
-            np.arange(cum[-1])
-            - np.repeat(cum[:-1], pos)
-            + np.repeat(np.arange(m) - pos, pos)
-        )
-        wp, wu, wv = ss[v_rep], tt[u_rep], tt[v_rep]
-        ekeys_sorted = np.sort(s * n + t)
-        wkeys = wu * n + wv
-        ins = np.searchsorted(ekeys_sorted, wkeys)
-        closed = (ins < m) & (ekeys_sorted[np.minimum(ins, m - 1)] == wkeys)
-        tp, tu, tv = wp[closed], wu[closed], wv[closed]
+        tp, tu, tv = _local_triangles(s, t, okey, n)
         tri_keys = np.concatenate([tp * n + tu, tp * n + tv, tu * n + tv])
         uk, counts = np.unique(tri_keys, return_counts=True)
         cur = s * n + t
@@ -1587,6 +1685,9 @@ def ktruss(
     """
     partitions = _default_partitions(edges, partitions)
     need = k - 2
+    # materialized unconditionally (not only on the local-finish path):
+    # the orientation build below references `und` three times, and a
+    # lazy distinct would re-run the upstream edge build per reference
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -1594,30 +1695,28 @@ def ktruss(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(partitions, "a")
+        .localCheckpoint()
     )
     if (
         need > 0
         and local_finish_edges > 0
         and _integral_type(und.schema["a"].dataType)
+        and und.count() <= local_finish_edges
     ):
-        undc = und.repartition(partitions, "a").localCheckpoint()
-        if undc.count() <= local_finish_edges:
-            res = _ktruss_local(undc.toPandas(), k)
-            if res is not None:
-                import pandas as pd
+        res = _ktruss_local(und.toPandas(), k)
+        if res is not None:
+            import pandas as pd
 
-                node_t = undc.schema["a"].dataType.simpleString()
-                a_ids, b_ids, sups = res
-                return edges.sparkSession.createDataFrame(
-                    pd.DataFrame(
-                        {"a": a_ids, "b": b_ids,
-                         "support": sups.astype("int64")}
-                    ),
-                    schema=f"a {node_t}, b {node_t}, support long",
-                )
-        # over one of the budgets: reuse the materialized edge list for
-        # the distributed loop below instead of recomputing it
-        und = undc
+            node_t = und.schema["a"].dataType.simpleString()
+            a_ids, b_ids, sups = res
+            return edges.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {"a": a_ids, "b": b_ids,
+                     "support": sups.astype("int64")}
+                ),
+                schema=f"a {node_t}, b {node_t}, support long",
+            )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))

@@ -6549,6 +6549,11 @@ def q_part_clustering_coeff(spark, sf_dir) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
+    # measured: the local-finish path LOSES here (2.5s distributed vs
+    # ~3s local, paired runs) — clustering is ONE-SHOT, so there are no
+    # per-round scheduling costs to amortize the collect against; the
+    # local path only pays off for iterative peels (kcore/ktruss).
+    # Keep the hub-safe distributed wedge join.
     return GR.clustering_coefficient(pairs, src="pa", dst="pb")
 
 

@@ -999,3 +999,63 @@ def test_local_finish_empty_and_isolating_edges(spark):
     assert sorted(map(tuple, dist.collect())) == sorted(
         map(tuple, loc.collect())
     ) == [(0, 2), (1, 2), (2, 2)]
+
+
+def test_kcore_maxiter_boundary_with_stranded_survivor(spark):
+    # review finding (r8): a peel whose FINAL round strands a survivor
+    # at degree 0 must not be misreported as non-converged when that
+    # round lands exactly on max_iter — the stranded node is the delta
+    # table's +1 identity round, not missing convergence. Chain + star:
+    # k=2 peels the chain end inward; each round kills one node.
+    from certa_spark.operators.graph import kcore
+
+    # path 0-1-2-3 hung off a triangle (10,11,12)-3: k=2 peel removes
+    # 0, then 1, then 2 — 3 rounds to fixpoint, 4th round would be
+    # identity. With max_iter exactly at the fixpoint round count the
+    # old recompute returned fine; the delta table must too.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 10), (10, 11), (11, 12), (12, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(map(tuple, kcore(df, k=2, max_iter=3, partitions=4).collect()))
+    assert got == [(3, 2), (10, 2), (11, 2), (12, 2)]
+    # truly unconverged peels still fail loudly
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_iter=1, partitions=4)
+
+
+def test_cc_local_declines_null_endpoints(spark):
+    # review finding (r8): null endpoints act as join-through hubs in
+    # the distributed label algebra (F.min skips nulls); the numpy
+    # local path cannot represent that, so it must DECLINE (fall
+    # through to the distributed loop) — same answer both ways, no
+    # NaN-cast crash
+    edges = [(1, 2), (None, 2), (None, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dist = connected_components(df, partitions=4)
+    loc = connected_components(df, partitions=4, local_finish_edges=10**6)
+    assert sorted(
+        map(tuple, dist.collect()), key=str
+    ) == sorted(map(tuple, loc.collect()), key=str)
+
+
+def test_clustering_coeff_local_matches_distributed(spark):
+    import random
+
+    from certa_spark.operators.graph import clustering_coefficient
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dist = clustering_coefficient(df, partitions=4)
+    loc = clustering_coefficient(df, partitions=4, local_finish_edges=10**6)
+    assert sorted(map(tuple, dist.collect())) == sorted(
+        map(tuple, loc.collect())
+    )
+    assert dict(dist.dtypes) == dict(loc.dtypes)
+    # triangle-free graph: every degree>=2 node reports 0.0 both ways
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    got = clustering_coefficient(star, local_finish_edges=10**6).collect()
+    assert [(r["node"], r["cc"]) for r in got] == [(0, 0.0)]

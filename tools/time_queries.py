@@ -22,15 +22,22 @@ def main() -> int:
     names: list[str] = []
     i = 0
     while i < len(args):
-        if args[i] == "--sf":
-            sf = args[i + 1]
-            i += 2
-        elif args[i] == "--runs":
-            runs = int(args[i + 1])
+        if args[i] in ("--sf", "--runs"):
+            if i + 1 >= len(args):
+                print(f"{args[i]} needs a value", file=sys.stderr)
+                return 2
+            if args[i] == "--sf":
+                sf = args[i + 1]
+            else:
+                runs = int(args[i + 1])
             i += 2
         else:
             names.append(args[i])
             i += 1
+    if runs < 1 or not names:
+        print("usage: time_queries.py [--sf sfX] [--runs N>=1] query ...",
+              file=sys.stderr)
+        return 2
     sf_dir = f"/root/testdata/{sf}"
 
     from pyspark.sql import SparkSession
