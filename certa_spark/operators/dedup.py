@@ -467,6 +467,11 @@ def minhash_lsh_pairs_incremental(
     threshold.
     """
 
+    # single-split trap (see duplicated_runs): the k array_min folds
+    # are the expensive map work — spread them before computing
+    batch = batch.repartition(
+        batch.sparkSession.sparkContext.defaultParallelism
+    )
     batch_sigs = minhash_signatures_frame(
         batch, text_col, id_col, k, n
     ).localCheckpoint()
@@ -490,6 +495,9 @@ def minhash_lsh_pairs_incremental_from_sigs(
     signature frame ``(_id, _sig)`` — the entry point the streaming
     ingest gate uses (signatures computed in-stream, banding and the
     corpus join batch-side). The corpus side still signs from text."""
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
     corpus_sigs = minhash_signatures_frame(
         corpus, text_col, id_col, k, n
     ).localCheckpoint()
@@ -587,6 +595,17 @@ def duplicated_runs(
     # Same chunked co-occurrence idiom as the pagerank pair build
     # (queries.py) — the grouped list is bounded because hashes above
     # the df cap are discarded before expansion.
+    # spread the shingle/tokenize CPU across the cluster BEFORE the
+    # expensive text expressions: a small parquet source arrives as a
+    # single input split, and without this the whole shingle build runs
+    # inside one map task of the groupBy(h) shuffle (measured 4.7s
+    # single-task vs ~1s wide at sf0.1). One narrow exchange of the
+    # raw (id, text) rows buys full map-side parallelism; at 100 TB the
+    # source has thousands of splits and AQE leaves this a no-op-sized
+    # exchange relative to the scan.
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     p = positional_shingles(docs, k, id_col, text_col)
     g = (
         p.groupBy("h")
@@ -698,9 +717,19 @@ def shingle_novelty(
     before the shuffle), one document-frequency aggregation, one join
     back, one per-doc count — all map-side-combinable.
     """
-    ex = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
-    ).select(id_col, hash64(F.col("_s")).alias("h"))
+    # single-split trap (see duplicated_runs): parallelize the shingle
+    # build, and materialize it ONCE — `ex` feeds both the df
+    # aggregation and the join back, and Catalyst does not CSE across
+    # join branches, so an unmaterialized `ex` tokenizes the corpus
+    # twice
+    ex = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
+        )
+        .select(id_col, hash64(F.col("_s")).alias("h"))
+        .localCheckpoint()
+    )
     dfreq = ex.groupBy("h").agg(
         F.count_distinct(id_col).cast("long").alias("_df")
     )

@@ -70,7 +70,14 @@ def learn_merges(
     [(iter, pair, count)], rewritten corpus DataFrame with column
     ``t``). The corpus frame is re-derived lazily from the merge list —
     one scan per learned merge when finally executed."""
-    cur = docs.select(
+    # spread the corpus across the cluster once: a small parquet source
+    # arrives as a single input split, and every round's bigram-count
+    # scan (plus the chained regexp rewrites it re-derives) would run
+    # inside one map task (r8 measurement: the same single-split trap
+    # cost duplicated_runs 4.7s at sf0.1)
+    cur = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col("doc_id"), F.array_join(words(F.col(text_col)), " ").alias("t")
     )
     merges: list[tuple[int, str, int]] = []

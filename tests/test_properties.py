@@ -268,3 +268,40 @@ def test_registrable_domain_psl_is_idempotent_and_suffix(spark, host):
     df2 = spark.createDataFrame([(f"https://{got}/x",)], "u string")
     again = registrable_domain_psl(df2, "u", out_col="d").collect()[0]["d"]
     assert again == got
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 18), st.integers(0, 18)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(edges=_EDGES, k=st.integers(2, 5))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_local_finish_equivalence_random_graphs(spark, edges, k):
+    # the bounded local-finish twins must equal the distributed loops
+    # on arbitrary small graphs — self-loops, duplicate edges, empty
+    # sets, and disconnected pieces included (hypothesis shrinks to
+    # the failing topology if any divergence exists)
+    from certa_spark.operators.graph import (
+        connected_components,
+        kcore,
+        ktruss,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for op, kw in (
+        (connected_components, {}),
+        (kcore, {"k": k}),
+        (ktruss, {"k": k}),
+    ):
+        dist = op(df, partitions=4, **kw)
+        loc = op(df, partitions=4, local_finish_edges=10**6, **kw)
+        assert sorted(map(tuple, dist.collect())) == sorted(
+            map(tuple, loc.collect())
+        ), (op.__name__, k)
