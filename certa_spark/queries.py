@@ -3076,15 +3076,20 @@ def _lens_sql() -> str:
     """
 
 
-def q_er_blocking_pairs(spark, sf_dir) -> DataFrame:
-    """ER candidate generation by block-then-verify — the sub-quadratic
-    front end the reference lacks (it cosine-ranks the FULL opposite
-    source per probe, local_explain.py:107-110). Blocking key =
-    (first name token, type): records in different blocks are never
-    compared; within a block, pairs verify by token Jaccard >= 0.5
-    (JVM set ops). One equi-join on the block key, no all-pairs stage;
-    skewed blocks would salt exactly like orders_salted_join."""
+def _er_blocking_pairs_frame(spark, sf_dir, widen: bool = False) -> DataFrame:
+    """Shared block-then-verify pair builder (see
+    :func:`q_er_blocking_pairs` for semantics). ``widen=True``
+    repartitions the sources first: the dimension side broadcasts, so
+    the block join and the 1.67M-pair Jaccard verification otherwise
+    run inside the probe side's SINGLE input split (the r8
+    single-split trap; measured 3.6-6.0s -> 0.8-1.2s at sf0.1).
+    Default False keeps the long-gated q_er_blocking_pairs plan
+    byte-identical; flip the default when that query rotates into a
+    driver window (round-9 queue)."""
     left, right = _er_sources(spark, sf_dir)
+    if widen:
+        p = spark.sparkContext.defaultParallelism
+        left, right = left.repartition(p), right.repartition(p)
 
     def keyed(df, idc, namec):
         toks = F.array_remove(F.split(F.lower(F.col("name")), r"\s+"), "")
@@ -3105,6 +3110,17 @@ def q_er_blocking_pairs(spark, sf_dir) -> DataFrame:
         .filter(F.col("jac") >= 0.5)
         .select("lid", "rid", "jac")
     )
+
+
+def q_er_blocking_pairs(spark, sf_dir) -> DataFrame:
+    """ER candidate generation by block-then-verify — the sub-quadratic
+    front end the reference lacks (it cosine-ranks the FULL opposite
+    source per probe, local_explain.py:107-110). Blocking key =
+    (first name token, type): records in different blocks are never
+    compared; within a block, pairs verify by token Jaccard >= 0.5
+    (JVM set ops). One equi-join on the block key, no all-pairs stage;
+    skewed blocks would salt exactly like orders_salted_join."""
+    return _er_blocking_pairs_frame(spark, sf_dir)
 
 
 def _q_er_blocking_sql() -> str:
@@ -7235,7 +7251,9 @@ def q_er_golden_record(spark, sf_dir) -> DataFrame:
     from certa_spark.operators import graph as GR
 
     left, right = _er_sources(spark, sf_dir)
-    pairs = q_er_blocking_pairs(spark, sf_dir)
+    # widen=True: the pair build + Jaccard verify otherwise run inside
+    # one map task behind the broadcast block join (single-split trap)
+    pairs = _er_blocking_pairs_frame(spark, sf_dir, widen=True)
     edges = pairs.select(
         F.col("lid").alias("src"),
         (F.col("rid") + F.lit(1_000_000)).alias("dst"),
