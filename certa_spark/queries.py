@@ -7853,14 +7853,25 @@ def q_curation_pipeline_v2(spark, sf_dir) -> DataFrame:
         F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
     )
     corpus = d.unionByName(variants)
-    kept = corpus.select(
-        "doc_id",
-        "source",
-        "text",
-        TS.quality_score(F.col("text")).alias("q"),
-        TS.token_count(F.col("text")).alias("ntok"),
-    ).filter(
-        (F.col("lang") == "en") & (F.col("q") >= 0.6) & (F.col("ntok") >= 20)
+    # widen + materialize ONCE: the quality/token gates run over a
+    # single-split doc scan, and `kept` feeds four consumers (the
+    # minhash sig build, the CC node set, the reps join, the budget
+    # fill) — unmaterialized, each re-ran the gated scan on one task
+    kept = (
+        corpus.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            TS.quality_score(F.col("text")).alias("q"),
+            TS.token_count(F.col("text")).alias("ntok"),
+        )
+        .filter(
+            (F.col("lang") == "en")
+            & (F.col("q") >= 0.6)
+            & (F.col("ntok") >= 20)
+        )
+        .localCheckpoint()
     )
     pairs = DD.minhash_lsh_pairs(
         kept.select("doc_id", "text"), threshold=0.5
