@@ -3088,6 +3088,11 @@ def _er_blocking_pairs_frame(spark, sf_dir, widen: bool = False) -> DataFrame:
     driver window (round-9 queue)."""
     left, right = _er_sources(spark, sf_dir)
     if widen:
+        # BOTH sides widened deliberately: AQE decides at runtime which
+        # side broadcasts (it is size-, not role-, driven here), and the
+        # wasted exchange on whichever side ends up broadcast is a few
+        # tens of thousands of rows — noise next to mis-widening the
+        # probe side and re-trapping the 1.67M-pair verification
         p = spark.sparkContext.defaultParallelism
         left, right = left.repartition(p), right.repartition(p)
 

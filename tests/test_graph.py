@@ -1022,6 +1022,14 @@ def test_kcore_maxiter_boundary_with_stranded_survivor(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(df, k=2, max_iter=1, partitions=4)
+    # the case that actually pins the exhaustion-discount fix (second
+    # review pass: the fixture above never strands anyone): a 2-star
+    # at k=2 kills both leaves in round 1 and leaves the hub STRANDED
+    # at degree 0 exactly when max_iter runs out — the recompute
+    # schedule returns the (empty) core, and the delta table must not
+    # misreport it as non-convergence (pre-fix code raised here)
+    star = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    assert kcore(star, k=2, max_iter=1, partitions=4).count() == 0
 
 
 def test_cc_local_declines_null_endpoints(spark):

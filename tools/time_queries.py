@@ -29,7 +29,12 @@ def main() -> int:
             if args[i] == "--sf":
                 sf = args[i + 1]
             else:
-                runs = int(args[i + 1])
+                try:
+                    runs = int(args[i + 1])
+                except ValueError:
+                    print(f"--runs needs an integer, got {args[i + 1]!r}",
+                          file=sys.stderr)
+                    return 2
             i += 2
         else:
             names.append(args[i])
