@@ -26,19 +26,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_explain_microbench() -> dict:
-    """Fresh-session explain-throughput numbers (tools/
-    explain_microbench.py) — spawned BEFORE this process creates its
-    own SparkSession, so the measurement sees a clean JVM rather than
-    whatever state the 160-query sweep would leave behind. This is
-    what makes the explains_per_min metrics falsifiable: the in-sweep
-    numbers below remain for continuity, but cross-round comparisons
-    should read the *_clean ones."""
+def _microbench_once(cal_prev) -> dict:
+    """One subprocess invocation of tools/explain_microbench.py;
+    returns its parsed JSON line ({} on failure)."""
     try:
         # min-of-2 here (the r3 verdict's ask) to bound the bench's
         # total wall-clock under the driver's timeout; standalone runs
         # of the tool default to min-of-3
         env = {**os.environ, "SPARK_GRAFT_MICROBENCH_RUNS": "2"}
+        if cal_prev:
+            env["SPARK_GRAFT_MICROBENCH_CAL_PREV"] = str(cal_prev)
         proc = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -48,14 +45,62 @@ def _run_explain_microbench() -> dict:
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
-                return {
-                    k: v
-                    for k, v in json.loads(line).items()
-                    if k.endswith("_clean")
-                }
+                return json.loads(line)
     except Exception as e:  # noqa: BLE001
         print(f"bench: explain_microbench failed: {e}", file=sys.stderr)
     return {}
+
+
+def _run_explain_microbench(runner=None) -> dict:
+    """Fresh-session explain-throughput numbers (tools/
+    explain_microbench.py) — spawned BEFORE this process creates its
+    own SparkSession, so the measurement sees a clean JVM rather than
+    whatever state the 160-query sweep would leave behind. This is
+    what makes the explains_per_min metrics falsifiable: the in-sweep
+    numbers below remain for continuity, but cross-round comparisons
+    should read the *_clean ones.
+
+    r8 verdict asks #1/"What's wrong" #2: the microbench subprocess
+    runs its OWN calibration sentinel (the sweep's sentinel vouches
+    only for the sweep — BENCH_r08 shipped 20%-low throughput under a
+    false-clean flag), and the same one-retry rule applies here: a
+    flagged measurement is re-run once and the lower-sentinel attempt
+    is kept. Both sentinels ride the payload (``*_attempts``)."""
+    runner = runner or _microbench_once
+    cal_prev = None
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json")
+        ) as f:
+            cal_prev = json.load(f).get("microbench_calibration_sec")
+    except (OSError, ValueError):
+        pass
+    out = runner(cal_prev)
+    attempts = []
+    if out.get("microbench_calibration_sec") is not None:
+        attempts.append(out["microbench_calibration_sec"])
+    if out.get("microbench_calibration_flag"):
+        print(
+            "bench: microbench sentinel "
+            f"{out.get('microbench_calibration_sec')}s left the band of "
+            f"{cal_prev}s — machine loaded; retrying the microbench once",
+            file=sys.stderr,
+        )
+        out2 = runner(cal_prev)
+        cal2 = out2.get("microbench_calibration_sec")
+        if cal2 is not None:
+            attempts.append(cal2)
+            if cal2 < out["microbench_calibration_sec"]:
+                out = out2
+    keep = {
+        k: v
+        for k, v in out.items()
+        if k.endswith("_clean") or k.startswith("microbench_calibration")
+    }
+    if attempts:
+        keep["microbench_calibration_attempts"] = attempts
+    return keep
 
 
 def calibration_sentinel(spark, runs: int = 3) -> float:
@@ -299,7 +344,13 @@ def main() -> None:
     )
     cal_flag = calibration_flag(cal, cal_prev)
 
-    timings.update(clean_explains)
+    mb_meta = {
+        k: v for k, v in clean_explains.items()
+        if k.startswith("microbench_calibration")
+    }
+    timings.update({
+        k: v for k, v in clean_explains.items() if k.endswith("_clean")
+    })
     total = round(
         sum(
             t
@@ -321,6 +372,7 @@ def main() -> None:
         "calibration_prev_sec": cal_prev,
         "calibration_flag": cal_flag,
         "calibration_attempts": attempts,
+        **mb_meta,
         "runs_used": runs_used,
         "queries": {
             k: (round(v, 2) if isinstance(v, float) else v)
@@ -348,6 +400,7 @@ def main() -> None:
         "calibration_sec": round(cal, 3),
         "calibration_flag": cal_flag,
         "calibration_attempts": attempts,
+        **mb_meta,
         "n_queries": len(timings),
     }
     prio = [k for k in timings if "explains_per_min" in k or "flagship" in k]

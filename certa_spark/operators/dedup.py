@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from certa_spark.functions.hashing import duck_hash32, duck_hash64, hash32, hash64
+from certa_spark.operators import widen_if_narrow
 from certa_spark.functions.textstats import WORD_RE, duck_words, words
 
 N_MINHASH = 16
@@ -469,9 +470,7 @@ def minhash_lsh_pairs_incremental(
 
     # single-split trap (see duplicated_runs): the k array_min folds
     # are the expensive map work — spread them before computing
-    batch = batch.repartition(
-        batch.sparkSession.sparkContext.defaultParallelism
-    )
+    batch = widen_if_narrow(batch)
     batch_sigs = minhash_signatures_frame(
         batch, text_col, id_col, k, n
     ).localCheckpoint()
@@ -495,9 +494,7 @@ def minhash_lsh_pairs_incremental_from_sigs(
     signature frame ``(_id, _sig)`` — the entry point the streaming
     ingest gate uses (signatures computed in-stream, banding and the
     corpus join batch-side). The corpus side still signs from text."""
-    corpus = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    )
+    corpus = widen_if_narrow(corpus)
     corpus_sigs = minhash_signatures_frame(
         corpus, text_col, id_col, k, n
     ).localCheckpoint()
@@ -599,13 +596,11 @@ def duplicated_runs(
     # expensive text expressions: a small parquet source arrives as a
     # single input split, and without this the whole shingle build runs
     # inside one map task of the groupBy(h) shuffle (measured 4.7s
-    # single-task vs ~1s wide at sf0.1). One narrow exchange of the
-    # raw (id, text) rows buys full map-side parallelism; at 100 TB the
-    # source has thousands of splits and AQE leaves this a no-op-sized
-    # exchange relative to the scan.
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
+    # single-task vs ~1s wide at sf0.1). Gated on the actual split
+    # count (r8 ADVICE low #1): at 100 TB the source arrives thousands
+    # of splits wide and the exchange — which would be a full-corpus
+    # round-robin shuffle, proportional to data size — is skipped.
+    docs = widen_if_narrow(docs)
     p = positional_shingles(docs, k, id_col, text_col)
     g = (
         p.groupBy("h")
@@ -723,7 +718,7 @@ def shingle_novelty(
     # join branches, so an unmaterialized `ex` tokenizes the corpus
     # twice
     ex = (
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        widen_if_narrow(docs)
         .select(
             F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
         )

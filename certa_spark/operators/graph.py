@@ -126,20 +126,30 @@ def connected_components(
         .repartition(partitions, "b")
         .localCheckpoint()
     )
-    if (
-        local_finish_edges > 0
-        and _integral_type(sym.schema["a"].dataType)
-        and sym.count() <= 2 * local_finish_edges
-    ):
-        pdf = sym.toPandas()
-        # null endpoints act as join-through hubs in the distributed
-        # label algebra (F.min skips nulls, so a null node adopts and
-        # relays the min label of every component touching it) — a
-        # semantics the integer-only numpy path cannot reproduce.
-        # Decline and fall through rather than diverge or crash.
-        if not pdf.isna().any().any():
+    if local_finish_edges > 0 and _integral_type(sym.schema["a"].dataType):
+        # ONE job answers both local-finish preconditions — the size
+        # budget AND null presence (r8 ADVICE low #2: the null check
+        # used to run on the already-collected frame, i.e. after the
+        # collect it was supposed to gate). count(col) skips nulls, so
+        # na < n means null endpoints exist. Null endpoints act as
+        # join-through hubs in the distributed label algebra (F.min
+        # skips nulls, so a null node adopts and relays the min label
+        # of every component touching it) — a semantics the
+        # integer-only numpy path cannot reproduce. Decline and fall
+        # through rather than diverge or crash.
+        st = sym.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("a").alias("na"),
+            F.count("b").alias("nb"),
+        ).first()
+        if (
+            st["n"] <= 2 * local_finish_edges
+            and st["na"] == st["n"]
+            and st["nb"] == st["n"]
+        ):
             import pandas as pd
 
+            pdf = sym.toPandas()
             node_t = sym.schema["a"].dataType.simpleString()
             ids, clusters = _cc_local_min_labels(pdf)
             spark = edges.sparkSession
@@ -779,6 +789,12 @@ def clustering_coefficient(
         local_finish_edges > 0
         and _integral_type(und.schema["a"].dataType)
         and und.count() <= local_finish_edges
+        # r8 ADVICE low #2: decline dense graphs distributedly before
+        # paying the collect (see ktruss; same shared wedge budget)
+        and (
+            und.count() <= _WEDGE_PRECHECK_EDGES
+            or _oriented_wedge_count(und) <= _KTRUSS_LOCAL_WEDGE_BUDGET
+        )
     ):
         res = _triangle_counts_local(und.toPandas())
         if res is not None:
@@ -860,7 +876,10 @@ def pagerank_personalized(
     it here and the builder's repartition + window + checkpoint pass
     is skipped — the caller's frame is used as the loop invariant
     directly, so it should be a materialized leaf (localCheckpoint /
-    cached), or each iteration re-computes it.
+    cached), or each iteration re-computes it. The column is
+    contract-checked loudly before the loop (positive integral values
+    everywhere + a probed source's actual row count vs its claimed
+    degree) so a stale column raises instead of silently mis-ranking.
     """
     if not seeds:
         raise ValueError("pagerank_personalized: seeds must be non-empty")
@@ -875,6 +894,39 @@ def pagerank_personalized(
             F.col(dst).alias("t"),
             F.col(degree).cast("double").alias("_deg"),
         )
+        # Fail LOUDLY on contract violations (r8 ADVICE low #3): a
+        # stale or miscomputed degree column (computed before a filter,
+        # or per-distinct-target) silently produces wrong ranks. Two
+        # narrow scans over the caller's materialized frame: (1) every
+        # _deg must be a positive integer; (2) one probed source's
+        # actual out-edge count must equal its claimed degree — the
+        # cheap spot-check that catches the computed-before-a-filter
+        # class without re-running the full window build this parameter
+        # exists to skip.
+        bad = ed.filter(
+            F.col("_deg").isNull()
+            | (F.col("_deg") < 1)
+            | (F.col("_deg") != F.floor(F.col("_deg")))
+        )
+        if not bad.isEmpty():
+            row = bad.first()
+            raise ValueError(
+                "pagerank_personalized: degree column "
+                f"{degree!r} violates its contract (must be a positive "
+                f"integer per edge row): offending row {row}"
+            )
+        probe = ed.select("s", "_deg").first()
+        if probe is not None:
+            actual = ed.filter(F.col("s") == probe["s"]).count()
+            if actual != int(probe["_deg"]):
+                raise ValueError(
+                    "pagerank_personalized: degree column "
+                    f"{degree!r} is inconsistent with the edge set: "
+                    f"source {probe['s']!r} claims out-degree "
+                    f"{int(probe['_deg'])} but has {actual} edge rows "
+                    "(was it computed before a filter, or per distinct "
+                    "target?)"
+                )
     else:
         w_deg = Window.partitionBy("s")
         ed = (
@@ -1462,6 +1514,87 @@ def kcore_weighted(
 
 
 _KTRUSS_LOCAL_WEDGE_BUDGET = 32_000_000
+# Edge count above which the local-finish candidates pre-check the
+# wedge budget DISTRIBUTEDLY before collecting (r8 ADVICE low #2): a
+# dense sub-edge-budget graph used to pay the full toPandas() only for
+# the post-collect wedge check to decline it. Below this, the collect
+# is cheap enough that the in-numpy check alone is the faster plan
+# (the pre-check costs a degree agg + orientation join pass).
+_WEDGE_PRECHECK_EDGES = 1_000_000
+
+
+def _oriented_wedge_count(und: DataFrame) -> int:
+    """Wedge count of the canonical edge list ``(a, b)`` under the
+    (degree, id) orientation — sum over nodes of C(outdeg, 2), the
+    exact quantity :func:`_orient_local` budgets — computed
+    distributedly so an over-budget graph can decline the local finish
+    WITHOUT collecting its edges first (r8 ADVICE low #2)."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_d"))
+    )
+    outdeg = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("_d").alias("_da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("_d").alias("_db")),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count("*").alias("_o"))
+    )
+    row = outdeg.agg(
+        F.sum(F.expr("_o * (_o - 1) DIV 2")).alias("w")
+    ).first()
+    return int(row["w"] or 0)
+
+
+def _orient_local(pdf):
+    """Shared prologue of the driver-local triangle/truss twins (r8
+    ADVICE low #4 — previously duplicated verbatim in
+    :func:`_triangle_counts_local` and :func:`_ktruss_local`, with
+    their equivalence enforced only by copy-paste discipline): encode
+    the collected canonical (a, b) edge list, rank nodes under the
+    (degree, id) total order — exactly the distributed orientation's
+    tie-break — orient each edge toward its order-larger endpoint, and
+    apply the shared wedge budget. Returns
+    ``(ids, deg, s, t, okey, n)`` or ``None`` when the wedge count
+    exceeds :data:`_KTRUSS_LOCAL_WEDGE_BUDGET` (same quantity, same
+    orientation as :func:`_oriented_wedge_count`)."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    n = np.int64(len(ids))
+    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+    # okey = rank under (degree, id); index order == id order, so this
+    # is exactly the distributed orientation's total order (okey is a
+    # permutation — ties cannot happen, matching the explicit
+    # (_d, id) tie-break)
+    okey = np.empty(int(n), dtype=np.int64)
+    okey[np.lexsort((np.arange(int(n)), deg))] = np.arange(int(n))
+    fwd = okey[ai] < okey[bi]
+    s = np.where(fwd, ai, bi)
+    t = np.where(fwd, bi, ai)
+    outdeg = np.bincount(s, minlength=n).astype(np.int64)
+    if int((outdeg * (outdeg - 1) // 2).sum()) > _KTRUSS_LOCAL_WEDGE_BUDGET:
+        return None
+    return ids, deg, s, t, okey, n
 
 
 def _local_triangles(s, t, okey, n):
@@ -1507,20 +1640,10 @@ def _triangle_counts_local(pdf):
     count exceeds the shared :data:`_KTRUSS_LOCAL_WEDGE_BUDGET`."""
     import numpy as np
 
-    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
-    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    ai, bi = inv[: len(a)], inv[len(a):]
-    n = np.int64(len(ids))
-    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
-    okey = np.empty(int(n), dtype=np.int64)
-    okey[np.lexsort((np.arange(int(n)), deg))] = np.arange(int(n))
-    fwd = okey[ai] < okey[bi]
-    s = np.where(fwd, ai, bi)
-    t = np.where(fwd, bi, ai)
-    outdeg = np.bincount(s, minlength=n).astype(np.int64)
-    if int((outdeg * (outdeg - 1) // 2).sum()) > _KTRUSS_LOCAL_WEDGE_BUDGET:
+    pro = _orient_local(pdf)
+    if pro is None:
         return None
+    ids, deg, s, t, okey, n = pro
     if len(s) == 0:
         return ids, deg, np.zeros(0, dtype=np.int64)
     tp, tu, tv = _local_triangles(s, t, okey, n)
@@ -1546,27 +1669,10 @@ def _ktruss_local(pdf, k: int):
     so the one up-front check suffices)."""
     import numpy as np
 
-    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
-    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    ai, bi = inv[: len(a)], inv[len(a):]
-    n = np.int64(len(ids))
-    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
-    # okey = rank under (degree, id); index order == id order, so this
-    # is exactly the distributed orientation's total order (okey is a
-    # permutation — ties cannot happen, matching the explicit
-    # (_d, id) tie-break)
-    okey = np.empty(int(n), dtype=np.int64)
-    okey[np.lexsort((np.arange(int(n)), deg))] = np.arange(int(n))
-    fwd = okey[ai] < okey[bi]
-    s = np.where(fwd, ai, bi)
-    t = np.where(fwd, bi, ai)
-    outdeg = np.bincount(s, minlength=n)
-    wedge_count = int(
-        (outdeg.astype(np.int64) * (outdeg.astype(np.int64) - 1) // 2).sum()
-    )
-    if wedge_count > _KTRUSS_LOCAL_WEDGE_BUDGET:
+    pro = _orient_local(pdf)
+    if pro is None:
         return None
+    ids, _deg, s, t, okey, n = pro
     need = k - 2
     sup = np.zeros(0, dtype=np.int64)
     while True:
@@ -1703,6 +1809,15 @@ def ktruss(
         and local_finish_edges > 0
         and _integral_type(und.schema["a"].dataType)
         and und.count() <= local_finish_edges
+        # r8 ADVICE low #2: a dense sub-edge-budget graph must decline
+        # BEFORE paying the collect — above the pre-check threshold the
+        # wedge budget is evaluated distributedly (same quantity, same
+        # orientation as the in-numpy check, which stays as the
+        # authoritative belt on the collected data)
+        and (
+            und.count() <= _WEDGE_PRECHECK_EDGES
+            or _oriented_wedge_count(und) <= _KTRUSS_LOCAL_WEDGE_BUDGET
+        )
     ):
         res = _ktruss_local(und.toPandas(), k)
         if res is not None:

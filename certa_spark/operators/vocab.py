@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from certa_spark.functions.textstats import words
+from certa_spark.operators import widen_if_narrow
 
 
 def _bigram_counts(df: DataFrame, tok_col: str) -> DataFrame:
@@ -74,10 +75,10 @@ def learn_merges(
     # arrives as a single input split, and every round's bigram-count
     # scan (plus the chained regexp rewrites it re-derives) would run
     # inside one map task (r8 measurement: the same single-split trap
-    # cost duplicated_runs 4.7s at sf0.1)
-    cur = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    # cost duplicated_runs 4.7s at sf0.1). Gated on the actual split
+    # count (r8 ADVICE low #1) so an at-scale source skips the
+    # full-corpus exchange.
+    cur = widen_if_narrow(docs).select(
         F.col("doc_id"), F.array_join(words(F.col(text_col)), " ").alias("t")
     )
     merges: list[tuple[int, str, int]] = []

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from certa_spark.functions import textstats as TS
 from certa_spark.functions.hashing import duck_hash64
 from certa_spark.operators import dedup as DD
+from certa_spark.operators import widen_if_narrow
 from certa_spark.operators import similarity as SIM
 from certa_spark.operators.pairs import composite_id, merge_sources
 from certa_spark.operators.triangles import mixed_triangles
@@ -7863,7 +7864,7 @@ def q_curation_pipeline_v2(spark, sf_dir) -> DataFrame:
     # minhash sig build, the CC node set, the reps join, the budget
     # fill) — unmaterialized, each re-ran the gated scan on one task
     kept = (
-        corpus.repartition(spark.sparkContext.defaultParallelism)
+        widen_if_narrow(corpus)
         .select(
             "doc_id",
             "source",

@@ -111,3 +111,34 @@ def test_containment_asymmetric(spark):
         ).alias("c")
     ).collect()[0]
     assert r["c"] == 0.0
+
+
+def test_widen_if_narrow_gates_on_split_count(spark):
+    """r8 ADVICE low #1: the single-split widening exchange must be
+    GATED on the source's actual partition count — a narrow frame is
+    widened to defaultParallelism (the fixture-scale win), while a
+    frame already at least that wide passes through IDENTICALLY (no
+    repartition node at all), so at 100 TB (thousands of input splits)
+    the full-corpus round-robin shuffle never happens."""
+    from certa_spark.operators import widen_if_narrow
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    w = widen_if_narrow(narrow)
+    assert w.rdd.getNumPartitions() == p
+    # plan-inert at fixture scale: the gated helper produces exactly
+    # the plan the unconditional repartition produced (this is what
+    # lets the gated queries keep their driver-green rows without a
+    # plan-change regate)
+    assert (
+        w._jdf.queryExecution().optimizedPlan().toString()
+        == narrow.repartition(p)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # at-scale shape: already-wide frames are returned untouched
+    wide = spark.range(1000).repartition(p)
+    assert widen_if_narrow(wide) is wide
+    wider = spark.range(1000).repartition(p + 3)
+    assert widen_if_narrow(wider) is wider
+    # explicit parts override
+    assert widen_if_narrow(narrow, parts=4).rdd.getNumPartitions() == 4

@@ -1047,6 +1047,117 @@ def test_cc_local_declines_null_endpoints(spark):
     ) == sorted(map(tuple, loc.collect()), key=str)
 
 
+def test_oriented_wedge_count_matches_local_prologue(spark):
+    # r8 ADVICE low #2: the distributed wedge pre-check must compute
+    # exactly the quantity the in-numpy prologue budgets (same
+    # (degree, id) orientation, same sum of C(outdeg, 2)) — otherwise
+    # the pre-collect decline and the post-collect decline could
+    # disagree on which graphs take the local path
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.graph import _oriented_wedge_count
+
+    rng = random.Random(47)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(180)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    und = (
+        df.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    pdf = und.toPandas()
+    # recompute the prologue's wedge count independently
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+    okey = np.empty(n, dtype=np.int64)
+    okey[np.lexsort((np.arange(n), deg))] = np.arange(n)
+    s = np.where(okey[ai] < okey[bi], ai, bi)
+    outdeg = np.bincount(s, minlength=n).astype(np.int64)
+    expected = int((outdeg * (outdeg - 1) // 2).sum())
+    assert _oriented_wedge_count(und) == expected
+    # empty edge set: zero wedges, no None crash
+    empty = spark.createDataFrame([], "a long, b long")
+    assert _oriented_wedge_count(empty) == 0
+
+
+def test_dense_graph_declines_local_finish_before_collect(spark, monkeypatch):
+    # r8 ADVICE low #2: a graph whose edge list fits the collect budget
+    # but whose wedge expansion exceeds the wedge budget must decline
+    # the local finish WITHOUT collecting (above the pre-check
+    # threshold) — and the distributed fallback still answers. Squeeze
+    # the knobs so a 12-clique trips both.
+    from certa_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_KTRUSS_LOCAL_WEDGE_BUDGET", 10)
+    monkeypatch.setattr(G, "_WEDGE_PRECHECK_EDGES", 0)
+    calls = {"n": 0}
+    orig = G.DataFrame.toPandas
+
+    def counting_topandas(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(G.DataFrame, "toPandas", counting_topandas)
+    clique = [(i, j) for i in range(12) for j in range(i + 1, 12)]
+    df = spark.createDataFrame(clique, "src long, dst long")
+    res = G.ktruss(df, k=3, partitions=4, local_finish_edges=10**6)
+    assert res.count() == len(clique), "distributed fallback must answer"
+    assert calls["n"] == 0, (
+        "over-wedge-budget graph must not pay the edge collect"
+    )
+    calls["n"] = 0
+    cc = G.clustering_coefficient(df, partitions=4, local_finish_edges=10**6)
+    assert cc.count() == 12
+    assert calls["n"] == 0
+
+
+def test_ppr_degree_column_contract_checked(spark):
+    # r8 ADVICE low #3: a stale caller-supplied out-degree column must
+    # raise loudly, not silently mis-rank
+    import pytest
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.graph import pagerank_personalized
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    ).localCheckpoint()
+    # correct degrees: accepted, ranks computed
+    ok = e.join(
+        e.groupBy(F.col("src").alias("k")).agg(F.count("*").alias("deg")),
+        F.col("src") == F.col("k"),
+    ).select("src", "dst", "deg").localCheckpoint()
+    assert pagerank_personalized(
+        ok, seeds=[1], degree="deg", iterations=2
+    ).count() > 0
+    # degree claimed too low (computed-before-a-filter style bug):
+    # EVERY source has out-degree 2 here, so whichever row the probe
+    # lands on exposes the mismatch
+    stale = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "src long, dst long"
+    ).withColumn("deg", F.lit(1))
+    with pytest.raises(ValueError, match="inconsistent with the edge set"):
+        pagerank_personalized(stale, seeds=[1], degree="deg", iterations=2)
+    # non-positive / fractional / null degrees
+    for bad_val in (0, -2):
+        bad = e.withColumn("deg", F.lit(bad_val))
+        with pytest.raises(ValueError, match="violates its contract"):
+            pagerank_personalized(bad, seeds=[1], degree="deg", iterations=2)
+    frac = e.withColumn("deg", F.lit(1.5))
+    with pytest.raises(ValueError, match="violates its contract"):
+        pagerank_personalized(frac, seeds=[1], degree="deg", iterations=2)
+
+
 def test_clustering_coeff_local_matches_distributed(spark):
     import random
 

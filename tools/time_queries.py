@@ -4,6 +4,11 @@ loop for performance work, mirroring bench.py's measurement discipline
 160-query sweep.
 
 Usage: python tools/time_queries.py [--sf sf0.1] [--runs 3] query ...
+
+The data root defaults to $SPARK_GRAFT_DATA_ROOT (falling back to
+/root/testdata) so the tool isn't machine-specific; unknown query
+names print near-miss suggestions instead of a bare KeyError
+(ADVICE r8 low #5).
 """
 
 from __future__ import annotations
@@ -43,7 +48,21 @@ def main() -> int:
         print("usage: time_queries.py [--sf sfX] [--runs N>=1] query ...",
               file=sys.stderr)
         return 2
-    sf_dir = f"/root/testdata/{sf}"
+    data_root = os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
+    sf_dir = sf if os.path.isabs(sf) else os.path.join(data_root, sf)
+
+    # validate names BEFORE paying session startup
+    import difflib
+
+    from certa_spark.queries import QUERIES
+
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        for n in unknown:
+            near = difflib.get_close_matches(n, QUERIES, n=5, cutoff=0.5)
+            hint = f" — did you mean: {', '.join(near)}?" if near else ""
+            print(f"unknown query {n!r}{hint}", file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -60,7 +79,6 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import bench
-    from certa_spark.queries import QUERIES
 
     bench._warm_session(spark)
     cal = bench.calibration_sentinel(spark, runs=2)
