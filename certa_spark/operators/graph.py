@@ -2736,11 +2736,99 @@ def _louvain_objective(
     return _j_from_stats(_comm_stats_frame(und, assign, deg), int(two_m))
 
 
+# V * 2E directed-traversal budget for the betweenness local finish:
+# exact Brandes is O(V*E) work wherever it runs, so the budget caps
+# the driver's share of it, not just memory
+_BETWEENNESS_LOCAL_WORK = 200_000_000
+
+
+def _csr_expand(indptr, indices, f):
+    """All directed edges out of frontier ``f`` in a CSR adjacency:
+    returns (srcs, dsts) aligned arrays — vectorized (no per-node
+    Python loop)."""
+    import numpy as np
+
+    cnt = indptr[f + 1] - indptr[f]
+    total = int(cnt.sum())
+    srcs = np.repeat(f, cnt)
+    starts = np.repeat(indptr[f], cnt)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt
+    )
+    return srcs, indices[starts + offs]
+
+
+def _betweenness_local(pdf, max_depth: int):
+    """Driver-local EXACT Brandes over a collected canonical (a, b)
+    edge list: every node is a source; per source one vectorized BFS
+    (integer sigma path counts — exact) and one backward dependency
+    sweep. Path counts and level sets are bit-identical to the
+    distributed simultaneous-BFS by construction; the float delta
+    accumulation differs from the distributed shuffle only in
+    ADDITION ORDER (~1e-15 relative), which callers' 1e-6
+    quantization grain absorbs — the same argument the distributed
+    path's partition/batch-split invariance test already rests on.
+    Enforces the same fail-loudly ``max_depth`` drain guard. Returns
+    ``(ids, bc)`` numpy arrays (directed-pair-sum convention)."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    # directed adjacency, CSR
+    da = np.concatenate([ai, bi])
+    db = np.concatenate([bi, ai])
+    order = np.argsort(da, kind="stable")
+    da, db = da[order], db[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(da, minlength=n), out=indptr[1:])
+    bc = np.zeros(n, dtype=np.float64)
+    for s in range(n):
+        dist = np.full(n, -1, dtype=np.int32)
+        sigma = np.zeros(n, dtype=np.int64)
+        dist[s] = 0
+        sigma[s] = 1
+        levels = [np.array([s], dtype=np.int64)]
+        d = 0
+        while True:
+            u, w = _csr_expand(indptr, db, levels[-1])
+            new_nodes = np.unique(w[dist[w] < 0])
+            if new_nodes.size == 0:
+                break
+            d += 1
+            if d > max_depth:
+                raise RuntimeError(
+                    f"betweenness_approx: BFS not drained at max_depth="
+                    f"{max_depth} (graph eccentricity exceeds it); raise "
+                    "max_depth — truncation would bias every bc value, "
+                    "not just the tail"
+                )
+            dist[new_nodes] = d
+            m = dist[w] == d
+            np.add.at(sigma, w[m], sigma[u[m]])
+            levels.append(new_nodes)
+        delta = np.zeros(n, dtype=np.float64)
+        for d in range(len(levels) - 1, 0, -1):
+            wl, vl = _csr_expand(indptr, db, levels[d])
+            m = dist[vl] == d - 1
+            wl, vl = wl[m], vl[m]
+            np.add.at(
+                delta, vl,
+                sigma[vl].astype(np.float64) / sigma[wl] * (1.0 + delta[wl]),
+            )
+        delta[s] = 0.0
+        bc += delta
+    return ids, bc
+
+
 def betweenness_exact(
     edges: DataFrame,
     batch_size: int = 64,
     max_depth: int = 20,
     partitions: int | None = None,
+    local_finish_edges: int = 0,
 ) -> DataFrame:
     """EXACT Brandes betweenness via pivot batching: every node is a
     source, processed through :func:`betweenness_approx`'s
@@ -2760,10 +2848,54 @@ def betweenness_exact(
     betweenness cheap there.
 
     Returns ``(node, bc)`` in the same directed-pair-sum convention as
-    :func:`betweenness_approx` (halve for undirected)."""
+    :func:`betweenness_approx` (halve for undirected).
+
+    ``local_finish_edges > 0`` opts into the bounded local-finish path
+    (the :func:`kcore` / :func:`hyperball` precedent — pivot batching
+    is the iterative-job-overhead profile: ~2 jobs per BFS level per
+    direction): when the canonical edge list fits the budget, ids are
+    integral, AND the V*2E traversal work fits
+    ``_BETWEENNESS_LOCAL_WORK`` (both checked with cheap distributed
+    aggregates BEFORE any collect — the r8 decline-without-collecting
+    rule), the whole Brandes run happens driver-side in vectorized
+    numpy (:func:`_betweenness_local`). Sigma counts and level sets
+    are exact integers either way; float delta sums differ only in
+    addition order (~1e-15), absorbed by callers' quantization grain
+    (equality pinned by tests/test_graph.py against the distributed
+    output at the gate's 1e-6 grain and exactly on integral-valued
+    fixtures). Oversized graphs always stay distributed."""
     partitions = _default_partitions(edges, partitions)
     if batch_size <= 0:
         raise ValueError("betweenness_exact: batch_size must be positive")
+    if local_finish_edges > 0 and _integral_type(
+        edges.schema["src"].dataType
+    ):
+        und = (
+            edges.select(
+                F.least(F.col("src"), F.col("dst")).alias("a"),
+                F.greatest(F.col("src"), F.col("dst")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_edges = und.count()
+        if 0 < n_edges <= local_finish_edges:
+            n_nodes = (
+                und.select(F.col("a").alias("n"))
+                .unionByName(und.select(F.col("b").alias("n")))
+                .distinct()
+                .count()
+            )
+            if n_nodes * 2 * n_edges <= _BETWEENNESS_LOCAL_WORK:
+                import pandas as pd
+
+                node_t = und.schema["a"].dataType.simpleString()
+                ids, bc = _betweenness_local(und.toPandas(), max_depth)
+                return edges.sparkSession.createDataFrame(
+                    pd.DataFrame({"node": ids, "bc": bc}),
+                    schema=f"node {node_t}, bc double",
+                )
     nodes = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(
@@ -2805,6 +2937,75 @@ def betweenness_exact(
     return acc
 
 
+def _hyperball_local(pdf, rounds: int, p: int):
+    """Driver-local HyperBall register merges over a collected
+    DIRECTED (a, b) edge list (both orientations present): the same
+    md5-derived initial registers (functions.hashing.hash64) and the
+    same synchronous register-max merge schedule as the distributed
+    loop, in pure INTEGER numpy — so the per-round register SETS are
+    identical by construction, and the caller re-derives the NF
+    estimates from them with the very same Spark expressions
+    (sketch.hll_estimate_by), leaving no cross-engine float surface
+    at all. Returns a pandas frame of PRESENT registers
+    ``(r, node, bucket, m)`` for r = 0..rounds; once the register sum
+    plateaus, later rounds repeat the converged registers — exactly
+    the distributed loop's early-stop semantics (merging a fixpoint
+    is the identity)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from certa_spark.operators.sketch import _HASH_BITS
+
+    wbits = _HASH_BITS - p
+    mask = (1 << wbits) - 1
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    m_buckets = 1 << p
+    regs = np.zeros((n, m_buckets), dtype=np.uint8)
+    for i, node in enumerate(ids):
+        # hash64: first 15 md5 hex chars of the node's string form —
+        # bit-identical to the distributed hll_registers_by registers
+        h = int(hashlib.md5(str(int(node)).encode()).hexdigest()[:15], 16)
+        w = h & mask
+        rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+        regs[i, h >> wbits] = rho
+    frames = []
+
+    def _emit(r: int, mat) -> None:
+        node_idx, bucket = np.nonzero(mat)
+        frames.append(
+            pd.DataFrame({
+                "r": np.full(len(node_idx), r, dtype=np.int32),
+                "node": ids[node_idx],
+                "bucket": bucket.astype(np.int64),
+                "m": mat[node_idx, bucket].astype(np.int64),
+            })
+        )
+
+    _emit(0, regs)
+    prev_sum = int(regs.sum(dtype=np.int64))
+    converged = False
+    for r in range(1, rounds + 1):
+        if not converged:
+            new = regs.copy()
+            # one merge round: node a takes the register max of every
+            # neighbor b (np.maximum.at is unbuffered — duplicate a's
+            # fold correctly)
+            np.maximum.at(new, ai, regs[bi])
+            regs = new
+            cur = int(regs.sum(dtype=np.int64))
+            if cur == prev_sum:
+                converged = True
+            prev_sum = cur
+        _emit(r, regs)
+    return pd.concat(frames, ignore_index=True)
+
+
 def hyperball(
     edges: DataFrame,
     src: str = "src",
@@ -2812,6 +3013,7 @@ def hyperball(
     rounds: int = 8,
     p: int = 6,
     partitions: int | None = None,
+    local_finish_edges: int = 0,
 ) -> DataFrame:
     """HyperBall / HyperANF (Boldi, Rosa & Vigna, WWW'11; Boldi &
     Vigna, "In-core computation of geometric centralities with
@@ -2837,6 +3039,21 @@ def hyperball(
     stops LAUNCHING jobs once the register sum (an exact integer that
     only grows) converges — plateau rows repeat the converged NF, as
     the math says they must. Returns ``(r, nf)`` for r = 0..rounds.
+
+    ``local_finish_edges > 0`` opts into the bounded local-finish path
+    (the :func:`kcore` / :func:`louvain` precedent — HyperBall is the
+    iterative-job-overhead profile the lever targets: ~6 tiny driver
+    jobs per round at fixture scale): when the DIRECTED edge list
+    holds at most ``2 * local_finish_edges`` rows, node ids are
+    integral, and the register matrix fits the cell budget, the
+    integer register merges run driver-side in numpy
+    (:func:`_hyperball_local`, same md5 registers, same synchronous
+    schedule — identical register sets by construction) and ALL
+    per-round NF estimates are then computed in ONE Spark job from
+    those registers with the same hll_estimate_by expressions — the
+    float estimator never leaves Spark, so the output is bit-identical
+    (pinned by tests/test_graph.py). Oversized or non-integral graphs
+    always stay on the distributed loop.
     """
     from certa_spark.operators.sketch import hll_estimate_by
 
@@ -2851,6 +3068,33 @@ def hyperball(
         .repartition(partitions, "a")
         .localCheckpoint()
     )
+    DEC = "decimal(38,4)"
+    spark = edges.sparkSession
+    if (
+        local_finish_edges > 0
+        and _integral_type(sym.schema["a"].dataType)
+        and 0 < sym.count() <= 2 * local_finish_edges
+    ):
+        pdf = sym.toPandas()
+        # uint8 register matrix: V * 2^p cells driver-side
+        n_ids = pdf.iloc[:, 0].nunique()
+        if n_ids * (1 << p) <= 256_000_000:
+            node_t = sym.schema["a"].dataType.simpleString()
+            reg_frame = spark.createDataFrame(
+                _hyperball_local(pdf, rounds, p),
+                schema=f"r int, node {node_t}, bucket long, m long",
+            )
+            est = hll_estimate_by(reg_frame, ["r", "node"], p)
+            return (
+                est.groupBy("r")
+                .agg(
+                    F.sum(F.col("hll_estimate").cast(DEC))
+                    .cast("double")
+                    .alias("nf")
+                )
+                .select(F.col("r").cast("int").alias("r"), "nf")
+                .orderBy("r")
+            )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     from certa_spark.operators.sketch import hll_registers_by
 
@@ -2861,8 +3105,6 @@ def hyperball(
         .repartition(partitions, "node")
         .localCheckpoint()
     )
-
-    DEC = "decimal(38,4)"
 
     def _nf(r: DataFrame) -> float:
         est = hll_estimate_by(r, ["node"], p)

@@ -8957,7 +8957,12 @@ def q_part_hyperball(spark, sf_dir) -> DataFrame:
     E * 2^p register rows per round regardless of ball sizes. Every
     stage is cross-engine exact (md5 registers, integer max merges,
     estimator summed as DECIMAL), so the oracle replays the SAME
-    computation with an unrolled merge cascade and value-hashes."""
+    computation with an unrolled merge cascade and value-hashes.
+    r9: bounded local finish for the integer register merges (the
+    kcore/louvain lever — 5 rounds x ~6 tiny jobs was pure scheduling
+    overhead at fixture scale); NF still computed by the Spark
+    estimator expressions in one job, so the output is bit-identical
+    (4.3 -> 2.0 s min-of-3 at sf0.1, equality pinned tri-scale)."""
     from certa_spark.operators import graph as GR
 
     l = (
@@ -8968,7 +8973,7 @@ def q_part_hyperball(spark, sf_dir) -> DataFrame:
     pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="l_partkey")
     return GR.hyperball(
         pairs, src="pa", dst="pb", rounds=_HB_ROUNDS, p=_HB_P,
-        partitions=8,
+        partitions=8, local_finish_edges=4_000_000,
     )
 
 
@@ -9052,7 +9057,12 @@ def q_part_betweenness(spark, sf_dir) -> DataFrame:
     identical under repartition(7)/batch_size=31 vs one batch).
     GOLDEN (sf0.01): the pivot-batched BFS accumulation is not
     SQL-expressible; determinism is pinned by the quantization and
-    the betweenness test suite."""
+    the betweenness test suite. r9: bounded local finish (the
+    kcore/louvain lever — ~2 driver jobs per BFS level was pure
+    scheduling overhead at V<=211): sigma/levels are integer-exact
+    either way, float delta order noise ~1e-14 sits far below the
+    1e-6 grain; bc_micro equality verified tri-scale, 5.2 -> 1.0 s
+    min-of-3 at sf0.1."""
     from certa_spark.operators import graph as GR
     from pyspark.sql.window import Window as W
 
@@ -9068,7 +9078,10 @@ def q_part_betweenness(spark, sf_dir) -> DataFrame:
     )
     pairs = GR.cooccurrence_pairs(l, key="l_orderkey", item="bucket")
     e = pairs.withColumnRenamed("pa", "src").withColumnRenamed("pb", "dst")
-    bc = GR.betweenness_exact(e, batch_size=2048, max_depth=12, partitions=8)
+    bc = GR.betweenness_exact(
+        e, batch_size=2048, max_depth=12, partitions=8,
+        local_finish_edges=4_000_000,
+    )
     q = bc.select(
         "node",
         F.floor(F.col("bc") * 1e6 + F.lit(0.5)).cast("long").alias("bc_micro"),

@@ -1178,3 +1178,117 @@ def test_clustering_coeff_local_matches_distributed(spark):
     )
     got = clustering_coefficient(star, local_finish_edges=10**6).collect()
     assert [(r["node"], r["cc"]) for r in got] == [(0, 0.0)]
+
+
+def test_hyperball_local_matches_distributed(spark):
+    """The r9 bounded local finish for HyperBall: the integer register
+    merges run driver-side but the NF estimator stays a Spark
+    expression over the SAME register sets, so the (r, nf) output must
+    be BIT-identical to the distributed loop — including the
+    early-convergence plateau rows and disconnected components."""
+    import random
+
+    from certa_spark.operators.graph import hyperball
+
+    rng = random.Random(37)
+    rand_edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(220)]
+    # path + separate triangle: converges well before rounds=6, so the
+    # plateau repetition is exercised on both paths
+    path_tri = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    for name, edges in {"random": rand_edges, "path_tri": path_tri}.items():
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for rounds, p in ((6, 6), (3, 4)):
+            dist = hyperball(df, rounds=rounds, p=p, partitions=4)
+            loc = hyperball(
+                df, rounds=rounds, p=p, partitions=4,
+                local_finish_edges=10**6,
+            )
+            assert sorted(map(tuple, dist.collect())) == sorted(
+                map(tuple, loc.collect())
+            ), (name, rounds, p)
+            assert dict(dist.dtypes) == dict(loc.dtypes), (name, rounds, p)
+    # over-budget graphs decline the collect and stay distributed
+    # (equality again — the budget bounds memory, not correctness)
+    df = spark.createDataFrame(rand_edges, "src long, dst long")
+    tight = hyperball(df, rounds=3, p=6, partitions=4, local_finish_edges=5)
+    full = hyperball(df, rounds=3, p=6, partitions=4)
+    assert sorted(map(tuple, tight.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_betweenness_local_matches_distributed(spark):
+    """The r9 bounded local finish for exact Brandes: same integer
+    sigma/levels, float deltas differing only in addition order — so
+    the python-twin comparison holds at round-6 exactly like the
+    distributed path, the gate's 1e-6 micro quantization matches the
+    distributed output on a branchy random graph, and over-budget
+    graphs decline (stay distributed) without collecting."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.graph import (
+        _BETWEENNESS_LOCAL_WORK,
+        betweenness_exact,
+    )
+
+    # python-twin exactness on the diamonds fixture
+    edges = [
+        (1, 2), (1, 3), (2, 4), (3, 4), (4, 5),
+        (5, 6), (5, 7), (6, 8), (7, 8),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = {v: round(b, 6) for v, b in _py_brandes(edges).items()}
+    got = {
+        r["node"]: round(r["bc"], 6)
+        for r in betweenness_exact(
+            e, batch_size=3, local_finish_edges=10**6
+        ).collect()
+    }
+    assert got == want
+
+    # micro-grain equality vs the distributed loop on a random graph
+    rng = random.Random(17)
+    rand = [(rng.randrange(40), rng.randrange(40)) for _ in range(130)]
+    df = spark.createDataFrame(rand, "src long, dst long")
+
+    def micro(frame):
+        return {
+            r["node"]: r["m"]
+            for r in frame.select(
+                "node",
+                F.floor(F.col("bc") * 1e6 + F.lit(0.5))
+                .cast("long")
+                .alias("m"),
+            ).collect()
+        }
+
+    dist = micro(betweenness_exact(df, batch_size=11, partitions=4))
+    loc = micro(
+        betweenness_exact(
+            df, batch_size=11, partitions=4, local_finish_edges=10**6
+        )
+    )
+    assert dist == loc
+    assert len(dist) > 30
+
+    # an edge budget that passes but a work budget that cannot
+    # (V * 2E > _BETWEENNESS_LOCAL_WORK requires a huge graph, so
+    # instead verify the decline path via a tight EDGE budget)
+    tight = micro(
+        betweenness_exact(
+            df, batch_size=11, partitions=4, local_finish_edges=3
+        )
+    )
+    assert tight == dist
+    assert _BETWEENNESS_LOCAL_WORK > 0
+
+    # max_depth drain guard fires on the local path too
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="not drained"):
+        betweenness_exact(path, max_depth=2, local_finish_edges=10**6)
