@@ -126,3 +126,92 @@ def bigram_logprob(
             "avg_logprob"
         ),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every document by ``log p_target(x) - log p_raw(x)`` under two
+    add-k-smoothed unigram models over HASHED word features — the
+    published recipe for selecting raw-corpus documents that look like
+    a target domain, with the feature space capped at ``n_buckets``
+    regardless of vocabulary size (the hashing is what keeps the model
+    broadcastable at 100 TB).
+
+      w(x) = sum_f c_f(x) * [ ln((cnt_t(f)+k)/(T+kB))
+                            - ln((cnt_r(f)+k)/(R+kB)) ]
+
+    Shape: two count aggregates off token-explode passes (target =
+    rows matching ``target_pred``, raw = the whole corpus) left-joined
+    into ONE model table of at most ``n_buckets`` rows — broadcast —
+    then a scoring pass whose only wide exchange carries per-doc
+    partial sums. Features hash with the cross-engine md5 hash32, the
+    per-feature log-ratio routes through DECIMAL(30,6) before the
+    per-doc sum (float parity rule, queries.py header), and documents
+    with zero tokens drop out of the output on both engines (inner
+    join on features).
+
+    Returns ``(id_col, n_tokens, dsir_logw)`` — the weight on the
+    exact 1e-6 per-term grain (no final rounding; see the in-code
+    note on the cross-engine .5-tie).
+
+    Reference parity note: no data-selection operators in
+    tteofili/certa — green-field training-data-pipeline surface.
+    """
+    from certa_spark.functions.hashing import hash32
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    ).select(
+        F.col(id_col),
+        "_is_target",
+        F.pmod(hash32(F.col("w")), F.lit(n_buckets)).alias("f"),
+    )
+    raw = toks.groupBy("f").agg(F.count("*").alias("cr"))
+    tgt = (
+        toks.filter(F.col("_is_target"))
+        .groupBy("f")
+        .agg(F.count("*").alias("ct"))
+    )
+    model = raw.join(tgt, "f", "left").select(
+        "f", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct")
+    )
+    k = float(add_k)
+    totals = model.groupBy().agg(
+        F.log(
+            F.sum("ct").cast("double") + F.lit(k * n_buckets)
+        ).alias("ln_t_den"),
+        F.log(
+            F.sum("cr").cast("double") + F.lit(k * n_buckets)
+        ).alias("ln_r_den"),
+    )
+    term = (
+        (
+            (F.log(F.col("ct").cast("double") + F.lit(k)) - F.col("ln_t_den"))
+            - (F.log(F.col("cr").cast("double") + F.lit(k)) - F.col("ln_r_den"))
+        )
+        .cast("decimal(30,6)")
+        .alias("term")
+    )
+    scored = (
+        toks.join(F.broadcast(model.crossJoin(F.broadcast(totals))), "f")
+        .select(F.col(id_col), term)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        # NO final rounding: the per-term DECIMAL(30,6) quantization
+        # already fixed the grain, so the exact decimal sum casts to
+        # the same double in every engine — a round(x, 4) here hit a
+        # genuine .5 tie at sf0.001 (-12.94625) that Spark (HALF_UP)
+        # and DuckDB resolve differently
+        F.sum("term").cast("double").alias("dsir_logw"),
+    )

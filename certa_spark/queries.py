@@ -2938,6 +2938,76 @@ _Q_EVENTS_STREAM_ATTR_SQL = """
 """
 
 
+def q_events_stream_ingest_dedup(spark, sf_dir) -> DataFrame:
+    """Streaming at-least-once INGEST DEDUP (r9 addition;
+    streaming/events.ingest_dedup): the events file stream unioned
+    with a simulated re-delivery branch (every third event re-arrives
+    10 minutes later — the duplicate shape every at-least-once
+    pipeline must absorb) is deduped by ``event_id`` with
+    ``dropDuplicatesWithinWatermark`` — first arrival wins, and the
+    key's state is EVICTED once the watermark passes its event time +
+    the 30-minute horizon, so state is bounded by horizon arrival
+    rate instead of growing forever like ``dropDuplicates``. The
+    output projects only the columns both delivery copies share
+    verbatim (everything but ts), so the result set is deterministic
+    whichever copy survives the race; the single-batch guard pins the
+    drain, and the cross-batch drop/re-emit horizon semantics are
+    pinned by the two-slab test in tests/test_io_streaming_mm.py.
+    Oracle: every event exactly once. Drain state partitions sized to
+    stream volume (8) per the events_stream_attribution cost note."""
+    from certa_spark.streaming.events import ingest_dedup
+
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    redelivered = base.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
+    ).filter(F.col("event_id") % 3 == 0)
+    deduped = ingest_dedup(
+        base.unionByName(redelivered), ["event_id"], "ts", "30 minutes"
+    )
+    sink = "_q_events_stream_ingest_dedup"
+    spark.catalog.dropTempView(sink)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            # a timeout RETURNS False (it does not raise); proceeding
+            # would hash a partially-drained memory sink as the result
+            q.stop()
+            raise RuntimeError("streaming drain did not finish in 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _assert_single_data_batch(q)
+    return spark.table(sink).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+_Q_EVENTS_STREAM_INGEST_DEDUP_SQL = """
+    SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 def q_doc_stream_minhash_ingest(spark, sf_dir) -> DataFrame:
     """Streaming twin of ``minhash_incremental`` (r7 verdict stretch
     #8): the fresh-crawl batch is read as a STREAM and its MinHash
@@ -4893,6 +4963,67 @@ _Q_SURPRISAL_SQL = f"""
            round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS avg_surprisal
     FROM scored GROUP BY doc_id
 """
+
+
+def q_doc_dsir_importance(spark, sf_dir) -> DataFrame:
+    """DSIR data selection (r9 addition; langmodel.dsir_importance —
+    Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): every document scored by
+    ``log p_target - log p_raw`` under two add-1-smoothed unigram
+    models over word features HASHED into 4096 buckets (the hashing
+    caps the model at a broadcastable size regardless of vocabulary —
+    the property that makes DSIR run over 100 TB of raw crawl).
+    Target domain = sources src1-src3. Per-feature log-ratios route
+    through DECIMAL(30,6) before the per-doc sum (float parity rule
+    above), features hash with the cross-engine md5 hash32, and the
+    output is every doc's weight (no top-k cut — a float-rank cut
+    would be the one cross-engine-fragile spot)."""
+    from certa_spark.operators.langmodel import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"),
+        F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=4096,
+        add_k=1.0,
+    )
+
+
+def _doc_dsir_importance_sql() -> str:
+    from certa_spark.functions.hashing import duck_hash32
+
+    b = 4096
+    return f"""
+    WITH toks0 AS (
+        SELECT doc_id, source IN ('src1', 'src2', 'src3') AS is_t,
+               unnest({TS.duck_words("text")}) AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, is_t, ({duck_hash32('w')} % {b}) AS f FROM toks0
+    ),
+    raw AS (SELECT f, count(*) AS cr FROM toks GROUP BY f),
+    tgt AS (SELECT f, count(*) AS ct FROM toks WHERE is_t GROUP BY f),
+    model AS (
+        SELECT f, cr, coalesce(ct, 0) AS ct
+        FROM raw LEFT JOIN tgt USING (f)
+    ),
+    tot AS (
+        SELECT ln(CAST(sum(ct) AS DOUBLE) + {float(b)}) AS ln_t_den,
+               ln(CAST(sum(cr) AS DOUBLE) + {float(b)}) AS ln_r_den
+        FROM model
+    ),
+    terms AS (
+        SELECT f,
+               CAST((ln(CAST(ct AS DOUBLE) + 1.0) - ln_t_den)
+                  - (ln(CAST(cr AS DOUBLE) + 1.0) - ln_r_den)
+                    AS DECIMAL(30,6)) AS term
+        FROM model CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(term) AS DOUBLE) AS dsir_logw
+    FROM toks JOIN terms USING (f)
+    GROUP BY doc_id
+    """
 
 
 def q_split_contamination(spark, sf_dir) -> DataFrame:
@@ -9833,7 +9964,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_funnel": q_events_stream_funnel,
     "events_stream_zscore": q_events_stream_zscore,
     "events_stream_attribution": q_events_stream_attribution,
+    "events_stream_ingest_dedup": q_events_stream_ingest_dedup,
     "doc_stream_minhash_ingest": q_doc_stream_minhash_ingest,
+    "doc_dsir_importance": q_doc_dsir_importance,
     "part_betweenness": q_part_betweenness,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
@@ -10276,12 +10409,57 @@ _R4_OLDEST: tuple[str, ...] = (
     "neardup_clusters_lsss",
 )
 
+# Names gated green by the driver in round 8 (CORRECTNESS_r08.json —
+# the full r8 window, all 50 hash-green): the 2 r8 additions, the
+# 8-name changed-code re-gate tier, the 39 remaining r3 names, and
+# the oldest r4 pad.
+_DRIVER_GREEN_R8: frozenset[str] = frozenset(
+    _R8_NEW + _R8_REGATE + _R3_REMAINING + _R4_OLDEST
+)
+
+# Round-9 window (r8 verdict ask #2): (0) the two round-9 additions —
+# the at-least-once streaming ingest dedup and the DSIR importance
+# scorer; (1) the re-gate tier: every query whose CODE changed this
+# round (the attribution drain's state-partition sizing + shared join
+# extraction, and the hyperball / exact-betweenness bounded local
+# finishes); (2) the ENTIRE remaining r4-stale tail — the 45 names
+# whose last driver gate is r4, including the two pads displaced in
+# r8 — which clears every registry name last-gated before r6. The
+# window is exactly 2 + 3 + 45 = 50.
+_R9_NEW: tuple[str, ...] = (
+    "events_stream_ingest_dedup",
+    "doc_dsir_importance",
+)
+_R9_REGATE: tuple[str, ...] = (
+    "events_stream_attribution",
+    "part_hyperball",
+    "part_betweenness",
+)
+_R4_REMAINING: tuple[str, ...] = (
+    "augment_variants", "bloom_membership", "curation_pipeline",
+    "ditto_dk_normalize", "ditto_serialize", "doc_feature_hashing",
+    "doc_langid_confusion", "doc_pack_assign", "doc_pack_assign_salted",
+    "doc_repetition", "doc_sample_mix", "doc_split_assign",
+    "doc_stratified_k", "doc_surprisal", "doc_temperature_mix",
+    "doc_weighted_sample", "events_asof_join", "events_bounce_rate",
+    "events_cube", "events_hll_by_type", "events_pivot",
+    "events_quantile_approx_gate", "events_rollup",
+    "events_running_zscore", "events_session_builtin",
+    "events_session_range_join", "events_sessionized",
+    "events_sessionized_salted", "events_window_suite", "events_zorder",
+    "hll_distinct", "join_size_estimate", "knn_ivf_ann", "knn_pq_adc",
+    "marked_tokens", "nation_full_outer", "neardup_clusters",
+    "neardup_keep_best", "orders_gini", "orders_histogram",
+    "orders_percentiles", "orders_upsert", "part_pagerank",
+    "part_pagerank_weighted", "split_contamination",
+)
+
 _GATED: frozenset[str] = (
     _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
-    | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7
+    | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7 | _DRIVER_GREEN_R8
 )
 _FRONT: tuple[str, ...] = (
-    _R8_NEW + _R8_REGATE + _R3_REMAINING + _R4_OLDEST
+    _R9_NEW + _R9_REGATE + _R4_REMAINING
 )
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
@@ -10359,6 +10537,7 @@ ORACLES: dict[str, str] = {
     "events_stream_funnel": _Q_EVENTS_STREAM_FUNNEL_SQL,
     "events_stream_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_stream_attribution": _Q_EVENTS_STREAM_ATTR_SQL,
+    "events_stream_ingest_dedup": _Q_EVENTS_STREAM_INGEST_DEDUP_SQL,
     "doc_stream_minhash_ingest": _q_doc_stream_minhash_sql(),
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
     "events_zorder": _q_events_zorder_sql(),
@@ -10384,6 +10563,7 @@ ORACLES: dict[str, str] = {
     "doc_temperature_mix": _q_doc_temperature_mix_sql(),
     "doc_repetition": _doc_repetition_sql(),
     "doc_surprisal": _Q_SURPRISAL_SQL,
+    "doc_dsir_importance": _doc_dsir_importance_sql(),
     "split_contamination": _split_contamination_sql(),
     "doc_pack_assign": _Q_PACK_SQL,
     "doc_pack_assign_salted": _Q_PACK_SQL,

@@ -30,6 +30,28 @@ def watermarked_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
 
 
+def ingest_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """At-least-once ingest dedup with a bounded re-delivery horizon:
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per key
+    and evicts the key's state once the watermark passes its event
+    time + ``within`` — state is bounded by the horizon's key-arrival
+    rate, not stream lifetime. Contrast the two adjacent shapes:
+    ``dropDuplicates(keys)`` alone grows state forever, and
+    :func:`watermarked_dedup` bounds state only by making the event
+    time PART of the key (same-key-different-ts rows stay distinct).
+    Re-deliveries later than the horizon re-emit — the documented
+    at-least-once contract (pinned cross-batch by
+    tests/test_io_streaming_mm.py)."""
+    return stream.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def windowed_counts(
     stream: DataFrame,
     window: str = "1 hour",

@@ -1695,3 +1695,60 @@ def test_streaming_attribution_two_slab_drain_equals_batch(
     }
     assert want_pairs == {(10, 11), (10, 12), (20, 22), (21, 22)}
     assert set(got_pairs) == want_pairs
+
+def test_streaming_ingest_dedup_horizon_semantics(spark, tmp_path):
+    """The at-least-once ingest-dedup contract
+    (streaming/events.ingest_dedup = dropDuplicatesWithinWatermark),
+    pinned cross-batch: a re-delivery arriving while the first
+    arrival's state is live is DROPPED; once the watermark passes the
+    first arrival's event time + horizon its state is evicted (at the
+    END of a batch — in-batch lookups see state before the eviction
+    pass, verified against the per-batch numRowsRemoved metrics) and
+    a later re-delivery RE-EMITS; rows below the watermark are late
+    and never reach the operator. Tags mark which delivery survived,
+    pinning first-arrival semantics too."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.streaming.events import ingest_dedup
+
+    m = 60
+    rows = [
+        # (key, tag, ts_sec, slab)
+        (1, "a1", 600 * m, 0),   # A first arrival
+        (2, "b1", 605 * m, 0),   # B first arrival
+        (1, "a2", 608 * m, 1),   # A re-delivery, state live -> dropped
+        (3, "c1", 690 * m, 1),   # new key C; wm after this batch =
+                                 # 690-30 = 660 > A/B eviction points
+                                 # (630/635)
+        (4, "d1", 700 * m, 2),   # batch 2 runs with wm 660: its
+                                 # end-of-batch pass EVICTS A and B
+        (2, "b4", 701 * m, 3),   # B re-delivery after eviction ->
+                                 # re-emits (the at-least-once horizon)
+        (1, "a4", 644 * m, 3),   # below batch 3's wm (700-30 = 670):
+                                 # late row, dropped at the watermark,
+                                 # never reaches the dedup state
+    ]
+    batch = spark.createDataFrame(
+        rows, "k long, tag string, sec long, slab int"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    src = str(tmp_path / "ingdedup_src")
+    _write_slab_files(
+        spark, batch,
+        [F.col("slab") == i for i in range(4)],
+        src,
+    )
+    stream = (
+        spark.readStream
+        .schema("k long, tag string, sec long, slab int, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    got_rows, n_data = _drain_batches(
+        spark,
+        ingest_dedup(stream, ["k"], "ts", "30 minutes").select("k", "tag"),
+        "ingdedup_stream", 4,
+    )
+    assert n_data == 4
+    got = sorted((r["k"], r["tag"]) for r in got_rows)
+    assert got == [
+        (1, "a1"), (2, "b1"), (2, "b4"), (3, "c1"), (4, "d1")
+    ]

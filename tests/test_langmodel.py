@@ -56,3 +56,53 @@ def test_bigram_logprob_hand_check(spark):
     both = spark.createDataFrame(nat + shuf, "doc_id long, text string")
     sc = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(both).collect()}
     assert sc[0] > sc[100]
+
+
+def test_dsir_importance_separates_domains(spark):
+    """DSIR hand-check: documents made of target-domain vocabulary
+    must score strictly higher than documents of off-domain
+    vocabulary (the importance weight is log p_target - log p_raw),
+    the weight is partition-invariant (decimal-routed sums), and
+    zero-token docs drop out of the output on both paths."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.langmodel import dsir_importance
+
+    rows = [
+        # target domain: legal-ish vocabulary
+        (1, "the court finds the contract valid and binding", "legal"),
+        (2, "the appeal court reviews the contract clause", "legal"),
+        (3, "binding arbitration clause in the contract", "legal"),
+        # raw pool: cooking vocabulary
+        (4, "simmer the onions then add garlic and stir", "web"),
+        (5, "bake the dough until golden and crisp", "web"),
+        # mixed doc: some legal words
+        (6, "the recipe contract binds garlic to onions", "web"),
+        # looks fully legal but labeled web (selection candidate)
+        (7, "the court contract clause is binding", "web"),
+        # zero tokens after the word regex
+        (8, "", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance(
+            docs, F.col("source") == "legal", n_buckets=512
+        ).collect()
+    }
+    assert 8 not in out and set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # every pure-legal-vocabulary doc (including the web-labeled one,
+    # 7 — the selection candidate DSIR exists to find) outranks every
+    # doc with cooking vocabulary; the mixed doc ranks with the
+    # off-domain ones (its rare off-domain singletons dominate the
+    # sum — DSIR weights are per-token sums, not means)
+    assert min(out[1], out[2], out[3], out[7]) > max(
+        out[4], out[5], out[6]
+    )
+    out2 = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance(
+            docs.repartition(7), F.col("source") == "legal", n_buckets=512
+        ).collect()
+    }
+    assert out == out2

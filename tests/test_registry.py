@@ -33,53 +33,48 @@ def test_goldens_are_registered_queries():
 def test_rotation_puts_ungated_queries_first():
     """The driver gates the FIRST 50 entries; the rotation must place
     never-driver-gated queries before driver-green ones — otherwise
-    gate coverage silently erodes as the registry grows. Round-8
-    order: the two r8 additions (ungated), the changed-code re-gate
-    tier (append-mode sessionized, the Louvain exchange cut, the
-    minhash banding refactor, the guarded streaming gates), the 39
-    r3 names not yet rotated forward, then the oldest r4 names as
-    padding. What matters invariantly: every ungated name sits inside
-    the 50-entry window, and the window is exactly 50 deep so the
-    padding actually rotates stale attestations forward."""
+    gate coverage silently erodes as the registry grows. Round-9
+    order: the two r9 additions (ungated), the changed-code re-gate
+    tier (attribution drain sizing, hyperball / exact-betweenness
+    local finishes), then the ENTIRE remaining r4-stale tail. What
+    matters invariantly: every ungated name sits inside the 50-entry
+    window, the window is exactly 50 deep, and after this window NO
+    registry name's most recent driver gate predates round 6."""
     from certa_spark.queries import (
         _DRIVER_GREEN,
         _DRIVER_GREEN_R3,
         _DRIVER_GREEN_R4,
         _DRIVER_GREEN_R56,
         _DRIVER_GREEN_R7,
+        _DRIVER_GREEN_R8,
         _FRONT,
-        _R3_OLDEST,
-        _R3_REMAINING,
-        _R4_OLDEST,
-        _R8_NEW,
-        _R8_REGATE,
+        _R4_REMAINING,
+        _R9_NEW,
+        _R9_REGATE,
     )
 
     gated = (
         _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
-        | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7
+        | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7 | _DRIVER_GREEN_R8
     )
     names = list(QUERIES)
-    front = _R8_NEW + _R8_REGATE + _R3_REMAINING + _R4_OLDEST
+    front = _R9_NEW + _R9_REGATE + _R4_REMAINING
     assert front == _FRONT
     assert len(front) == 50, "driver window must be exactly 50 deep"
     assert len(set(front)) == 50, "front tier has duplicates"
     assert tuple(names[: len(front)]) == front, "front tier out of order"
-    # the r8 additions are the only never-gated names, and lead
-    assert [n for n in names if n not in gated] == list(_R8_NEW)
-    # the re-gate tier is code that changed in r8 — its members were
-    # all driver-green before (most recently in r7 or r4)
-    for n in _R8_REGATE:
+    # the r9 additions are the only never-gated names, and lead
+    assert [n for n in names if n not in gated] == list(_R9_NEW)
+    # the re-gate tier is code that changed in r9 — its members were
+    # all driver-green before
+    for n in _R9_REGATE:
         assert n in gated
-    # the r3 rotation tiers partition the r3 ledger exactly: the 11
-    # already rotated in r7's window plus the 39 rotated now
-    assert set(_R3_OLDEST) | set(_R3_REMAINING) == set(_DRIVER_GREEN_R3)
-    assert not set(_R3_OLDEST) & set(_R3_REMAINING)
-    # padding comes from the stalest remaining ledger (r4 names whose
-    # last gate is r4)
-    assert set(_R4_OLDEST) <= (
+    # the r4 tail is EXACTLY the set of names whose most recent gate
+    # is r4 — i.e. this window clears every pre-r6 attestation
+    assert set(_R4_REMAINING) == (
         _DRIVER_GREEN_R4 - _DRIVER_GREEN_R56 - _DRIVER_GREEN_R7
-    )
+        - _DRIVER_GREEN_R8
+    ), "r4-stale tail must be cleared in full this window"
     # every ungated query fits inside the 50-entry driver window
     ungated = [n for n in names if n not in gated]
     assert set(ungated) <= set(names[:50]), "ungated query outside window"
