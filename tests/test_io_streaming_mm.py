@@ -1752,3 +1752,43 @@ def test_streaming_ingest_dedup_horizon_semantics(spark, tmp_path):
     assert got == [
         (1, "a1"), (2, "b1"), (2, "b4"), (3, "c1"), (4, "d1")
     ]
+
+
+def test_streaming_minhash_signatures_batch_boundary_independent(
+    spark, tmp_path
+):
+    """The doc_stream_minhash_ingest gate rests on the claim that
+    in-stream MinHash signatures are a STATELESS projection —
+    batch-boundary-independent by construction. Pin it: the same
+    corpus drained one file per trigger (2 data batches) must produce
+    exactly the batch twin's (_id, _sig) set, signature arrays
+    element-for-element."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.dedup import minhash_signatures_frame
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", 0),
+        (2, "pack my box with five dozen liquor jugs", 0),
+        (3, "the quick brown fox jumps over the lazy cat", 1),
+        (4, "sphinx of black quartz judge my vow", 1),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, slab int")
+    src = str(tmp_path / "mhsig_src")
+    _write_slab_files(
+        spark, batch, [F.col("slab") == 0, F.col("slab") == 1], src
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, slab int")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    got_rows, n_data = _drain_batches(
+        spark, minhash_signatures_frame(stream), "mhsig_stream", 2
+    )
+    assert n_data == 2, "fixture must drain as two data batches"
+    got = {r["_id"]: list(r["_sig"]) for r in got_rows}
+    want = {
+        r["_id"]: list(r["_sig"])
+        for r in minhash_signatures_frame(batch.drop("slab")).collect()
+    }
+    assert got == want
