@@ -290,19 +290,27 @@ def sweep_with_retry(spark, sf_dir, cal_prev,
 
 
 def payload_dest(here: str, cal_flag: bool) -> str:
-    """Where this sweep's full payload goes. A sweep that is STILL
-    flagged after its retry must not clobber a previous in-band
-    artifact (learned the hard way: a degrading host flagged sweep 2
-    and overwrote sweep 1's clean payload) — flagged payloads land in
-    BENCH_LOCAL_FLAGGED.json whenever BENCH_LOCAL.json already holds a
-    sentinel-in-band sweep; with no prior in-band artifact the flagged
-    one is better than nothing."""
+    """Where this sweep's full payload goes. A payload that is STILL
+    flagged after its retry — by EITHER sentinel: the sweep's or the
+    microbench subprocess's (a loaded microbench would otherwise
+    install contaminated *_clean throughputs AND an inflated
+    microbench_calibration_sec as the next round's comparison
+    baseline, recreating the BENCH_r08 false-clean failure) — must
+    not clobber a previous in-band artifact (learned the hard way: a
+    degrading host flagged sweep 2 and overwrote sweep 1's clean
+    payload). Flagged payloads land in BENCH_LOCAL_FLAGGED.json
+    whenever BENCH_LOCAL.json already holds a both-sentinels-in-band
+    payload; with no prior in-band artifact the flagged one is better
+    than nothing."""
     dest = os.path.join(here, "BENCH_LOCAL.json")
     if cal_flag and os.path.exists(dest):
         try:
             with open(dest) as f:
-                if json.load(f).get("calibration_flag") is False:
-                    return os.path.join(here, "BENCH_LOCAL_FLAGGED.json")
+                prev = json.load(f)
+            if not prev.get("calibration_flag") and not prev.get(
+                "microbench_calibration_flag"
+            ):
+                return os.path.join(here, "BENCH_LOCAL_FLAGGED.json")
         except (OSError, ValueError):
             pass
     return dest
@@ -380,8 +388,9 @@ def main() -> None:
         },
     }
     here = os.path.dirname(os.path.abspath(__file__))
+    any_flag = cal_flag or bool(mb_meta.get("microbench_calibration_flag"))
     try:
-        with open(payload_dest(here, cal_flag), "w") as f:
+        with open(payload_dest(here, any_flag), "w") as f:
             f.write(json.dumps(full, separators=(",", ":")) + "\n")
     except OSError:
         pass

@@ -23,7 +23,13 @@ def widen_if_narrow(df: DataFrame, parts: int | None = None) -> DataFrame:
     cost: frames already at least as wide as the target pass through
     untouched (identity — no plan change at all).
 
-    ``getNumPartitions()`` compiles the plan but runs no job.
+    ``getNumPartitions()`` compiles the plan but runs no job — for
+    the PRE-SHUFFLE SCAN frames this helper is for. Do not hand it a
+    frame containing an exchange: under AQE, ``df.rdd`` forces the
+    final physical plan, executing every upstream shuffle stage as
+    real jobs whose results the subsequent action does NOT reuse —
+    a hidden double execution. Call it on the raw source projection,
+    before the first wide operator.
     """
     p = parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= p:

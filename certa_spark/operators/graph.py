@@ -785,14 +785,19 @@ def clustering_coefficient(
         # shuffle (Catalyst does not CSE across join branches)
         .localCheckpoint()
     )
-    if (
-        local_finish_edges > 0
+    n_und = (
+        und.count()
+        if local_finish_edges > 0
         and _integral_type(und.schema["a"].dataType)
-        and und.count() <= local_finish_edges
+        else None
+    )
+    if (
+        n_und is not None
+        and n_und <= local_finish_edges
         # r8 ADVICE low #2: decline dense graphs distributedly before
         # paying the collect (see ktruss; same shared wedge budget)
         and (
-            und.count() <= _WEDGE_PRECHECK_EDGES
+            n_und <= _WEDGE_PRECHECK_EDGES
             or _oriented_wedge_count(und) <= _KTRUSS_LOCAL_WEDGE_BUDGET
         )
     ):
@@ -1783,11 +1788,15 @@ def ktruss(
     ``local_finish_edges > 0`` opts into the bounded local-finish path
     (the :func:`kcore` / :func:`louvain` precedent): a graph whose
     canonical edge list fits the budget — AND whose wedge expansion
-    fits an internal wedge budget, checked after the collect — peels
-    driver-side in vectorized numpy (:func:`_ktruss_local`), identical
-    orientation and schedule, identical output (pinned by
+    fits an internal wedge budget — peels driver-side in vectorized
+    numpy (:func:`_ktruss_local`), identical orientation and schedule,
+    identical output (pinned by
     ``tests/test_graph.py::test_ktruss_local_matches_distributed``).
-    Oversized graphs always stay on the distributed loop.
+    Dense graphs above ``_WEDGE_PRECHECK_EDGES`` evaluate the wedge
+    budget DISTRIBUTEDLY and decline before paying the collect (r8
+    advice); the in-numpy wedge check remains the authoritative belt
+    on collected data. Oversized graphs always stay on the
+    distributed loop.
     """
     partitions = _default_partitions(edges, partitions)
     need = k - 2
@@ -1804,18 +1813,23 @@ def ktruss(
         .repartition(partitions, "a")
         .localCheckpoint()
     )
-    if (
-        need > 0
+    n_und = (
+        und.count()
+        if need > 0
         and local_finish_edges > 0
         and _integral_type(und.schema["a"].dataType)
-        and und.count() <= local_finish_edges
+        else None
+    )
+    if (
+        n_und is not None
+        and n_und <= local_finish_edges
         # r8 ADVICE low #2: a dense sub-edge-budget graph must decline
         # BEFORE paying the collect — above the pre-check threshold the
         # wedge budget is evaluated distributedly (same quantity, same
         # orientation as the in-numpy check, which stays as the
         # authoritative belt on the collected data)
         and (
-            und.count() <= _WEDGE_PRECHECK_EDGES
+            n_und <= _WEDGE_PRECHECK_EDGES
             or _oriented_wedge_count(und) <= _KTRUSS_LOCAL_WEDGE_BUDGET
         )
     ):
@@ -2800,10 +2814,10 @@ def _betweenness_local(pdf, max_depth: int):
             d += 1
             if d > max_depth:
                 raise RuntimeError(
-                    f"betweenness_approx: BFS not drained at max_depth="
-                    f"{max_depth} (graph eccentricity exceeds it); raise "
-                    "max_depth — truncation would bias every bc value, "
-                    "not just the tail"
+                    f"betweenness_exact (local finish): BFS not drained "
+                    f"at max_depth={max_depth} (graph eccentricity "
+                    "exceeds it); raise max_depth — truncation would "
+                    "bias every bc value, not just the tail"
                 )
             dist[new_nodes] = d
             m = dist[w] == d
@@ -3070,18 +3084,20 @@ def hyperball(
     )
     DEC = "decimal(38,4)"
     spark = edges.sparkSession
-    if (
-        local_finish_edges > 0
-        and _integral_type(sym.schema["a"].dataType)
-        and 0 < sym.count() <= 2 * local_finish_edges
-    ):
-        pdf = sym.toPandas()
-        # uint8 register matrix: V * 2^p cells driver-side
-        n_ids = pdf.iloc[:, 0].nunique()
-        if n_ids * (1 << p) <= 256_000_000:
+    if local_finish_edges > 0 and _integral_type(sym.schema["a"].dataType):
+        n_directed = sym.count()
+        # every node appears as a SOURCE in the symmetrized edge list,
+        # so n_directed bounds the node count — letting the uint8
+        # register-matrix cell budget (V * 2^p) be checked BEFORE any
+        # collect (the r8 decline-without-collecting rule) with no
+        # extra job beyond the edge-budget count itself
+        if (
+            0 < n_directed <= 2 * local_finish_edges
+            and n_directed * (1 << p) <= 256_000_000
+        ):
             node_t = sym.schema["a"].dataType.simpleString()
             reg_frame = spark.createDataFrame(
-                _hyperball_local(pdf, rounds, p),
+                _hyperball_local(sym.toPandas(), rounds, p),
                 schema=f"r int, node {node_t}, bucket long, m long",
             )
             est = hll_estimate_by(reg_frame, ["r", "node"], p)

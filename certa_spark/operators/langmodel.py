@@ -148,15 +148,17 @@ def dsir_importance(
       w(x) = sum_f c_f(x) * [ ln((cnt_t(f)+k)/(T+kB))
                             - ln((cnt_r(f)+k)/(R+kB)) ]
 
-    Shape: two count aggregates off token-explode passes (target =
-    rows matching ``target_pred``, raw = the whole corpus) left-joined
-    into ONE model table of at most ``n_buckets`` rows — broadcast —
-    then a scoring pass whose only wide exchange carries per-doc
-    partial sums. Features hash with the cross-engine md5 hash32, the
-    per-feature log-ratio routes through DECIMAL(30,6) before the
-    per-doc sum (float parity rule, queries.py header), and documents
-    with zero tokens drop out of the output on both engines (inner
-    join on features).
+    Shape: ONE aggregate off a single token-explode pass builds BOTH
+    models (raw count + conditional target count per feature —
+    Catalyst does not CSE across aggregate branches, so a separate
+    raw/target groupBy pair would tokenize the corpus twice), giving
+    one model table of at most ``n_buckets`` rows — broadcast — then
+    a scoring pass whose only wide exchange carries per-doc partial
+    sums: two corpus scans total. Features hash with the cross-engine
+    md5 hash32, the per-feature log-ratio routes through
+    DECIMAL(30,6) before the per-doc sum (float parity rule,
+    queries.py header), and documents with zero tokens drop out of
+    the output on both engines (inner join on features).
 
     Returns ``(id_col, n_tokens, dsir_logw)`` — the weight on the
     exact 1e-6 per-term grain (no final rounding; see the in-code
@@ -176,14 +178,13 @@ def dsir_importance(
         "_is_target",
         F.pmod(hash32(F.col("w")), F.lit(n_buckets)).alias("f"),
     )
-    raw = toks.groupBy("f").agg(F.count("*").alias("cr"))
-    tgt = (
-        toks.filter(F.col("_is_target"))
-        .groupBy("f")
-        .agg(F.count("*").alias("ct"))
-    )
-    model = raw.join(tgt, "f", "left").select(
-        "f", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct")
+    # a NULL target predicate (e.g. a null source column) counts as
+    # non-target, matching SQL count_if semantics
+    model = toks.groupBy("f").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("_is_target"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("ct"),
     )
     k = float(add_k)
     totals = model.groupBy().agg(

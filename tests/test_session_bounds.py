@@ -198,3 +198,38 @@ def test_bench_flagged_sweep_does_not_clobber_clean_artifact(tmp_path):
     # prior artifact itself flagged: a newer flagged sweep may replace it
     local.write_text(_json.dumps({"calibration_flag": True}))
     assert bench.payload_dest(here, True).endswith("BENCH_LOCAL.json")
+
+
+def test_bench_microbench_flag_routes_payload(tmp_path):
+    """r9 review fix: a payload whose MICROBENCH sentinel stayed
+    flagged (even with an in-band sweep sentinel) must not clobber a
+    clean BENCH_LOCAL.json — otherwise the contaminated *_clean
+    throughputs and inflated microbench baseline become next round's
+    comparison reference (the BENCH_r08 false-clean failure, on the
+    other sentinel). And a prior artifact is 'clean' only when BOTH
+    its flags are unset."""
+    import json as _json
+
+    import bench
+
+    here = str(tmp_path)
+    local = tmp_path / "BENCH_LOCAL.json"
+    # prior clean artifact + any_flag (from the microbench): diverts
+    local.write_text(_json.dumps(
+        {"calibration_flag": False, "microbench_calibration_flag": False}
+    ))
+    assert bench.payload_dest(here, True).endswith(
+        "BENCH_LOCAL_FLAGGED.json"
+    )
+    # prior artifact with a flagged MICROBENCH is not clean — a newer
+    # flagged payload may replace it
+    local.write_text(_json.dumps(
+        {"calibration_flag": False, "microbench_calibration_flag": True}
+    ))
+    assert bench.payload_dest(here, True).endswith("BENCH_LOCAL.json")
+    # pre-microbench-era artifact (no microbench key) is clean if the
+    # sweep flag is unset
+    local.write_text(_json.dumps({"calibration_flag": False}))
+    assert bench.payload_dest(here, True).endswith(
+        "BENCH_LOCAL_FLAGGED.json"
+    )
