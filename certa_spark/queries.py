@@ -886,7 +886,10 @@ def _q_cm_heavy_hitters_sql() -> str:
 
 def q_minhash_signatures(spark, sf_dir) -> DataFrame:
     """MinHash signatures (16 seeded md5-derived hashes over 3-gram
-    shingles) for a deterministic doc sample."""
+    shingles) for a deterministic doc sample. Single-split widening
+    measured sf0.1 paired and DECLINED: 0.39 -> 0.49 s (one-fifth of
+    the corpus; the folds finish before the exchange would pay off —
+    PLANS.md r9 notes)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     sig = DD.minhash_signature(F.col("text"))
     return d.select(
@@ -905,6 +908,9 @@ _Q_MINHASH_SQL = f"""
 
 
 def q_simhash(spark, sf_dir) -> DataFrame:
+    # single-split widening measured sf0.1 paired and DECLINED:
+    # 0.54 -> 0.64 s — the one-bit-per-token simhash fold is too cheap
+    # for the widening exchange to pay for itself (PLANS.md r9 notes)
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
     return d.select("doc_id", DD.simhash(F.col("text")).alias("sh"))
 
@@ -944,7 +950,10 @@ _Q_NGRAM_JACCARD_SQL = f"""
 
 def q_tfidf_topk(spark, sf_dir) -> DataFrame:
     """F16 — per-doc top-5 TF-IDF tokens (relational CountVectorizer+IDF
-    equivalent: explode -> df table -> broadcast join -> window)."""
+    equivalent: explode -> df table -> broadcast join -> window).
+    Single-split widening measured sf0.1 paired and DECLINED:
+    0.66 -> 1.13 s (tokenize-explode is cheap; the first groupBy
+    already spreads the work — PLANS.md r9 notes)."""
     from certa_spark.operators.summarize import tfidf_topk
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
@@ -1130,7 +1139,10 @@ _Q_EMBEDDING_STATS_SQL = f"""
 def q_doc_bm25(spark, sf_dir) -> DataFrame:
     """BM25 retrieval (operators/retrieval.py): relational inverted
     index + term-at-a-time scorer, no UDFs. The postings shuffle
-    carries only query-term matches; IDF and corpus stats broadcast."""
+    carries only query-term matches; IDF and corpus stats broadcast.
+    Single-split widening measured sf0.1 paired and DECLINED:
+    0.85 -> 1.22 s (the checkpointed postings build already spreads
+    the scan; widening just adds an exchange — PLANS.md r9 notes)."""
     from certa_spark.operators import retrieval as RT
 
     return RT.bm25_scores(
@@ -1775,11 +1787,19 @@ _Q_TPCH_Q4_SQL = """
 
 # --------------------------------------- LSH near-dup / ANN scale paths
 
-def q_minhash_lsh_neardup(spark, sf_dir) -> DataFrame:
+def q_minhash_lsh_neardup(spark, sf_dir, _widen: bool = False) -> DataFrame:
     """MinHash+LSH near-dup join (shingle -> minhash -> band -> bucket
     equi-join). Corpus = every 5th doc plus a last-token-dropped variant
     of each (guaranteed near-dups), so the banding path is exercised
-    with non-trivial matches."""
+    with non-trivial matches.
+
+    ``_widen`` is r10 STAGING (PLANS.md r10 queue #1 — the
+    single-split trap: the k minhash folds run pre-shuffle, so a
+    one-file fixture scan computes them in one task): paired sf0.1
+    re-times recorded in PLANS.md. Default False keeps the r7-gated
+    plan byte-identical until this name rotates into a window."""
+    from certa_spark.operators import widen_if_narrow
+
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
@@ -1790,6 +1810,8 @@ def q_minhash_lsh_neardup(spark, sf_dir) -> DataFrame:
         F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
     )
     corpus = d.unionByName(variant)
+    if _widen:
+        corpus = widen_if_narrow(corpus)
     return DD.minhash_lsh_pairs(corpus, threshold=0.5)
 
 
