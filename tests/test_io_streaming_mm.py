@@ -1792,3 +1792,73 @@ def test_streaming_minhash_signatures_batch_boundary_independent(
         for r in minhash_signatures_frame(batch.drop("slab")).collect()
     }
     assert got == want
+
+
+def test_streaming_heavy_hitters_multibatch_state_carry(spark, tmp_path):
+    """Misra-Gries state carry across micro-batch boundaries, pinned
+    per batch via foreachBatch: a window whose rows arrive in three
+    batches ends EXACT when cardinality stays <= k (counters monotone,
+    batch 2's summary must include batch 1's rows), and a skewed
+    window split across batches still satisfies the MG guarantee
+    (every item with in-window freq > n/(k+1) present, hot count
+    within the subtraction bound) in its FINAL summary."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.streaming.stateful import heavy_hitters_stream
+
+    rows = []
+    # window A (hour 10): cardinality 5, rows spread over 3 slabs
+    for m in range(30):
+        rows.append((f"2024-01-01 10:{m:02d}:00", f"w{m % 5}", m // 10))
+    # window B (hour 11): hot token + 40 singletons over 2 slabs
+    for m in range(30):
+        rows.append((f"2024-01-01 11:{m:02d}:00", "hot", m % 2))
+    for m in range(40):
+        rows.append((f"2024-01-01 11:{m:02d}:30", f"t{m}", m % 2))
+    batch = spark.createDataFrame(rows, ["ts", "tok", "slab"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "hhmb_src")
+    _write_slab_files(
+        spark, batch, [F.col("slab") == i for i in range(3)], src
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, tok string, slab int")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = heavy_hitters_stream(stream, "tok", window_duration="1 hour", k=16)
+    captured = []
+
+    def _cap(df, bid):
+        captured.append((bid, df.collect()))
+
+    q = (
+        out.writeStream.foreachBatch(_cap)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    with_rows = [b for b in captured if b[1]]
+    assert len(with_rows) >= 3, "must drain as multiple data batches"
+
+    def final_summary(hour):
+        for bid, rws in sorted(captured, reverse=True):
+            sel = {
+                r["item"]: r["c"]
+                for r in rws
+                if f"{hour}:00" in str(r["window_start"])
+            }
+            if sel:
+                return sel
+        return {}
+
+    # window A: splits across all 3 slabs; cardinality 5 <= k means
+    # no truncation ever happens, so the final summary is the EXACT
+    # count — impossible unless batch 3's fold saw batch 1/2 state
+    assert final_summary(10) == {f"w{i}": 6 for i in range(5)}
+    # window B: n=70, k=16 -> every item with freq > 70/17 ~ 4.1 must
+    # survive; 'hot' (30) qualifies, and its counter can have been
+    # truncated at most n/(k+1) in total
+    fb = final_summary(11)
+    assert len(fb) <= 16
+    assert "hot" in fb
+    assert 30 - 70 / 17 <= fb["hot"] <= 30
