@@ -1292,3 +1292,111 @@ def test_betweenness_local_matches_distributed(spark):
 
     with pytest.raises(RuntimeError, match="not drained"):
         betweenness_exact(path, max_depth=2, local_finish_edges=10**6)
+
+
+def test_betweenness_local_property_random_graphs():
+    """Hypothesis sweep over random graphs for the numpy Brandes
+    kernel (no Spark session — the kernel is pure numpy, so the
+    examples are cheap and the generator covers shapes the fixed
+    fixtures cannot: multi-component graphs, stars, near-cliques,
+    isolated pairs). Oracle: the pure-python Brandes twin."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from certa_spark.operators.graph import _betweenness_local
+
+    edges_st = st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(edges=edges_st)
+    def run(edges):
+        canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+        if not canon:
+            return
+        pdf = pd.DataFrame(canon, columns=["a", "b"])
+        ids, bc = _betweenness_local(pdf, max_depth=30)
+        got = {int(i): round(float(v), 6) for i, v in zip(ids, bc)}
+        want = {v: round(b, 6) for v, b in _py_brandes(canon).items()}
+        assert got == want
+
+    run()
+
+
+def test_hyperball_local_property_registers_are_exact_ball_maxima():
+    """Mathematical pin for the numpy HyperBall kernel, independent of
+    the Spark twin: after r merge rounds, node v's register for bucket
+    j must equal the max rho over EXACTLY the members of ball(v, r)
+    (BFS-computed) that hash to bucket j — i.e. the merge loop spans
+    radius-r balls, no more, no less. Random graphs via hypothesis;
+    registers recomputed from scratch per node per radius."""
+    import hashlib
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from certa_spark.operators.graph import _hyperball_local
+    from certa_spark.operators.sketch import _HASH_BITS
+
+    p = 4
+    wbits = _HASH_BITS - p
+    mask = (1 << wbits) - 1
+
+    def reg_of(node):
+        h = int(hashlib.md5(str(int(node)).encode()).hexdigest()[:15], 16)
+        w = h & mask
+        rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+        return h >> wbits, rho
+
+    edges_st = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(edges=edges_st)
+    def run(edges):
+        canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        if not canon:
+            return
+        directed = sorted(canon | {(b, a) for a, b in canon})
+        pdf = pd.DataFrame(directed, columns=["a", "b"])
+        rounds = 4
+        frame = _hyperball_local(pdf, rounds=rounds, p=p)
+        adj = {}
+        for a, b in directed:
+            adj.setdefault(a, set()).add(b)
+
+        def ball(v, r):
+            seen, frontier = {v}, {v}
+            for _ in range(r):
+                frontier = {
+                    w for u in frontier for w in adj.get(u, ())
+                } - seen
+                seen |= frontier
+            return seen
+
+        got = {
+            (int(row.r), int(row.node), int(row.bucket)): int(row.m)
+            for row in frame.itertuples()
+        }
+        for r in range(rounds + 1):
+            for v in adj:
+                want = {}
+                for u in ball(v, r):
+                    bkt, rho = reg_of(u)
+                    want[bkt] = max(want.get(bkt, 0), rho)
+                mine = {
+                    bkt: m
+                    for (rr, vv, bkt), m in got.items()
+                    if rr == r and vv == v
+                }
+                assert mine == want, (r, v)
+
+    run()
