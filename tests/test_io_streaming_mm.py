@@ -1862,3 +1862,95 @@ def test_streaming_heavy_hitters_multibatch_state_carry(spark, tmp_path):
     assert len(fb) <= 16
     assert "hot" in fb
     assert 30 - 70 / 17 <= fb["hot"] <= 30
+
+
+def test_streaming_attribution_late_purchase_dropped_at_watermark(
+    spark, tmp_path
+):
+    """The attribution join's LATENESS contract, pinned cross-batch:
+    a purchase arriving after the global watermark (min across both
+    sides) has passed its event time is DROPPED — its click's join
+    state is already evicted — so the stream result diverges from the
+    batch oracle exactly by the too-late pairs, while fresh rows in
+    the same batch still pair. This is the documented allowed-lateness
+    trade of the 2h watermarks (the two-slab test pins the happy
+    path)."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.queries import _attribution_join
+
+    h = 3600
+    rows = [
+        # (user, event_id, event_type, ts_sec, slab)
+        (1, 10, "click", 10 * h, 0),
+        (2, 20, "click", 30 * h, 0),
+        # slab 1: u1's purchase pairs while wm is still 0; the u4
+        # click and the unmatched u9 purchase advance BOTH sides'
+        # watermarks (min policy) to 37h
+        (1, 11, "purchase", 10 * h + 1800, 1),
+        (4, 40, "click", 39 * h, 1),
+        (9, 90, "purchase", 40 * h, 1),
+        # slab 2: a dummy unmatched purchase — state eviction runs at
+        # the END of a batch (the same timing the ingest-dedup test
+        # observed), so u2's click state (evictable once wm 37h >
+        # 30h + 1h) is physically removed HERE, a batch before the
+        # late purchase arrives
+        (9, 91, "purchase", 40 * h + 1800, 2),
+        # slab 3: u2's purchase is below the 37h global watermark and
+        # its click state is gone -> no pair; u4's fresh purchase
+        # (39.5h > wm) still pairs against the live u4 click state
+        (2, 21, "purchase", 30 * h + 1800, 3),
+        (4, 41, "purchase", 39 * h + 1800, 3),
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+              "sec long, slab int"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    src = str(tmp_path / "attr_late_src")
+    _write_slab_files(
+        spark, batch, [F.col("slab") == i for i in range(4)], src
+    )
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id long, event_type string, "
+                "sec long, slab int, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return clicks, purchases
+
+    got_rows, n_data = _drain_batches(
+        spark, _attribution_join(*sides(stream)), "attr_late", 4
+    )
+    assert n_data == 4
+    got = {(r["click_id"], r["purchase_id"]) for r in got_rows}
+
+    cb, pb = sides(batch)
+    batch_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in cb.join(
+            pb,
+            F.expr(
+                "c_user = p_user AND purchase_ts > click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+            ),
+            "inner",
+        ).collect()
+    }
+    assert batch_pairs == {(10, 11), (20, 21), (40, 41)}
+    # the late pair (20, 21) is dropped by the watermark; everything
+    # else pairs — and the divergence from the batch oracle is exactly
+    # that pair (this is what the 2h lateness contract MEANS)
+    assert got == {(10, 11), (40, 41)}
+    assert got != batch_pairs
