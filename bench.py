@@ -129,6 +129,19 @@ def calibration_flag(cal: float, cal_prev: float | None,
     return bool(cal_prev and cal > band * cal_prev)
 
 
+def probe_median(probes: list[float]) -> float | None:
+    """Median of the MID-SWEEP calibration probes (r9: a start-only
+    min-of-3 sentinel catches a quiet moment while BURSTY ambient
+    noise degrades the sweep itself — observed live: an in-band 0.41s
+    sentinel fronting a sweep 20% slower than the same code measured
+    an hour earlier. The probes sample load DURING the sweep; the
+    median is robust to one probe landing inside a noise burst)."""
+    if not probes:
+        return None
+    s = sorted(probes)
+    return s[len(s) // 2]
+
+
 # Noise control: every query runs TWICE and the reported time is the
 # min of the two. First-call whole-stage-codegen compilation and
 # Catalyst analysis swing iterative/multi-job queries (pagerank,
@@ -155,9 +168,12 @@ def _warm_session(spark) -> None:
     )
 
 
-def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
+def run_sweep(spark, sf_dir: str, probe=None) -> tuple[dict, dict, list]:
     """One timed pass over every registry query plus the flagship
-    explain; returns (timings, runs_used)."""
+    explain; returns (timings, runs_used, probes) where ``probes`` are
+    single-rep calibration samples taken MID-SWEEP every ~48 queries
+    (see :func:`probe_median` — they catch bursty load a start-only
+    sentinel misses)."""
     from certa_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
@@ -185,6 +201,8 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
     import gc
 
     runs_used: dict[str, int] = {}
+    probes: list[float] = []
+    probe = probe or (lambda: calibration_sentinel(spark, runs=1))
     # the driver-coordinated loops run FIRST (cold-but-consistent):
     # measured at the sweep tail they inherit whatever JVM/GC state the
     # preceding ~150 queries left, which swung them +/-15% between
@@ -195,6 +213,8 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
     for qi, (name, fn) in enumerate(ordered):
         if name in SKIP:
             continue
+        if qi % 48 == 24:
+            probes.append(round(probe(), 3))
         if qi % 10 == 9:
             # localCheckpoint blocks free via the ContextCleaner only
             # after the driver-side DataFrame objects are collected;
@@ -256,37 +276,55 @@ def run_sweep(spark, sf_dir: str) -> tuple[dict, dict]:
     except Exception as e:  # noqa: BLE001
         print(f"bench error in flagship_explain: {e}", file=sys.stderr)
         timings["flagship_explain"] = -1.0
-    return timings, runs_used
+    return timings, runs_used, probes
 
 
-def sweep_with_retry(spark, sf_dir, cal_prev,
+def sweep_with_retry(spark, sf_dir, cal_prev, probe_prev=None,
                      sentinel=None, sweep=None):
     """Self-healing sweep (r7 verdict ask #4): run the sentinel, run
-    the sweep; if the sentinel flagged the machine as loaded,
-    re-calibrate and re-sweep ONCE and keep whichever attempt's
-    sentinel is lower — BENCH_r07 shipped a correctly-flagged-but-
-    contaminated payload that a single retry would have replaced with
-    clean numbers. Both sentinels are recorded (``attempts``) so the
-    retry is auditable. The explain microbench (own fresh subprocess,
-    measured before any sweep) is not re-run — only the flagged query
-    sweep is. Returns (cal, timings, runs_used, attempts)."""
+    the sweep; if the machine is flagged as loaded — by the START
+    sentinel leaving its band OR (r9) by the MID-SWEEP probe median
+    leaving its band (bursty noise degrades the sweep while a
+    start-only sentinel catches a quiet moment; see probe_median) —
+    re-calibrate and re-sweep ONCE and keep the attempt whose WORST
+    signal (max of sentinel and probe median) is lower. BENCH_r07
+    shipped a correctly-flagged-but-contaminated payload that a
+    single retry would have replaced with clean numbers. All
+    sentinels are recorded (``attempts``) so the retry is auditable.
+    The explain microbench (own fresh subprocess, measured before any
+    sweep) is not re-run — only the flagged query sweep is. Returns
+    (cal, timings, runs_used, attempts, probes, flagged)."""
     sentinel = sentinel or calibration_sentinel
     sweep = sweep or run_sweep
-    cal = sentinel(spark)
+    probe_ref = probe_prev or cal_prev
+
+    def _attempt():
+        c = sentinel(spark)
+        t, r, p = sweep(spark, sf_dir)
+        m = probe_median(p)
+        flag = calibration_flag(c, cal_prev) or (
+            m is not None and calibration_flag(m, probe_ref)
+        )
+        worst = max(c, m) if m is not None else c
+        return c, t, r, p, m, flag, worst
+
+    cal, timings, runs_used, probes, med, flagged, worst = _attempt()
     attempts = [round(cal, 3)]
-    timings, runs_used = sweep(spark, sf_dir)
-    if calibration_flag(cal, cal_prev):
+    if flagged:
         print(
-            f"bench: calibration {cal:.3f}s left the band of "
-            f"{cal_prev}s — machine loaded; retrying the sweep once",
+            f"bench: calibration {cal:.3f}s / probe median {med}s left "
+            f"the band of {cal_prev}s / {probe_ref}s — machine loaded; "
+            "retrying the sweep once",
             file=sys.stderr,
         )
-        cal2 = sentinel(spark)
+        (cal2, timings2, runs_used2, probes2, med2, flagged2,
+         worst2) = _attempt()
         attempts.append(round(cal2, 3))
-        timings2, runs_used2 = sweep(spark, sf_dir)
-        if cal2 < cal:
-            cal, timings, runs_used = cal2, timings2, runs_used2
-    return cal, timings, runs_used, attempts
+        if worst2 < worst:
+            cal, timings, runs_used, probes, flagged = (
+                cal2, timings2, runs_used2, probes2, flagged2
+            )
+    return cal, timings, runs_used, attempts, probes, flagged
 
 
 def payload_dest(here: str, cal_flag: bool) -> str:
@@ -337,20 +375,21 @@ def main() -> None:
     # run is machine-detectably contaminated instead of requiring
     # judge forensics (BENCH_r06 was noise-inflated 1.13x median with
     # nothing in the payload recording it).
-    cal_prev = None
+    cal_prev, probe_prev = None, None
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_LOCAL.json")
         ) as f:
-            cal_prev = json.load(f).get("calibration_sec")
+            _prev = json.load(f)
+        cal_prev = _prev.get("calibration_sec")
+        probe_prev = _prev.get("calibration_probe_median_sec")
     except (OSError, ValueError):
         pass
 
-    cal, timings, runs_used, attempts = sweep_with_retry(
-        spark, sf_dir, cal_prev
+    cal, timings, runs_used, attempts, probes, cal_flag = sweep_with_retry(
+        spark, sf_dir, cal_prev, probe_prev
     )
-    cal_flag = calibration_flag(cal, cal_prev)
 
     mb_meta = {
         k: v for k, v in clean_explains.items()
@@ -380,6 +419,8 @@ def main() -> None:
         "calibration_prev_sec": cal_prev,
         "calibration_flag": cal_flag,
         "calibration_attempts": attempts,
+        "calibration_probes": probes,
+        "calibration_probe_median_sec": probe_median(probes),
         **mb_meta,
         "runs_used": runs_used,
         "queries": {
@@ -409,6 +450,7 @@ def main() -> None:
         "calibration_sec": round(cal, 3),
         "calibration_flag": cal_flag,
         "calibration_attempts": attempts,
+        "calibration_probe_median_sec": probe_median(probes),
         **mb_meta,
         "n_queries": len(timings),
     }

@@ -70,7 +70,7 @@ def test_bench_calibration_sentinel_and_flag(spark):
 
 def test_bench_sweep_auto_retry_on_flag():
     """r7 verdict ask #4: a flagged sweep triggers exactly one retry
-    and the lower-sentinel attempt's numbers win; an in-band sweep
+    and the lower-worst-signal attempt's numbers win; an in-band sweep
     never retries. Stub sentinel/sweep — no Spark needed."""
     import bench
 
@@ -84,35 +84,84 @@ def test_bench_sweep_auto_retry_on_flag():
 
     def sweep(spark, sf_dir):
         calls["sweep"] += 1
-        return {"q": float(calls["sweep"])}, {"q": 2}
+        return {"q": float(calls["sweep"])}, {"q": 2}, []
 
-    cal, timings, runs, attempts = bench.sweep_with_retry(
+    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
         None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
     )
     assert calls == {"sent": 2, "sweep": 2}
     assert cal == 0.4 and attempts == [2.0, 0.4]
     assert timings == {"q": 2.0}, "the clean retry's numbers must win"
-    assert bench.calibration_flag(cal, 0.4) is False
+    assert flag is False
 
     # in-band: no retry
     calls = {"sent": 0, "sweep": 0}
     cals = [0.45]
-    cal, timings, runs, attempts = bench.sweep_with_retry(
+    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
         None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
     )
     assert calls == {"sent": 1, "sweep": 1}
     assert attempts == [0.45] and timings == {"q": 1.0}
+    assert flag is False
 
     # retry that stays loaded: first attempt (lower sentinel) kept,
     # flag remains true in the payload
     calls = {"sent": 0, "sweep": 0}
     cals = [2.0, 3.0]
-    cal, timings, runs, attempts = bench.sweep_with_retry(
+    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
         None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
     )
     assert calls["sweep"] == 2
     assert cal == 2.0 and timings == {"q": 1.0}
-    assert bench.calibration_flag(cal, 0.4) is True
+    assert flag is True
+
+
+def test_bench_midsweep_probes_flag_bursty_load():
+    """r9: bursty ambient noise can degrade the sweep while the
+    START sentinel catches a quiet moment (observed live: an in-band
+    0.41s sentinel fronting a sweep 20% slower than the same code an
+    hour earlier). The MID-SWEEP probe median must flag that case,
+    trigger the retry, and the attempt with the lower WORST signal
+    must win — plus the median math and empty-probe fallbacks."""
+    import bench
+
+    assert bench.probe_median([]) is None
+    assert bench.probe_median([0.5]) == 0.5
+    assert bench.probe_median([0.9, 0.4, 0.5]) == 0.5
+
+    calls = {"sent": 0, "sweep": 0}
+    cals = [0.41, 0.42]           # start sentinel in-band BOTH times
+    probe_sets = [[1.2, 1.4, 1.3], [0.45, 0.5, 0.4]]  # burst, clean
+
+    def sent(spark):
+        v = cals[calls["sent"]]
+        calls["sent"] += 1
+        return v
+
+    def sweep(spark, sf_dir):
+        p = probe_sets[calls["sweep"]]
+        calls["sweep"] += 1
+        return {"q": float(calls["sweep"])}, {"q": 2}, p
+
+    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
+        None, "sf", cal_prev=0.4, probe_prev=0.45, sentinel=sent,
+        sweep=sweep,
+    )
+    assert calls["sweep"] == 2, "probe-median breach must retry"
+    assert timings == {"q": 2.0}, "the clean-probe attempt must win"
+    assert probes == [0.45, 0.5, 0.4]
+    assert flag is False
+
+    # no probe history yet: the start sentinel's baseline is the
+    # fallback reference for the probe median
+    calls = {"sent": 0, "sweep": 0}
+    cals = [0.41, 0.42]
+    probe_sets = [[1.2, 1.4, 1.3], [0.45, 0.5, 0.4]]
+    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
+        None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
+    )
+    assert calls["sweep"] == 2
+    assert flag is False and timings == {"q": 2.0}
 
 
 def test_bench_microbench_auto_retry_on_flag():
