@@ -1798,8 +1798,6 @@ def q_minhash_lsh_neardup(spark, sf_dir, _widen: bool = False) -> DataFrame:
     one-file fixture scan computes them in one task): paired sf0.1
     re-times recorded in PLANS.md. Default False keeps the r7-gated
     plan byte-identical until this name rotates into a window."""
-    from certa_spark.operators import widen_if_narrow
-
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)

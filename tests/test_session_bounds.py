@@ -86,7 +86,7 @@ def test_bench_sweep_auto_retry_on_flag():
         calls["sweep"] += 1
         return {"q": float(calls["sweep"])}, {"q": 2}, []
 
-    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
+    cal, timings, runs, attempts, probes, flag, pa = bench.sweep_with_retry(
         None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
     )
     assert calls == {"sent": 2, "sweep": 2}
@@ -97,7 +97,7 @@ def test_bench_sweep_auto_retry_on_flag():
     # in-band: no retry
     calls = {"sent": 0, "sweep": 0}
     cals = [0.45]
-    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
+    cal, timings, runs, attempts, probes, flag, pa = bench.sweep_with_retry(
         None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
     )
     assert calls == {"sent": 1, "sweep": 1}
@@ -108,7 +108,7 @@ def test_bench_sweep_auto_retry_on_flag():
     # flag remains true in the payload
     calls = {"sent": 0, "sweep": 0}
     cals = [2.0, 3.0]
-    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
+    cal, timings, runs, attempts, probes, flag, pa = bench.sweep_with_retry(
         None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
     )
     assert calls["sweep"] == 2
@@ -143,7 +143,7 @@ def test_bench_midsweep_probes_flag_bursty_load():
         calls["sweep"] += 1
         return {"q": float(calls["sweep"])}, {"q": 2}, p
 
-    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
+    cal, timings, runs, attempts, probes, flag, pa = bench.sweep_with_retry(
         None, "sf", cal_prev=0.4, probe_prev=0.45, sentinel=sent,
         sweep=sweep,
     )
@@ -151,17 +151,36 @@ def test_bench_midsweep_probes_flag_bursty_load():
     assert timings == {"q": 2.0}, "the clean-probe attempt must win"
     assert probes == [0.45, 0.5, 0.4]
     assert flag is False
+    # the retry TRIGGER is auditable from the artifact alone: both
+    # start sentinels were in-band, so without the per-attempt probe
+    # medians this run would be indistinguishable from a never-retried
+    # one
+    assert pa == [1.3, 0.45]
 
-    # no probe history yet: the start sentinel's baseline is the
-    # fallback reference for the probe median
+    # no probe history yet: the fallback reference is
+    # max(current sentinel, previous sentinel) — a real burst still
+    # flags and retries
     calls = {"sent": 0, "sweep": 0}
     cals = [0.41, 0.42]
     probe_sets = [[1.2, 1.4, 1.3], [0.45, 0.5, 0.4]]
-    cal, timings, runs, attempts, probes, flag = bench.sweep_with_retry(
+    cal, timings, runs, attempts, probes, flag, pa = bench.sweep_with_retry(
         None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
     )
     assert calls["sweep"] == 2
     assert flag is False and timings == {"q": 2.0}
+
+    # first-probed-run bias guard: single-rep probe medians run
+    # ~5-10% above a min-of-3 sentinel on a HEALTHY host; with no
+    # probe history that must NOT trigger a spurious ~200s re-sweep
+    # (the reference is max(cal, cal_prev), not bare cal_prev)
+    calls = {"sent": 0, "sweep": 0}
+    cals = [0.45]
+    probe_sets = [[0.53, 0.52, 0.54]]
+    cal, timings, runs, attempts, probes, flag, pa = bench.sweep_with_retry(
+        None, "sf", cal_prev=0.4, sentinel=sent, sweep=sweep
+    )
+    assert calls["sweep"] == 1, "healthy-host probe bias must not retry"
+    assert flag is False and pa == [0.53]
 
 
 def test_bench_microbench_auto_retry_on_flag():
