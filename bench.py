@@ -129,6 +129,31 @@ def calibration_flag(cal: float, cal_prev: float | None,
     return bool(cal_prev and cal > band * cal_prev)
 
 
+def probe_clean_ref(*candidates: float | None) -> float | None:
+    """Running noise-floor estimate: the MIN over every probe median
+    this payload series has seen (r10, verdict "what's wrong" #1).
+    Ambient load only ever ADDS to the CPU-bound probe's wall time,
+    so the minimum observed median estimates what the machine does
+    QUIET — the stable reference the normalized series divides by."""
+    return min((x for x in candidates if x is not None), default=None)
+
+
+def normalized_total(total: float, clean: float | None,
+                     med: float | None) -> float | None:
+    """Load-normalized series point: ``total * clean/med``. A clean
+    sweep normalizes to ~itself (its median IS near the floor); a
+    loaded sweep reports an estimate of what the same code would have
+    cost quiet. The correction is linear in the probe ratio while
+    real contention is not (BENCH_r09: 224.1s at a 0.489 median over
+    a 0.384 floor normalizes to 176s vs the committed clean 198.7s —
+    ~11% over-corrected), so this is a COMPARISON AID, not a
+    measurement: cross-round deltas beyond ~10% of the normalized
+    series are real; smaller ones still deserve a clean re-run."""
+    if not total or not clean or not med:
+        return None
+    return round(total * clean / med, 3)
+
+
 def probe_median(probes: list[float]) -> float | None:
     """Median of the MID-SWEEP calibration probes (r9: a start-only
     min-of-3 sentinel catches a quiet moment while BURSTY ambient
@@ -314,8 +339,16 @@ def sweep_with_retry(spark, sf_dir, cal_prev, probe_prev=None,
         ref = probe_prev or max(
             (x for x in (c, cal_prev) if x is not None), default=None
         )
+        # r10 (verdict "what's wrong" #1): the probe-median band is
+        # 1.2x when the reference is LIKE-FOR-LIKE (a previous probe
+        # median) — BENCH_r09 shipped a 1.27x ambient penalty under
+        # the old 1.3x band with calibration_flag:false. The wider
+        # 1.3x band stays for the sentinel-based fallback reference,
+        # whose min-of-3 baseline sits 5-10% below a healthy probe
+        # median (the bias note above).
         flag = calibration_flag(c, cal_prev) or (
-            m is not None and calibration_flag(m, ref)
+            m is not None
+            and calibration_flag(m, ref, band=1.2 if probe_prev else 1.3)
         )
         worst = max(c, m) if m is not None else c
         return c, t, r, p, m, flag, worst
@@ -404,8 +437,9 @@ def main() -> None:
             _prev = json.load(f)
         cal_prev = _prev.get("calibration_sec")
         probe_prev = _prev.get("calibration_probe_median_sec")
+        probe_clean_prev = _prev.get("calibration_probe_clean_sec")
     except (OSError, ValueError):
-        pass
+        probe_clean_prev = None
 
     (cal, timings, runs_used, attempts, probes, cal_flag,
      probe_attempts) = sweep_with_retry(spark, sf_dir, cal_prev, probe_prev)
@@ -425,11 +459,18 @@ def main() -> None:
         ),
         3,
     )
+    # Load-normalized series point (r10): cross-round comparisons
+    # read value_normalized; value stays the raw measurement — see
+    # probe_clean_ref / normalized_total.
+    med = probe_median(probes)
+    probe_clean = probe_clean_ref(probe_clean_prev, probe_prev, med)
+    value_normalized = normalized_total(total, probe_clean, med)
     # FULL payload (every query, per-query run counts) lives in
     # BENCH_LOCAL.json — round-over-round comparison is one json.load
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
+        "value_normalized": value_normalized,
         "unit": "sec",
         "sf": sf,
         "runs": RUNS,
@@ -439,7 +480,8 @@ def main() -> None:
         "calibration_flag": cal_flag,
         "calibration_attempts": attempts,
         "calibration_probes": probes,
-        "calibration_probe_median_sec": probe_median(probes),
+        "calibration_probe_median_sec": med,
+        "calibration_probe_clean_sec": probe_clean,
         "calibration_probe_attempts": probe_attempts,
         "calibration_probe_prev_sec": probe_prev,
         **mb_meta,
@@ -464,6 +506,7 @@ def main() -> None:
     head = {
         "metric": "headline_queries_total_sec",
         "value": total,
+        "value_normalized": value_normalized,
         "unit": "sec",
         "sf": sf,
         "runs": RUNS,
@@ -471,7 +514,8 @@ def main() -> None:
         "calibration_sec": round(cal, 3),
         "calibration_flag": cal_flag,
         "calibration_attempts": attempts,
-        "calibration_probe_median_sec": probe_median(probes),
+        "calibration_probe_median_sec": med,
+        "calibration_probe_clean_sec": probe_clean,
         **mb_meta,
         "n_queries": len(timings),
     }

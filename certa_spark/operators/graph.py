@@ -1303,6 +1303,16 @@ def betweenness_approx(
     map-side combine on every aggregate. Path counts (sigma) are
     integer-exact; dependency deltas are doubles (sum order moves them
     ~1e-15 — round before asserting equality across runs).
+
+    Bound, stated rather than guarded (ADVICE r9 low #1): sigma rides
+    the shuffle as ``long`` and Spark's SUM wraps silently past 2^63 —
+    the same failure mode as the local finish's int64, which keeps the
+    two paths value-identical. The local finish guards its copy with a
+    post-BFS scan (see :func:`_betweenness_local`); guarding here
+    would cost one extra aggregate job per BFS level for a pathology
+    (>2^63 shortest paths through one node) that needs an adversarial
+    layered graph, so the distributed path documents the bound
+    instead.
     """
     partitions = _default_partitions(edges, partitions)
     sym = (
@@ -2755,6 +2765,21 @@ def _louvain_objective(
 # the driver's share of it, not just memory
 _BETWEENNESS_LOCAL_WORK = 200_000_000
 
+# sigma overflow guard band (ADVICE r9 low #1): int64 sigma wraps
+# silently under np.add.at, so every drained BFS scans its final
+# sigma array and fails loudly if any value left [0, 2^50]. The band
+# is AIRTIGHT under the work budget, not heuristic: a node's sigma is
+# finalized at its BFS level and never rewritten, so any predecessor
+# above the band is itself caught by the scan, a sum landing in
+# [2^63, 2^64) wraps NEGATIVE and is caught, and a wrap that lands
+# back inside the band needs one level's sum >= 2^64 from
+# all-in-band predecessors — >= 2^64/2^50 = 16384 of them, i.e.
+# V > 16384 AND E >= 16384, and V*2E >= 5.4e8 >
+# _BETWEENNESS_LOCAL_WORK, so such a graph never reaches the local
+# finish. True counts above 2^50 (adversarial layered graphs) also
+# raise: fail-loudly over-conservatism, mirroring max_depth.
+_SIGMA_SAFE = 1 << 50
+
 
 def _csr_expand(indptr, indices, f):
     """All directed edges out of frontier ``f`` in a CSR adjacency:
@@ -2823,6 +2848,17 @@ def _betweenness_local(pdf, max_depth: int):
             m = dist[w] == d
             np.add.at(sigma, w[m], sigma[u[m]])
             levels.append(new_nodes)
+        # post-BFS overflow scan (ADVICE r9 low #1) — see _SIGMA_SAFE
+        # for why this single O(V) pass cannot be evaded within the
+        # work budget
+        if int(sigma.max()) > _SIGMA_SAFE or int(sigma.min()) < 0:
+            raise RuntimeError(
+                "betweenness_exact (local finish): shortest-path "
+                f"counts from source {int(ids[s])} left the int64-safe "
+                f"guard band (max {int(sigma.max())}); sigma would wrap "
+                "silently — the graph is too path-dense for exact "
+                "int64 Brandes"
+            )
         delta = np.zeros(n, dtype=np.float64)
         for d in range(len(levels) - 1, 0, -1):
             wl, vl = _csr_expand(indptr, db, levels[d])
@@ -3090,11 +3126,19 @@ def hyperball(
         # so n_directed bounds the node count — letting the uint8
         # register-matrix cell budget (V * 2^p) be checked BEFORE any
         # collect (the r8 decline-without-collecting rule) with no
-        # extra job beyond the edge-budget count itself
-        if (
-            0 < n_directed <= 2 * local_finish_edges
-            and n_directed * (1 << p) <= 256_000_000
-        ):
+        # extra job beyond the edge-budget count itself. For DENSE
+        # graphs (E >> V) that proxy overestimates V by orders of
+        # magnitude and would decline register matrices that easily
+        # fit (ADVICE r9 low #3): when only the cell check fails, one
+        # extra small aggregate gets the exact node count before
+        # declining — still before any collect.
+        cells_ok = n_directed * (1 << p) <= 256_000_000
+        if 0 < n_directed <= 2 * local_finish_edges and not cells_ok:
+            n_nodes = sym.agg(
+                F.countDistinct("a").alias("n")
+            ).first()["n"]
+            cells_ok = n_nodes * (1 << p) <= 256_000_000
+        if 0 < n_directed <= 2 * local_finish_edges and cells_ok:
             node_t = sym.schema["a"].dataType.simpleString()
             reg_frame = spark.createDataFrame(
                 _hyperball_local(sym.toPandas(), rounds, p),

@@ -216,3 +216,63 @@ def dsir_importance(
         # and DuckDB resolve differently
         F.sum("term").cast("double").alias("dsir_logw"),
     )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_pred,
+    k_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    add_k: float = 1.0,
+    seed: int = 29,
+) -> DataFrame:
+    """DSIR stage 2 (r10; Xie et al. §2.2): importance RESAMPLING —
+    draw ``k_docs`` documents without replacement with probability
+    proportional to the importance weight ``exp(dsir_logw)``. The
+    draw is the A-ES weighted-sampling trick this repo already uses
+    for ``doc_weighted_sample`` (:func:`sampling.weighted_sample_keys`
+    — ``wkey = u^(1/w)`` with a content-hash uniform, top-k by wkey is
+    a weighted sample without replacement), so the whole stage is
+    deterministic under any partitioning with no RNG state, and
+    composes :func:`dsir_importance` unchanged.
+
+    Scale shape: the importance pass is dsir_importance's two corpus
+    scans (broadcast model, one wide exchange of per-doc partials);
+    the resample adds one map-side key expression and a partial top-k
+    (per-partition heaps, then a k-row merge — never a global sort or
+    an unpartitioned window). ``wkey`` rounds to 6 decimals before
+    ranking (cross-engine pow/exp ulp noise cannot reorder), ties to
+    the smaller ``id_col``; strongly negative log-weights underflow
+    ``u^(1/w)`` to exactly 0.0 in every IEEE engine — still ordered,
+    still deterministic.
+
+    Returns the selected docs as ``(id_col, n_tokens, dsir_logw,
+    rnk, wkey)``, rank 1 = first drawn.
+    """
+    from certa_spark.operators.sampling import weighted_sample_keys
+
+    imp = dsir_importance(
+        docs, target_pred, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, add_k=add_k,
+    )
+    keyed = weighted_sample_keys(
+        imp, id_col, F.exp(F.col("dsir_logw")), seed=seed
+    )
+    # partial top-k before any exchange (TakeOrderedAndProject), then
+    # rank the k survivors on the single merged partition — the
+    # doc_weighted_sample pattern: a global row_number window would
+    # single-partition the whole corpus
+    top = keyed.orderBy(F.col("wkey").desc(), F.col(id_col)).limit(k_docs)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.col("wkey").desc(), F.col(id_col))
+        .select(
+            id_col,
+            "n_tokens",
+            "dsir_logw",
+            (F.monotonically_increasing_id() + 1).cast("long").alias("rnk"),
+            "wkey",
+        )
+    )

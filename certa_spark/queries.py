@@ -1787,17 +1787,19 @@ _Q_TPCH_Q4_SQL = """
 
 # --------------------------------------- LSH near-dup / ANN scale paths
 
-def q_minhash_lsh_neardup(spark, sf_dir, _widen: bool = False) -> DataFrame:
+def q_minhash_lsh_neardup(spark, sf_dir) -> DataFrame:
     """MinHash+LSH near-dup join (shingle -> minhash -> band -> bucket
     equi-join). Corpus = every 5th doc plus a last-token-dropped variant
     of each (guaranteed near-dups), so the banding path is exercised
     with non-trivial matches.
 
-    ``_widen`` is r10 STAGING (PLANS.md r10 queue #1 — the
-    single-split trap: the k minhash folds run pre-shuffle, so a
-    one-file fixture scan computes them in one task): paired sf0.1
-    re-times recorded in PLANS.md. Default False keeps the r7-gated
-    plan byte-identical until this name rotates into a window."""
+    The corpus is widened before the signature build (r10, staged in
+    r9 behind ``_widen=False`` until this name's window rotation): the
+    k minhash folds run pre-shuffle, so a one-file fixture scan
+    computed them in ONE task — the single-split trap. Measured paired
+    at sf0.1: 1.58 -> 1.08 s min-of-3 (the one winner of the five
+    r7-gated single-split candidates; the other four declined with
+    numbers in their docstrings)."""
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
@@ -1807,9 +1809,7 @@ def q_minhash_lsh_neardup(spark, sf_dir, _widen: bool = False) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
     )
-    corpus = d.unionByName(variant)
-    if _widen:
-        corpus = widen_if_narrow(corpus)
+    corpus = widen_if_narrow(d.unionByName(variant))
     return DD.minhash_lsh_pairs(corpus, threshold=0.5)
 
 
@@ -2466,19 +2466,12 @@ def q_events_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
         k=_STREAM_HH_K,
     )
     sink = "_q_events_stream_hh"
-    spark.catalog.dropTempView(sink)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # a timeout RETURNS False (it does not raise); proceeding
-        # would hash a partially-drained memory sink as the result
-        q.stop()
-        raise RuntimeError("streaming drain did not finish in 600s")
+    # single_batch=False: the MG summary CONTENT may vary with
+    # batching, but the candidate set stays complete for the true
+    # top-3 under ANY batching (the MG bound, k sized with margin
+    # above) and pass 2 recounts exactly — this gate never had the
+    # single-batch precondition
+    _drain_stream(spark, out, sink, "update", single_batch=False)
     cands = (
         spark.table(sink)
         .select(
@@ -2520,6 +2513,48 @@ _Q_EVENTS_STREAM_HH_SQL = """
 """
 
 
+def _stage_events_sentinels(sf_dir: str, raw_schema, sentinels) -> str:
+    """Stage a temp stream-source dir: the real events file (hardlink
+    when the filesystems allow — zero copy) plus far-future SENTINEL
+    rows written directly with pyarrow so staging costs no Spark jobs
+    (a createDataFrame+write staging added ~2 jobs and ~3s per run).
+    ``sentinels`` is a list of per-column override dicts (one row
+    each; unset columns stay null). This is the standard flush
+    pattern for finite replays of watermark-evicting operators
+    (append-mode session windows, outer stream joins): after the data
+    batch the watermark sits just behind the sentinel, and the
+    no-data micro-batch evicts + emits everything real. On a real
+    unbounded stream the watermark advances by itself and no sentinel
+    is needed. Caller owns cleanup (shutil.rmtree)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="certa_stream_stage_")
+    try:
+        os.link(src, f"{stage}/events.parquet")
+    except OSError:
+        shutil.copy(src, f"{stage}/events.parquet")
+    pa_types = {
+        "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
+        "float": pa.float32(), "string": pa.string(),
+        "timestamp_ntz": pa.timestamp("us"),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+    sent_cols = {}
+    for f_ in raw_schema.fields:
+        patype = pa_types[f_.dataType.simpleString()]
+        sent_cols[f_.name] = pa.array(
+            [row.get(f_.name) for row in sentinels], patype
+        )
+    pq.write_table(pa.table(sent_cols), f"{stage}/zz_sentinel.parquet")
+    return stage
+
+
 def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
     """Session windows computed by the REAL Structured Streaming
     ``session_window`` operator in APPEND output mode with watermark
@@ -2547,48 +2582,17 @@ def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
     below encodes the streaming >= rule on principle)."""
     import datetime
     import shutil
-    import tempfile
-
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     src = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(src).schema
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # stage the stream dir: the real events file (hardlink when the
-    # filesystems allow — zero copy) + the flush sentinel, written
-    # directly with pyarrow so staging costs no Spark jobs (the first
-    # version's createDataFrame+write added ~2 jobs and ~3s per run).
     # Sentinel values per column: ts far-future (advances the
     # watermark), user_id -20 (passes the %20 cohort filter, filtered
     # back out), everything else null/zero.
-    stage = tempfile.mkdtemp(prefix="certa_stream_sess_")
-    try:
-        os.link(src, f"{stage}/events.parquet")
-    except OSError:
-        shutil.copy(src, f"{stage}/events.parquet")
-    _PA_TYPES = {
-        "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
-        "float": pa.float32(), "string": pa.string(),
-        "timestamp_ntz": pa.timestamp("us"),
-        "timestamp": pa.timestamp("us", tz="UTC"),
-    }
-    sent_cols = {}
-    for f_ in raw_schema.fields:
-        patype = _PA_TYPES[f_.dataType.simpleString()]
-        if f_.name == "ts":
-            val = datetime.datetime(2030, 1, 1)
-        elif f_.name == "user_id":
-            val = -20
-        elif f_.name == "value":
-            val = 0.0
-        else:
-            val = None
-        sent_cols[f_.name] = pa.array([val], patype)
-    pq.write_table(
-        pa.table(sent_cols), f"{stage}/zz_sentinel.parquet"
+    stage = _stage_events_sentinels(
+        sf_dir, raw_schema,
+        [{"ts": datetime.datetime(2030, 1, 1), "user_id": -20,
+          "value": 0.0}],
     )
     stream = (
         spark.readStream.schema(raw_schema)
@@ -2612,25 +2616,12 @@ def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
         )
     )
     sink = "_q_events_stream_sess"
-    spark.catalog.dropTempView(sink)
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        if not q.awaitTermination(600):
-            # a timeout RETURNS False (it does not raise); proceeding
-            # would hash a partially-drained memory sink as the result
-            q.stop()
-            raise RuntimeError("streaming drain did not finish in 600s")
-        # the sentinel must share the data batch (or come last): if the
-        # real events ever arrived AFTER the sentinel's batch they
-        # would be late beyond the watermark and silently dropped —
-        # turn that into a loud error like the other gates' guard
-        _assert_single_data_batch(q)
+        # the single-batch guard doubles as the sentinel-order check:
+        # if the real events ever arrived AFTER the sentinel's batch
+        # they would be late beyond the watermark and silently dropped
+        # — the guard turns that into a loud error
+        _drain_stream(spark, sess, sink, "append")
         return spark.table(sink).filter(F.col("user_id") >= 0).select(
             "user_id",
             F.unix_micros(F.col("s.start")).alias("session_start_us"),
@@ -2691,6 +2682,51 @@ def _assert_single_data_batch(q) -> None:
         )
 
 
+def _drain_stream(spark, df: DataFrame, sink: str, mode: str,
+                  single_batch: bool = True) -> None:
+    """Drain the streaming frame ``df`` into a memory sink named
+    ``sink`` under an AvailableNow trigger (the shared gate-drain
+    shape; read the result back with ``spark.table(sink)``).
+
+    The drain runs at 8 shuffle partitions, try/finally-restored
+    (r10, extending the r9 attribution root-cause to every streaming
+    gate): a stateful operator commits one state-store delta per
+    STATE partition per micro-batch regardless of row volume, so a
+    32-partition drain of a ~10^4-row fixture pays 32 fixed-cost
+    commits per store — that fixed fan-in was ~half the wall time of
+    the single-store r8 gates, and 4 stores x 32 partitions dominated
+    the attribution join (6.9 -> 2.3 s clean when sized to 8). This
+    is a LOCAL drain-sizing knob, not a scale setting: production
+    sizes state partitions UP with real per-partition row volume, and
+    every gate's output is partition-count invariant (the stateful
+    folds sort per key on (ts, event_id); tri-scale hashes
+    re-verified at 8 when each gate rotated through its window).
+
+    ``single_batch=False`` skips the one-data-batch precondition for
+    gates whose output is batching-independent by construction
+    (stateless in-stream projections)."""
+    spark.catalog.dropTempView(sink)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            # a timeout RETURNS False (it does not raise); proceeding
+            # would hash a partially-drained memory sink as the result
+            q.stop()
+            raise RuntimeError("streaming drain did not finish in 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    if single_batch:
+        _assert_single_data_batch(q)
+
+
 def q_events_stream_funnel(spark, sf_dir) -> DataFrame:
     """The CUSTOM stateful streaming operator behind the hash gate:
     ``streaming/stateful.funnel_stream`` (applyInPandasWithState, four
@@ -2734,20 +2770,7 @@ def q_events_stream_funnel(spark, sf_dir) -> DataFrame:
         horizon_ns=72 * 3600 * 1_000_000_000,
     )
     sink = "_q_events_stream_funnel"
-    spark.catalog.dropTempView(sink)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # a timeout RETURNS False (it does not raise); proceeding
-        # would hash a partially-drained memory sink as the result
-        q.stop()
-        raise RuntimeError("streaming drain did not finish in 600s")
-    _assert_single_data_batch(q)
+    _drain_stream(spark, out, sink, "append")
     return spark.table(sink).select(
         "user_id",
         F.col("completed_ns").cast("long").alias("completed_ns"),
@@ -2792,21 +2815,8 @@ def q_events_stream_zscore(spark, sf_dir) -> DataFrame:
     # design (100k rows at sf0.1; the gate harness collects it anyway).
     # On an unbounded stream this per-event score feed goes to a real
     # sink (kafka/parquet); the OPERATOR's state stays 3 doubles/key.
-    sink = "_q_events_stream_zscore"  # single-batch guard below
-    spark.catalog.dropTempView(sink)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # a timeout RETURNS False (it does not raise); proceeding
-        # would hash a partially-drained memory sink as the result
-        q.stop()
-        raise RuntimeError("streaming drain did not finish in 600s")
-    _assert_single_data_batch(q)
+    sink = "_q_events_stream_zscore"
+    _drain_stream(spark, out, sink, "append")
     return spark.table(sink)
 
 
@@ -2838,20 +2848,25 @@ _Q_EVENTS_STREAM_FUNNEL_SQL = """
 """
 
 
-def _attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
-    """The attribution join shared by the gate query and the
+def _attribution_join(clicks: DataFrame, purchases: DataFrame,
+                      how: str = "inner") -> DataFrame:
+    """The attribution join shared by the gate queries and the
     multi-batch drain test (r8 verdict ask #6 pins the cross-batch
     exactly-once emission against THIS construction, not a copy):
-    watermark both sides 2 h and inner-join on same user + purchase
-    within the hour after the click. Expects ``(c_user, click_id,
-    click_ts)`` / ``(p_user, purchase_id, purchase_ts)`` frames."""
+    watermark both sides 2 h and join on same user + purchase within
+    the hour after the click. Expects ``(c_user, click_id,
+    click_ts)`` / ``(p_user, purchase_id, purchase_ts)`` frames.
+    ``how="leftOuter"`` (r10) keeps unconverted clicks: Spark buffers
+    each left row with a matched flag and emits the null-padded row
+    exactly once, when the watermark passes the row's last possible
+    match time — the same eviction that bounds the join state."""
     return clicks.withWatermark("click_ts", "2 hours").join(
         purchases.withWatermark("purchase_ts", "2 hours"),
         F.expr(
             "c_user = p_user AND purchase_ts > click_ts "
             "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
         ),
-        "inner",
+        how,
     )
 
 
@@ -2911,25 +2926,7 @@ def q_events_stream_attribution(spark, sf_dir) -> DataFrame:
     )
     joined = _attribution_join(clicks, purchases)
     sink = "_q_events_stream_attr"
-    spark.catalog.dropTempView(sink)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            # a timeout RETURNS False (it does not raise); proceeding
-            # would hash a partially-drained memory sink as the result
-            q.stop()
-            raise RuntimeError("streaming drain did not finish in 600s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    _assert_single_data_batch(q)
+    _drain_stream(spark, joined, sink, "append")
     return spark.table(sink).select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -2940,6 +2937,93 @@ def q_events_stream_attribution(spark, sf_dir) -> DataFrame:
             "lag_us"
         ),
     )
+
+
+def q_events_stream_attribution_outer(spark, sf_dir) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution (r10 addition): every
+    click, converted or not — the funnel-coverage twin of the inner
+    gate, and a genuinely different operator semantics: Spark keeps a
+    matched flag per buffered left row and emits the null-padded
+    "unconverted click" exactly once, when the watermark passes the
+    click's last possible match time (click_ts + 1 h + the 2 h
+    delay) — the SAME eviction that bounds the join state, so outer
+    emission costs nothing extra at 100 TB/day. Because outer results
+    only surface on watermark advance, a finite replay needs the
+    flush-sentinel pattern of the sessionized gate: the staged stream
+    dir adds one far-future click (user -7) and one far-future
+    purchase (user -13 — different user, so the sentinels can never
+    pair with anything), advancing BOTH sides' watermarks so the
+    terminal no-data batch evicts and emits every real unmatched
+    click; sentinels filter back out of the result. Oracle: the plain
+    batch LEFT JOIN with the purchase predicate in the ON clause."""
+    import datetime
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    far = datetime.datetime(2030, 1, 1)
+    stage = _stage_events_sentinels(
+        sf_dir, raw_schema,
+        [
+            {"ts": far, "user_id": -7, "event_id": -1,
+             "event_type": "click", "value": 0.0},
+            {"ts": far, "user_id": -13, "event_id": -2,
+             "event_type": "purchase", "value": 0.0},
+        ],
+    )
+    try:
+        base = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(stage)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                F.col("ts").cast("timestamp").alias("ts"),
+            )
+        )
+        clicks = base.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = base.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        joined = _attribution_join(clicks, purchases, how="leftOuter")
+        sink = "_q_events_stream_attr_outer"
+        _drain_stream(spark, joined, sink, "append")
+        return spark.table(sink).filter(F.col("c_user") >= 0).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.unix_micros("click_ts").alias("click_ts_us"),
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).alias("lag_us"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_Q_EVENTS_STREAM_ATTR_OUTER_SQL = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+"""
 
 
 _Q_EVENTS_STREAM_ATTR_SQL = """
@@ -2999,25 +3083,7 @@ def q_events_stream_ingest_dedup(spark, sf_dir) -> DataFrame:
         base.unionByName(redelivered), ["event_id"], "ts", "30 minutes"
     )
     sink = "_q_events_stream_ingest_dedup"
-    spark.catalog.dropTempView(sink)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            # a timeout RETURNS False (it does not raise); proceeding
-            # would hash a partially-drained memory sink as the result
-            q.stop()
-            raise RuntimeError("streaming drain did not finish in 600s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    _assert_single_data_batch(q)
+    _drain_stream(spark, deduped, sink, "append")
     return spark.table(sink).select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -3059,19 +3125,12 @@ def q_doc_stream_minhash_ingest(spark, sf_dir) -> DataFrame:
     )
     sigs = minhash_signatures_frame(stream)
     sink = "_q_doc_stream_minhash"
-    spark.catalog.dropTempView(sink)
-    q = (
-        sigs.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # a timeout RETURNS False (it does not raise); proceeding
-        # would hash a partially-drained memory sink as the result
-        q.stop()
-        raise RuntimeError("streaming drain did not finish in 600s")
+    # single_batch=False: in-stream signatures are a stateless map —
+    # batch-boundary independence is pinned by a drain test, so the
+    # single-batch precondition never applied to this gate. The
+    # 8-partition drain sizing is moot here (no state store) but
+    # harmless: the stateless projection plans no exchange.
+    _drain_stream(spark, sigs, sink, "append", single_batch=False)
     batch_sigs = spark.table(sink)
     d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
@@ -3190,25 +3249,24 @@ def _lens_sql() -> str:
     """
 
 
-def _er_blocking_pairs_frame(spark, sf_dir, widen: bool = False) -> DataFrame:
+def _er_blocking_pairs_frame(spark, sf_dir) -> DataFrame:
     """Shared block-then-verify pair builder (see
-    :func:`q_er_blocking_pairs` for semantics). ``widen=True``
-    repartitions the sources first: the dimension side broadcasts, so
-    the block join and the 1.67M-pair Jaccard verification otherwise
-    run inside the probe side's SINGLE input split (the r8
-    single-split trap; measured 3.6-6.0s -> 0.8-1.2s at sf0.1).
-    Default False keeps the long-gated q_er_blocking_pairs plan
-    byte-identical; flip the default when that query rotates into a
-    driver window (round-9 queue)."""
+    :func:`q_er_blocking_pairs` for semantics). The sources are
+    repartitioned first: the dimension side broadcasts, so the block
+    join and the 1.67M-pair Jaccard verification otherwise run inside
+    the probe side's SINGLE input split (the r8 single-split trap;
+    measured 3.6-6.0s -> 0.8-1.2s at sf0.1). Unconditional since r10
+    (staged as ``widen=False`` for two rounds so the long-gated
+    q_er_blocking_pairs plan stayed byte-identical until its window
+    rotation; er_golden_record shipped it in r8)."""
     left, right = _er_sources(spark, sf_dir)
-    if widen:
-        # BOTH sides widened deliberately: AQE decides at runtime which
-        # side broadcasts (it is size-, not role-, driven here), and the
-        # wasted exchange on whichever side ends up broadcast is a few
-        # tens of thousands of rows — noise next to mis-widening the
-        # probe side and re-trapping the 1.67M-pair verification
-        p = spark.sparkContext.defaultParallelism
-        left, right = left.repartition(p), right.repartition(p)
+    # BOTH sides widened deliberately: AQE decides at runtime which
+    # side broadcasts (it is size-, not role-, driven here), and the
+    # wasted exchange on whichever side ends up broadcast is a few
+    # tens of thousands of rows — noise next to mis-widening the
+    # probe side and re-trapping the 1.67M-pair verification
+    p = spark.sparkContext.defaultParallelism
+    left, right = left.repartition(p), right.repartition(p)
 
     def keyed(df, idc, namec):
         toks = F.array_remove(F.split(F.lower(F.col("name")), r"\s+"), "")
@@ -5006,6 +5064,49 @@ def q_doc_dsir_importance(spark, sf_dir) -> DataFrame:
         n_buckets=4096,
         add_k=1.0,
     )
+
+
+def q_doc_dsir_resample(spark, sf_dir) -> DataFrame:
+    """DSIR stage 2 (r10 addition; langmodel.dsir_resample — Xie et
+    al. NeurIPS 2023 §2.2): importance RESAMPLING of the crawl
+    against the src1-src3 target domain — the top-64 documents of an
+    A-ES weighted draw without replacement with weight
+    ``exp(dsir_logw)``, i.e. the actual selection step a pretraining
+    pipeline runs after scoring. Composes doc_dsir_importance's
+    broadcast hashed model unchanged; the draw itself is one map-side
+    key expression + a partial top-k (per-partition heaps, k-row
+    merge — no global sort, no unpartitioned window). Deterministic:
+    content-hash uniforms, wkey rounded to 6 before ranking, ties to
+    doc_id."""
+    from certa_spark.operators.langmodel import dsir_resample
+
+    return dsir_resample(
+        _t(spark, sf_dir, "documents"),
+        F.col("source").isin("src1", "src2", "src3"),
+        k_docs=64,
+        n_buckets=4096,
+        add_k=1.0,
+        seed=29,
+    )
+
+
+def _doc_dsir_resample_sql() -> str:
+    from certa_spark.operators.sampling import duck_weighted_key_sql
+
+    wkey = duck_weighted_key_sql(
+        "CAST(doc_id AS VARCHAR)", "exp(dsir_logw)", seed=29
+    )
+    return f"""
+    WITH imp AS ({_doc_dsir_importance_sql()}),
+    keyed AS (
+        SELECT doc_id, n_tokens, dsir_logw, {wkey} AS wkey FROM imp
+    )
+    SELECT doc_id, n_tokens, dsir_logw,
+           CAST(row_number() OVER (ORDER BY wkey DESC, doc_id) AS BIGINT)
+               AS rnk,
+           wkey
+    FROM keyed QUALIFY rnk <= 64
+    """
 
 
 def _doc_dsir_importance_sql() -> str:
@@ -7431,9 +7532,10 @@ def q_er_golden_record(spark, sf_dir) -> DataFrame:
     from certa_spark.operators import graph as GR
 
     left, right = _er_sources(spark, sf_dir)
-    # widen=True: the pair build + Jaccard verify otherwise run inside
-    # one map task behind the broadcast block join (single-split trap)
-    pairs = _er_blocking_pairs_frame(spark, sf_dir, widen=True)
+    # the shared builder widens unconditionally (since r10): the pair
+    # build + Jaccard verify otherwise run inside one map task behind
+    # the broadcast block join (single-split trap)
+    pairs = _er_blocking_pairs_frame(spark, sf_dir)
     edges = pairs.select(
         F.col("lid").alias("src"),
         (F.col("rid") + F.lit(1_000_000)).alias("dst"),
@@ -9213,7 +9315,16 @@ def q_part_betweenness(spark, sf_dir) -> DataFrame:
     scheduling overhead at V<=211): sigma/levels are integer-exact
     either way, float delta order noise ~1e-14 sits far below the
     1e-6 grain; bc_micro equality verified tri-scale, 5.2 -> 1.0 s
-    min-of-3 at sf0.1."""
+    min-of-3 at sf0.1.
+
+    Tie note (ADVICE r9 low #2, for future fixture changes): the two
+    engine paths (local finish vs distributed) agree to ~1e-15
+    relative in bc, so a bc value landing WITHIN that noise of an
+    exact .5 micro boundary could flip floor(bc*1e6+0.5) depending on
+    which path ran. No current fixture value sits near a boundary
+    (tri-scale equality is pinned); if a fixture change ever makes
+    this gate's hash flicker between paths, check the boundary
+    distances of the affected bc values first."""
     from certa_spark.operators import graph as GR
     from pyspark.sql.window import Window as W
 
@@ -9984,9 +10095,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_funnel": q_events_stream_funnel,
     "events_stream_zscore": q_events_stream_zscore,
     "events_stream_attribution": q_events_stream_attribution,
+    "events_stream_attribution_outer": q_events_stream_attribution_outer,
     "events_stream_ingest_dedup": q_events_stream_ingest_dedup,
     "doc_stream_minhash_ingest": q_doc_stream_minhash_ingest,
     "doc_dsir_importance": q_doc_dsir_importance,
+    "doc_dsir_resample": q_doc_dsir_resample,
     "part_betweenness": q_part_betweenness,
     "events_rollup": q_events_rollup,
     "events_zorder": q_events_zorder,
@@ -10474,12 +10587,66 @@ _R4_REMAINING: tuple[str, ...] = (
     "part_pagerank_weighted", "split_contamination",
 )
 
+# Names gated green by the driver in round 9 (CORRECTNESS_r09.json —
+# the full r9 window, all 50 hash-green): the 2 r9 additions, the
+# 3-name changed-code re-gate tier, and the entire 45-name r4-stale
+# tail (which cleared every pre-r6 attestation).
+_DRIVER_GREEN_R9: frozenset[str] = frozenset(
+    _R9_NEW + _R9_REGATE + _R4_REMAINING
+)
+
+# Round-10 window (r9 verdict asks #1-#3): (0) the two round-10
+# additions — the stream-stream LEFT OUTER attribution and the DSIR
+# stage-2 resample; (1) FIRST the 11 names whose consumed code changed
+# in the r8/r9-BOUNDARY commit (pre-collect wedge/null declines, PPR
+# degree validation, split-gated widening consumers — their r8 gate
+# rows attest pre-boundary plans; verdict ask #1); (2) every name
+# whose code/plan changed THIS round: the staged widen flips
+# (minhash_lsh_neardup, the _er_blocking_pairs_frame default +
+# er_blocking_recall via composition), the shared 8-partition
+# _drain_stream helper (all seven streaming gates), and the graph.py
+# advice closures (sigma guard -> part_betweenness, exact-node-count
+# cell budget -> part_hyperball); (3) the oldest r7-gated names
+# padding the window to exactly 50 (the r7-stale tail continues in
+# r11 behind these regates, per verdict ask #8).
+_R10_NEW: tuple[str, ...] = (
+    "doc_dsir_resample",
+    "events_stream_attribution_outer",
+)
+_R10_REGATE_BOUNDARY: tuple[str, ...] = (
+    "part_ktruss", "part_clustering_coeff", "er_golden_record",
+    "neardup_clusters_lsss", "part_pagerank_personalized",
+    "doc_span_dedup", "doc_bpe_merges", "doc_novelty",
+    "minhash_incremental", "curation_pipeline_v2", "doc_source_overlap",
+)
+_R10_REGATE_CHANGED: tuple[str, ...] = (
+    "minhash_lsh_neardup", "er_blocking_pairs", "er_blocking_recall",
+    "events_stream_heavy_hitters", "events_stream_sessionized",
+    "events_stream_funnel", "events_stream_zscore",
+    "doc_stream_minhash_ingest", "events_stream_attribution",
+    "events_stream_ingest_dedup", "part_betweenness", "part_hyperball",
+)
+# r7-stale names rotating forward (oldest tier first — the r2-era
+# names; minhash_lsh_neardup and er_blocking_recall moved up into the
+# changed-plan tier, er_blocking_pairs was r5/6-gated)
+_R7_STALE_FIRST: tuple[str, ...] = (
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22", "top_orders_per_customer",
+    "orders_except", "part_token_diff", "events_hourly", "events_json",
+    "events_dedup", "doc_token_stats", "doc_quality", "doc_langid",
+    "doc_fingerprint", "doc_pii_scrub", "dedup_exact",
+    "doc_chunk_dedup", "cm_heavy_hitters", "minhash_signatures",
+    "simhash", "ngram_jaccard_pairs",
+)
+
 _GATED: frozenset[str] = (
     _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
     | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7 | _DRIVER_GREEN_R8
+    | _DRIVER_GREEN_R9
 )
 _FRONT: tuple[str, ...] = (
-    _R9_NEW + _R9_REGATE + _R4_REMAINING
+    _R10_NEW + _R10_REGATE_BOUNDARY + _R10_REGATE_CHANGED
+    + _R7_STALE_FIRST
 )
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
@@ -10557,6 +10724,7 @@ ORACLES: dict[str, str] = {
     "events_stream_funnel": _Q_EVENTS_STREAM_FUNNEL_SQL,
     "events_stream_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_stream_attribution": _Q_EVENTS_STREAM_ATTR_SQL,
+    "events_stream_attribution_outer": _Q_EVENTS_STREAM_ATTR_OUTER_SQL,
     "events_stream_ingest_dedup": _Q_EVENTS_STREAM_INGEST_DEDUP_SQL,
     "doc_stream_minhash_ingest": _q_doc_stream_minhash_sql(),
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,
@@ -10584,6 +10752,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": _doc_repetition_sql(),
     "doc_surprisal": _Q_SURPRISAL_SQL,
     "doc_dsir_importance": _doc_dsir_importance_sql(),
+    "doc_dsir_resample": _doc_dsir_resample_sql(),
     "split_contamination": _split_contamination_sql(),
     "doc_pack_assign": _Q_PACK_SQL,
     "doc_pack_assign_salted": _Q_PACK_SQL,

@@ -1954,3 +1954,74 @@ def test_streaming_attribution_late_purchase_dropped_at_watermark(
     # that pair (this is what the 2h lateness contract MEANS)
     assert got == {(10, 11), (40, 41)}
     assert got != batch_pairs
+
+
+def test_streaming_attribution_outer_null_emission_contract(
+    spark, tmp_path
+):
+    """The LEFT OUTER attribution join's cross-batch contract (r10):
+    (a) a matched click emits its pair and NEVER a null row, even
+    after its state evicts; (b) an unmatched click emits its
+    null-padded row EXACTLY ONCE, when the watermark passes its last
+    possible match time; (c) a click the final watermark has NOT yet
+    released emits nothing at all — outer results are
+    eviction-driven, which is why the gate query needs the flush
+    sentinel on finite replays."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.queries import _attribution_join
+
+    h = 3600
+    rows = [
+        # slab 0: two clicks; u1 will convert, u2 never does
+        (1, 10, "click", 10 * h, 0),
+        (2, 20, "click", 10 * h, 0),
+        # slab 1: u1's purchase pairs in-batch; the u4 click + u9
+        # purchase advance BOTH sides' watermarks (min policy) to 38h,
+        # putting u2's click (releasable once wm > 11h) past its match
+        # window
+        (1, 11, "purchase", 10 * h + 1800, 1),
+        (4, 40, "click", 40 * h, 1),
+        (9, 90, "purchase", 40 * h, 1),
+        # slab 2: a dummy unmatched purchase — eviction (and with it
+        # the outer-null emission) runs at batch END, so this batch is
+        # where u2's null row physically surfaces. Max event time 41h
+        # -> final wm 39h < 41h, so the u4 click stays in state and
+        # must emit NOTHING
+        (9, 91, "purchase", 41 * h, 2),
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+              "sec long, slab int"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    src = str(tmp_path / "attr_outer_src")
+    _write_slab_files(
+        spark, batch, [F.col("slab") == i for i in range(3)], src
+    )
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id long, event_type string, "
+                "sec long, slab int, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    got_rows, n_data = _drain_batches(
+        spark, _attribution_join(clicks, purchases, how="leftOuter"),
+        "attr_outer", 3,
+    )
+    assert n_data == 3
+    got = [(r["click_id"], r["purchase_id"]) for r in got_rows]
+    # (a) u1: the pair, no null twin; (b) u2: exactly one null row;
+    # (c) u4: nothing (still buffered when the stream ends)
+    assert sorted(got, key=lambda t: (t[0], t[1] or 0)) == [
+        (10, 11), (20, None)
+    ]

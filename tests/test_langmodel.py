@@ -106,3 +106,54 @@ def test_dsir_importance_separates_domains(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_dsir_resample_is_aes_topk_of_importance(spark):
+    """DSIR stage 2 (r10): the resample must be EXACTLY the top-k of
+    the A-ES keys u^(1/exp(logw)) over dsir_importance's output —
+    verified against a driver-side recomputation from the collected
+    importance frame — with rank dense from 1, wkey monotone
+    non-increasing, and the whole selection partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.langmodel import dsir_importance, dsir_resample
+
+    rows = [
+        (i, " ".join(
+            ["court contract clause binding"] * (1 + i % 3)
+            + ["garlic onion stir bake"] * (i % 4)
+         ), "legal" if i % 5 == 0 else "web")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pred = F.col("source") == "legal"
+    k = 7
+
+    got = dsir_resample(docs, pred, k_docs=k, n_buckets=512, seed=29).collect()
+    assert [r["rnk"] for r in got] == list(range(1, k + 1))
+    wkeys = [r["wkey"] for r in got]
+    assert wkeys == sorted(wkeys, reverse=True)
+
+    # driver-side recomputation of the A-ES draw from the importance
+    # frame, using the same content-hash uniform the operator uses
+    import math
+
+    from certa_spark.functions.hashing import hash64
+    from certa_spark.operators.sampling import _GRAIN
+
+    imp = dsir_importance(docs, pred, n_buckets=512).withColumn(
+        "_u", (hash64(F.col("doc_id"), seed=29) % _GRAIN).cast("double")
+        / float(_GRAIN)
+    ).collect()
+    keyed = [
+        (round(math.pow(r["_u"], 1.0 / math.exp(r["dsir_logw"])), 6),
+         r["doc_id"])
+        for r in imp
+    ]
+    expect_ids = [d for w, d in sorted(keyed, key=lambda t: (-t[0], t[1]))[:k]]
+    assert [r["doc_id"] for r in got] == expect_ids
+
+    got2 = dsir_resample(
+        docs.repartition(11), pred, k_docs=k, n_buckets=512, seed=29
+    ).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in got]

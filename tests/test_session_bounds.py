@@ -183,6 +183,57 @@ def test_bench_midsweep_probes_flag_bursty_load():
     assert flag is False and pa == [0.53]
 
 
+def test_bench_probe_band_tightened_to_1p2_like_for_like():
+    """r10 (r9 verdict "what's wrong" #1): BENCH_r09 shipped a 1.27x
+    ambient penalty under the old 1.3x probe band with
+    calibration_flag:false. Against a LIKE-FOR-LIKE reference (a
+    previous probe median) the band is now 1.2x, so the r9 readings
+    (median 0.489 vs probe_prev 0.384) flag and retry; the wider 1.3x
+    band stays for the sentinel-based fallback reference only."""
+    import bench
+
+    calls = {"sent": 0, "sweep": 0}
+    cals = [0.40, 0.41]
+    probe_sets = [[0.455, 0.489, 0.565, 0.49], [0.38, 0.39, 0.40, 0.37]]
+
+    def sent(spark):
+        v = cals[calls["sent"]]
+        calls["sent"] += 1
+        return v
+
+    def sweep(spark, sf_dir):
+        p = probe_sets[calls["sweep"]]
+        calls["sweep"] += 1
+        return {"q": float(calls["sweep"])}, {"q": 2}, p
+
+    cal, timings, runs, attempts, probes, flag, pa = bench.sweep_with_retry(
+        None, "sf", cal_prev=0.39, probe_prev=0.384, sentinel=sent,
+        sweep=sweep,
+    )
+    assert calls["sweep"] == 2, "the exact r9 readings must now retry"
+    assert timings == {"q": 2.0} and flag is False
+
+
+def test_bench_normalized_series():
+    """r10: the payload carries a load-normalized series point —
+    total * (noise-floor probe median / this sweep's probe median) —
+    so round-over-round totals compare without judge forensics. The
+    floor is the running MIN over observed probe medians (load only
+    ever inflates the CPU-bound probe)."""
+    import bench
+
+    # floor carries forward and only ratchets down
+    assert bench.probe_clean_ref(None, None, None) is None
+    assert bench.probe_clean_ref(None, 0.4, 0.5) == 0.4
+    assert bench.probe_clean_ref(0.36, 0.4, 0.39) == 0.36
+    # the r9 artifact: 224.1s at median 0.489 over floor 0.384
+    assert bench.normalized_total(224.1, 0.384, 0.489) == 175.98
+    # a clean sweep normalizes to ~itself
+    assert bench.normalized_total(200.0, 0.384, 0.384) == 200.0
+    assert bench.normalized_total(200.0, None, 0.4) is None
+    assert bench.normalized_total(200.0, 0.384, None) is None
+
+
 def test_bench_microbench_auto_retry_on_flag():
     """r8 verdict ask #1: the explain microbench carries its OWN
     sentinel (the sweep sentinel vouches only for the sweep — BENCH_r08
