@@ -9816,11 +9816,27 @@ def q_part_louvain(spark, sf_dir) -> DataFrame:
     # (the coarsen-then-finish design; bit-identical results, see the
     # operator docstring) — at sf0.1 level 0 (39.9k edges) runs
     # distributed and level 1 (13.2k edges, 360KB collected) finishes
-    # locally, replacing ~5 scheduler-bound tiny Spark rounds
-    out, hist = GR.louvain(
-        pairs, src="pa", dst="pb", max_rounds=5, max_levels=2,
-        partitions=8, with_history=True, local_max_edges=15_000,
-    )
+    # locally, replacing ~5 scheduler-bound tiny Spark rounds.
+    # The distributed rounds run at 8 shuffle partitions
+    # (try/finally-restored — the _drain_stream sizing precedent):
+    # the proposal chain's AQE-planned aggregates between the pinned
+    # repartition(8) frames otherwise plan 32-64 task waves over
+    # <=40k-row exchanges. Paired min-of-3 at sf0.1: 11.26 -> 9.68 s
+    # under 1.02/0.54 ambient (~-14%); output partition-invariant
+    # (rows asserted identical). r10 profile (tools/profile_jobs.py):
+    # the residual cost is JOB COUNT x fixed scheduling latency —
+    # ~12 AQE sub-jobs per accepted round from the one heavy J-gate
+    # job — not data; AQE OFF was measured and DECLINED at ~4x WORSE
+    # (static 32/64-partition shuffles dwarf the coalesced plans).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out, hist = GR.louvain(
+            pairs, src="pa", dst="pb", max_rounds=5, max_levels=2,
+            partitions=8, with_history=True, local_max_edges=15_000,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     s = out.agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.countDistinct("community").cast("long").alias("n_comms"),
@@ -10625,6 +10641,11 @@ _R10_REGATE_CHANGED: tuple[str, ...] = (
     "events_stream_funnel", "events_stream_zscore",
     "doc_stream_minhash_ingest", "events_stream_attribution",
     "events_stream_ingest_dedup", "part_betweenness", "part_hyperball",
+    # the iterative-tail cost work (verdict asks #4/#6): louvain's
+    # 8-partition round sizing; kmeans' centroids-as-data rewrite
+    # (embedding_kmeans + doc_semdedup both consume kmeans_fit) —
+    # goldens verified unchanged before shipping
+    "part_louvain", "embedding_kmeans", "doc_semdedup",
 )
 # r7-stale names rotating forward (oldest tier first — the r2-era
 # names; minhash_lsh_neardup and er_blocking_recall moved up into the
@@ -10635,8 +10656,7 @@ _R7_STALE_FIRST: tuple[str, ...] = (
     "orders_except", "part_token_diff", "events_hourly", "events_json",
     "events_dedup", "doc_token_stats", "doc_quality", "doc_langid",
     "doc_fingerprint", "doc_pii_scrub", "dedup_exact",
-    "doc_chunk_dedup", "cm_heavy_hitters", "minhash_signatures",
-    "simhash", "ngram_jaccard_pairs",
+    "doc_chunk_dedup", "cm_heavy_hitters",
 )
 
 _GATED: frozenset[str] = (

@@ -179,6 +179,52 @@ def test_kmeans_deterministic_and_partition_invariant(spark):
     assert r1 == r2
 
 
+def test_nearest_centroid_col_equals_literal_twin(spark):
+    """r10: kmeans_fit ships centroids as a broadcast DATA column
+    (O(1) plan size, codegen cache hits across iterations) — the
+    data-column argmin must be BIT-IDENTICAL to the literal-array
+    twin, including squared-L2 ties resolving to the smaller index,
+    because the sf0.01 goldens pin the old assignments."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.linalg import (
+        _centroids_frame,
+        nearest_centroid_col,
+        nearest_centroid_expr,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 13) % 11) / 3.0 - 1.1 for j in range(5)])
+        for i in range(60)
+    ] + [
+        # exact tie: equidistant from centroids 0 and 1 below
+        (1000, [0.5, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [
+        [0.0, 0.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0, 0.0],
+        [0.3, -0.7, 1.2, 0.1, -0.4],
+    ]
+    lit = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", nearest_centroid_expr("embedding", cents).alias("c")
+        ).collect()
+    }
+    col = {
+        r["vec_id"]: r["c"]
+        for r in df.crossJoin(F.broadcast(_centroids_frame(spark, cents)))
+        .select(
+            "vec_id",
+            nearest_centroid_col("embedding", F.col("_cents")).alias("c"),
+        )
+        .collect()
+    }
+    assert lit == col
+    assert col[1000] == 0, "tie must resolve to the smaller index"
+
+
 def test_kmeans_guards(spark):
     import pytest
 
