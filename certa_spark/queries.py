@@ -2683,10 +2683,11 @@ def _assert_single_data_batch(q) -> None:
 
 
 def _drain_stream(spark, df: DataFrame, sink: str, mode: str,
-                  single_batch: bool = True) -> None:
+                  single_batch: bool = True):
     """Drain the streaming frame ``df`` into a memory sink named
     ``sink`` under an AvailableNow trigger (the shared gate-drain
-    shape; read the result back with ``spark.table(sink)``).
+    shape; read the result back with ``spark.table(sink)``). Returns
+    the terminated query handle (progress is test-inspectable).
 
     The drain runs at 8 shuffle partitions, try/finally-restored
     (r10, extending the r9 attribution root-cause to every streaming
@@ -2725,6 +2726,7 @@ def _drain_stream(spark, df: DataFrame, sink: str, mode: str,
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if single_batch:
         _assert_single_data_batch(q)
+    return q
 
 
 def q_events_stream_funnel(spark, sf_dir) -> DataFrame:

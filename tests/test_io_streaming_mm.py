@@ -2025,3 +2025,166 @@ def test_streaming_attribution_outer_null_emission_contract(
     assert sorted(got, key=lambda t: (t[0], t[1] or 0)) == [
         (10, 11), (20, None)
     ]
+
+
+def test_drain_stream_sizes_and_restores_shuffle_partitions(
+    spark, tmp_path
+):
+    """The shared gate-drain helper (r10): the drain itself runs at 8
+    shuffle partitions (fixed state-store commit cost per partition
+    per batch — the attribution root-cause applied suite-wide), the
+    session conf is restored afterwards EVEN when the drain raises,
+    and the single-batch guard fires through the helper."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.queries import _drain_stream
+
+    src = str(tmp_path / "drain_src")
+    spark.range(100).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes"), F.col("user_id") % 3)
+        .agg(F.count("*").alias("n"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    q = _drain_stream(spark, agg, "_t_drain_ok", "update")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert spark.table("_t_drain_ok").count() > 0
+    # the stateful aggregate really ran at 8 state partitions
+    state_ops = [
+        op
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    ]
+    assert state_ops, "expected a stateful operator in the drain"
+    assert all(
+        op["numShufflePartitions"] == 8 for op in state_ops
+    ), state_ops
+
+    # conf restored on FAILURE too: a frame that cannot stream-plan
+    # raises inside start(); the finally must still restore
+    import pytest
+
+    bad = spark.range(5)  # batch frame: .writeStream does not exist path
+    with pytest.raises(Exception):
+        _drain_stream(spark, bad, "_t_drain_bad", "append")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_stage_events_sentinels_writes_schema_compatible_rows(
+    spark, tmp_path
+):
+    """The staging helper used by the sessionized and outer-join
+    gates: the staged dir must hold the original file plus a sentinel
+    parquet that reads under the SAME schema, with unset columns null
+    and overrides applied per row."""
+    import datetime
+    import shutil
+
+    from certa_spark.queries import _stage_events_sentinels
+
+    sf_dir = "/root/testdata/sf0.001"
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    far = datetime.datetime(2030, 1, 1)
+    stage = _stage_events_sentinels(
+        sf_dir, raw_schema,
+        [
+            {"ts": far, "user_id": -7, "event_id": -1,
+             "event_type": "click", "value": 0.0},
+            {"ts": far, "user_id": -13, "event_id": -2,
+             "event_type": "purchase", "value": 0.0},
+        ],
+    )
+    try:
+        whole = spark.read.schema(raw_schema).parquet(stage)
+        n_orig = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert whole.count() == n_orig + 2
+        sents = {
+            r["event_id"]: r
+            for r in whole.filter(whole.user_id < 0).collect()
+        }
+        assert set(sents) == {-1, -2}
+        assert sents[-1]["event_type"] == "click"
+        assert sents[-2]["event_type"] == "purchase"
+        assert sents[-1]["user_id"] == -7 and sents[-2]["user_id"] == -13
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_streaming_attribution_outer_under_rocksdb(spark, tmp_path):
+    """The outer join's null-emission contract holds unchanged under
+    the RocksDB state-store provider (the matched-flag per buffered
+    left row lives in join state — this pins that it round-trips
+    through RocksDB exactly like the default provider)."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.queries import _attribution_join
+
+    h = 3600
+    rows = [
+        (1, 10, "click", 10 * h, 0),
+        (2, 20, "click", 10 * h, 0),
+        (1, 11, "purchase", 10 * h + 1800, 1),
+        (4, 40, "click", 40 * h, 1),
+        (9, 90, "purchase", 40 * h, 1),
+        (9, 91, "purchase", 41 * h, 2),
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+              "sec long, slab int"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    src = str(tmp_path / "attr_outer_rdb_src")
+    _write_slab_files(
+        spark, batch, [F.col("slab") == i for i in range(3)], src
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream
+            .schema("user_id long, event_id long, event_type string, "
+                    "sec long, slab int, ts timestamp")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = stream.filter(
+            F.col("event_type") == "purchase"
+        ).select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        got_rows, n_data = _drain_batches(
+            spark, _attribution_join(clicks, purchases, how="leftOuter"),
+            "attr_outer_rdb", 3,
+        )
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    assert n_data == 3
+    got = [(r["click_id"], r["purchase_id"]) for r in got_rows]
+    assert sorted(got, key=lambda t: (t[0], t[1] or 0)) == [
+        (10, 11), (20, None)
+    ]
