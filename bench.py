@@ -498,6 +498,18 @@ def main() -> None:
             f.write(json.dumps(full, separators=(",", ":")) + "\n")
     except OSError:
         pass
+    # every payload ALSO appends to the history log: BENCH_LOCAL only
+    # keeps the latest in-band payload, and r10 lost its cleanest
+    # sweep (210.2 s @ probe 0.433) to an in-band-but-noisier rerun —
+    # payload_dest cannot referee two in-band runs without knowing
+    # whether the code changed between them, but an append-only
+    # history lets anyone pick the lowest-worst-signal artifact per
+    # code version after the fact
+    try:
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    except OSError:
+        pass
     # stdout line: the driver records only a 2000-char TAIL of stdout
     # (BENCH_r01-r03 all clipped once the full dict outgrew it), so the
     # printed line keeps itself under 1900 bytes by priority-truncating
