@@ -148,7 +148,16 @@ def normalized_total(total: float, clean: float | None,
     a 0.384 floor normalizes to 176s vs the committed clean 198.7s —
     ~11% over-corrected), so this is a COMPARISON AID, not a
     measurement: cross-round deltas beyond ~10% of the normalized
-    series are real; smaller ones still deserve a clean re-run."""
+    series are real; smaller ones still deserve a clean re-run.
+
+    Reference consistency: a stored value_normalized embeds the floor
+    KNOWN AT WRITE TIME; if a later quiet round ratchets the floor
+    down, older stored points are ~floor_old/floor_new high relative
+    to newer ones. Every payload carries both its median and the
+    floor it used, so any point re-normalizes to any floor as
+    ``value * floor / calibration_probe_median_sec`` — do that (or
+    read BENCH_HISTORY.jsonl) before comparing across a floor
+    change."""
     if not total or not clean or not med:
         return None
     return round(total * clean / med, 3)
@@ -437,7 +446,16 @@ def main() -> None:
             _prev = json.load(f)
         cal_prev = _prev.get("calibration_sec")
         probe_prev = _prev.get("calibration_probe_median_sec")
-        probe_clean_prev = _prev.get("calibration_probe_clean_sec")
+        # the ratchet seeds from EVERY probe median the previous
+        # payload recorded — its own, its predecessor's, and any
+        # already-ratcheted floor. Reading only the clean field
+        # dropped the r9 payload's 0.384 calibration_probe_prev_sec
+        # at bootstrap and started the normalized series ~13% high
+        # (review finding, r10).
+        probe_clean_prev = probe_clean_ref(
+            _prev.get("calibration_probe_clean_sec"),
+            _prev.get("calibration_probe_prev_sec"),
+        )
     except (OSError, ValueError):
         probe_clean_prev = None
 

@@ -2594,29 +2594,33 @@ def q_events_stream_sessionized(spark, sf_dir) -> DataFrame:
         [{"ts": datetime.datetime(2030, 1, 1), "user_id": -20,
           "value": 0.0}],
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(stage)
-        .filter(F.col("user_id") % 20 == 0)
-        .select(
-            F.col("ts").cast("timestamp").alias("ts"),
-            "user_id",
-            F.col("value").cast("decimal(30,6)").alias("value"),
-        )
-    )
-    sess = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(
-            F.session_window("ts", "30 minutes").alias("s"), F.col("user_id")
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.sum("value").alias("_sv"),
-        )
-    )
-    sink = "_q_events_stream_sess"
+    # everything after staging sits inside the try: a plan-construction
+    # error must still rmtree the staged dir (which may hold a full
+    # COPY of events.parquet where hardlinking fell back)
     try:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(stage)
+            .filter(F.col("user_id") % 20 == 0)
+            .select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                F.col("value").cast("decimal(30,6)").alias("value"),
+            )
+        )
+        sess = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("s"),
+                F.col("user_id"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum("value").alias("_sv"),
+            )
+        )
+        sink = "_q_events_stream_sess"
         # the single-batch guard doubles as the sentinel-order check:
         # if the real events ever arrived AFTER the sentinel's batch
         # they would be late beyond the watermark and silently dropped
@@ -2850,6 +2854,24 @@ _Q_EVENTS_STREAM_FUNNEL_SQL = """
 """
 
 
+def _attribution_sides(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split an events frame into the (clicks, purchases) sides
+    :func:`_attribution_join` expects — shared by the inner and outer
+    gates so a column or cast change cannot desynchronize the twins
+    (the same single-sourcing rule the join itself already follows)."""
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks, purchases
+
+
 def _attribution_join(clicks: DataFrame, purchases: DataFrame,
                       how: str = "inner") -> DataFrame:
     """The attribution join shared by the gate queries and the
@@ -2916,16 +2938,7 @@ def q_events_stream_attribution(spark, sf_dir) -> DataFrame:
             F.col("ts").cast("timestamp").alias("ts"),
         )
     )
-    clicks = base.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    purchases = base.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
+    clicks, purchases = _attribution_sides(base)
     joined = _attribution_join(clicks, purchases)
     sink = "_q_events_stream_attr"
     _drain_stream(spark, joined, sink, "append")
@@ -2986,16 +2999,7 @@ def q_events_stream_attribution_outer(spark, sf_dir) -> DataFrame:
                 F.col("ts").cast("timestamp").alias("ts"),
             )
         )
-        clicks = base.filter(F.col("event_type") == "click").select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        purchases = base.filter(F.col("event_type") == "purchase").select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
+        clicks, purchases = _attribution_sides(base)
         joined = _attribution_join(clicks, purchases, how="leftOuter")
         sink = "_q_events_stream_attr_outer"
         _drain_stream(spark, joined, sink, "append")

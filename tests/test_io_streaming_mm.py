@@ -1956,6 +1956,50 @@ def test_streaming_attribution_late_purchase_dropped_at_watermark(
     assert got != batch_pairs
 
 
+def _outer_attribution_scenario(spark, tmp_path, sink: str):
+    """Shared 3-slab LEFT OUTER fixture + drain (used by the contract
+    test and its RocksDB twin, so the two can never pin different
+    scenarios). Slab design: u1 converts (pair emits in-batch, no
+    null twin ever); u2 never converts — the u4 click + u9 purchase
+    in slab 1 advance BOTH watermarks (min policy) to 38h, past u2's
+    match window, and eviction runs at batch END so slab 2's dummy
+    purchase is where u2's null row physically surfaces; max event
+    time 41h -> final wm 39h < 41h keeps the u4 click buffered, so
+    it must emit NOTHING. Returns (rows, n_data_batches)."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.queries import _attribution_join, _attribution_sides
+
+    h = 3600
+    rows = [
+        (1, 10, "click", 10 * h, 0),
+        (2, 20, "click", 10 * h, 0),
+        (1, 11, "purchase", 10 * h + 1800, 1),
+        (4, 40, "click", 40 * h, 1),
+        (9, 90, "purchase", 40 * h, 1),
+        (9, 91, "purchase", 41 * h, 2),
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+              "sec long, slab int"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    src = str(tmp_path / f"{sink}_src")
+    _write_slab_files(
+        spark, batch, [F.col("slab") == i for i in range(3)], src
+    )
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id long, event_type string, "
+                "sec long, slab int, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    clicks, purchases = _attribution_sides(stream)
+    return _drain_batches(
+        spark, _attribution_join(clicks, purchases, how="leftOuter"),
+        sink, 3,
+    )
+
+
 def test_streaming_attribution_outer_null_emission_contract(
     spark, tmp_path
 ):
@@ -1967,56 +2011,8 @@ def test_streaming_attribution_outer_null_emission_contract(
     released emits nothing at all — outer results are
     eviction-driven, which is why the gate query needs the flush
     sentinel on finite replays."""
-    from pyspark.sql import functions as F
-
-    from certa_spark.queries import _attribution_join
-
-    h = 3600
-    rows = [
-        # slab 0: two clicks; u1 will convert, u2 never does
-        (1, 10, "click", 10 * h, 0),
-        (2, 20, "click", 10 * h, 0),
-        # slab 1: u1's purchase pairs in-batch; the u4 click + u9
-        # purchase advance BOTH sides' watermarks (min policy) to 38h,
-        # putting u2's click (releasable once wm > 11h) past its match
-        # window
-        (1, 11, "purchase", 10 * h + 1800, 1),
-        (4, 40, "click", 40 * h, 1),
-        (9, 90, "purchase", 40 * h, 1),
-        # slab 2: a dummy unmatched purchase — eviction (and with it
-        # the outer-null emission) runs at batch END, so this batch is
-        # where u2's null row physically surfaces. Max event time 41h
-        # -> final wm 39h < 41h, so the u4 click stays in state and
-        # must emit NOTHING
-        (9, 91, "purchase", 41 * h, 2),
-    ]
-    batch = spark.createDataFrame(
-        rows, "user_id long, event_id long, event_type string, "
-              "sec long, slab int"
-    ).withColumn("ts", F.timestamp_seconds("sec"))
-    src = str(tmp_path / "attr_outer_src")
-    _write_slab_files(
-        spark, batch, [F.col("slab") == i for i in range(3)], src
-    )
-    stream = (
-        spark.readStream
-        .schema("user_id long, event_id long, event_type string, "
-                "sec long, slab int, ts timestamp")
-        .option("maxFilesPerTrigger", "1").parquet(src)
-    )
-    clicks = stream.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    purchases = stream.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    got_rows, n_data = _drain_batches(
-        spark, _attribution_join(clicks, purchases, how="leftOuter"),
-        "attr_outer", 3,
+    got_rows, n_data = _outer_attribution_scenario(
+        spark, tmp_path, "attr_outer"
     )
     assert n_data == 3
     got = [(r["click_id"], r["purchase_id"]) for r in got_rows]
@@ -2121,28 +2117,8 @@ def test_streaming_attribution_outer_under_rocksdb(spark, tmp_path):
     """The outer join's null-emission contract holds unchanged under
     the RocksDB state-store provider (the matched-flag per buffered
     left row lives in join state — this pins that it round-trips
-    through RocksDB exactly like the default provider)."""
-    from pyspark.sql import functions as F
-
-    from certa_spark.queries import _attribution_join
-
-    h = 3600
-    rows = [
-        (1, 10, "click", 10 * h, 0),
-        (2, 20, "click", 10 * h, 0),
-        (1, 11, "purchase", 10 * h + 1800, 1),
-        (4, 40, "click", 40 * h, 1),
-        (9, 90, "purchase", 40 * h, 1),
-        (9, 91, "purchase", 41 * h, 2),
-    ]
-    batch = spark.createDataFrame(
-        rows, "user_id long, event_id long, event_type string, "
-              "sec long, slab int"
-    ).withColumn("ts", F.timestamp_seconds("sec"))
-    src = str(tmp_path / "attr_outer_rdb_src")
-    _write_slab_files(
-        spark, batch, [F.col("slab") == i for i in range(3)], src
-    )
+    through RocksDB exactly like the default provider). Same shared
+    scenario as the contract test, by construction."""
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", ""
     )
@@ -2152,27 +2128,8 @@ def test_streaming_attribution_outer_under_rocksdb(spark, tmp_path):
         "RocksDBStateStoreProvider",
     )
     try:
-        stream = (
-            spark.readStream
-            .schema("user_id long, event_id long, event_type string, "
-                    "sec long, slab int, ts timestamp")
-            .option("maxFilesPerTrigger", "1").parquet(src)
-        )
-        clicks = stream.filter(F.col("event_type") == "click").select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        purchases = stream.filter(
-            F.col("event_type") == "purchase"
-        ).select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        got_rows, n_data = _drain_batches(
-            spark, _attribution_join(clicks, purchases, how="leftOuter"),
-            "attr_outer_rdb", 3,
+        got_rows, n_data = _outer_attribution_scenario(
+            spark, tmp_path, "attr_outer_rdb"
         )
     finally:
         if prev:

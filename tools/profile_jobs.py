@@ -103,12 +103,24 @@ def main() -> int:
               f"{len(timed)} jobs in the warmed run")
         print(f"{'job':>5} {'sec':>7} {'stages':>6}  callsite")
         per_site: dict[str, list[float]] = {}
-        gaps = wall
         for jid, j in timed:
             dur = (j["end"] - j["start"]) / 1000.0
-            gaps -= dur
             per_site.setdefault(j["site"], []).append(dur)
             print(f"{jid:>5} {dur:>7.3f} {j['stages']:>6}  {j['site']}")
+        # non-job time = wall minus the UNION of job intervals — a
+        # plain sum double-counts overlapping jobs (AQE sub-jobs,
+        # concurrent actions) and can even go negative, understating
+        # the driver overhead this tool exists to expose
+        covered = 0.0
+        last_end = None
+        for s, e in sorted((j["start"], j["end"]) for _jid, j in timed):
+            if last_end is None or s > last_end:
+                covered += e - s
+                last_end = e
+            elif e > last_end:
+                covered += e - last_end
+                last_end = e
+        gaps = wall - covered / 1000.0
         print(f"\nnon-job time (driver/python/scheduling between jobs): "
               f"{gaps:.2f}s of {wall:.2f}s")
         print("\nper-callsite rollup:")
