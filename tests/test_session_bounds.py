@@ -212,6 +212,12 @@ def test_bench_probe_band_tightened_to_1p2_like_for_like():
     )
     assert calls["sweep"] == 2, "the exact r9 readings must now retry"
     assert timings == {"q": 2.0} and flag is False
+    # the explain microbench shares the 1.2x like-for-like band
+    # (tools/explain_microbench.py passes band=1.2): the r10 readings
+    # — mb sentinel 0.462 vs recorded 0.375, which shipped ~15%-low
+    # *_clean throughputs under the old 1.3x band — must now flag
+    assert bench.calibration_flag(0.462, 0.375, band=1.2) is True
+    assert bench.calibration_flag(0.44, 0.375, band=1.2) is False
 
 
 def test_bench_normalized_series():
