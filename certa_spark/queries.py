@@ -3100,6 +3100,70 @@ _Q_EVENTS_STREAM_INGEST_DEDUP_SQL = """
 """
 
 
+def q_events_stream_enrich(spark, sf_dir) -> DataFrame:
+    """Stream-STATIC broadcast enrichment join (r10 addition) — the
+    most common production streaming join, completing the join
+    matrix next to the inner and left-outer stream-stream gates: the
+    events stream joins PER MICRO-BATCH against a static
+    customer->nation dimension (broadcast hash join, no state store,
+    no watermark — the dimension is re-resolvable every batch, which
+    is exactly why this shape scales to 100 TB/day: join cost is
+    map-side and state is zero). The in-stream work under test is
+    the enrichment itself; the drained enriched rows aggregate
+    batch-side (count + order-free DECIMAL revenue per nation x
+    event_type), so the gate is deterministic under ANY batching —
+    stateless map+join, no single-batch precondition (pinned by the
+    2-slab drain test in tests/test_io_streaming_mm.py)."""
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(30,6)").alias("value"),
+        )
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    sink = "_q_events_stream_enrich"
+    _drain_stream(spark, enriched, sink, "append", single_batch=False)
+    return (
+        spark.table(sink)
+        .groupBy("nation", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_Q_EVENTS_STREAM_ENRICH_SQL = """
+    SELECT n.n_name AS nation, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(30,6))), 4) AS DOUBLE)
+               AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+"""
+
+
 def q_doc_stream_minhash_ingest(spark, sf_dir) -> DataFrame:
     """Streaming twin of ``minhash_incremental`` (r7 verdict stretch
     #8): the fresh-crawl batch is read as a STREAM and its MinHash
@@ -10118,6 +10182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_zscore": q_events_stream_zscore,
     "events_stream_attribution": q_events_stream_attribution,
     "events_stream_attribution_outer": q_events_stream_attribution_outer,
+    "events_stream_enrich": q_events_stream_enrich,
     "events_stream_ingest_dedup": q_events_stream_ingest_dedup,
     "doc_stream_minhash_ingest": q_doc_stream_minhash_ingest,
     "doc_dsir_importance": q_doc_dsir_importance,
@@ -10634,6 +10699,10 @@ _DRIVER_GREEN_R9: frozenset[str] = frozenset(
 _R10_NEW: tuple[str, ...] = (
     "doc_dsir_resample",
     "events_stream_attribution_outer",
+    # stream-static broadcast enrichment (completes the streaming
+    # join matrix); its window slot came from the last r7-stale pad
+    # (cm_heavy_hitters rotates in r11 instead)
+    "events_stream_enrich",
 )
 _R10_REGATE_BOUNDARY: tuple[str, ...] = (
     "part_ktruss", "part_clustering_coeff", "er_golden_record",
@@ -10662,7 +10731,7 @@ _R7_STALE_FIRST: tuple[str, ...] = (
     "orders_except", "part_token_diff", "events_hourly", "events_json",
     "events_dedup", "doc_token_stats", "doc_quality", "doc_langid",
     "doc_fingerprint", "doc_pii_scrub", "dedup_exact",
-    "doc_chunk_dedup", "cm_heavy_hitters",
+    "doc_chunk_dedup",
 )
 
 _GATED: frozenset[str] = (
@@ -10751,6 +10820,7 @@ ORACLES: dict[str, str] = {
     "events_stream_zscore": _Q_RUNNING_ZSCORE_SQL,
     "events_stream_attribution": _Q_EVENTS_STREAM_ATTR_SQL,
     "events_stream_attribution_outer": _Q_EVENTS_STREAM_ATTR_OUTER_SQL,
+    "events_stream_enrich": _Q_EVENTS_STREAM_ENRICH_SQL,
     "events_stream_ingest_dedup": _Q_EVENTS_STREAM_INGEST_DEDUP_SQL,
     "doc_stream_minhash_ingest": _q_doc_stream_minhash_sql(),
     "events_rollup": _Q_EVENTS_ROLLUP_SQL,

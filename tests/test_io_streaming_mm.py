@@ -2145,3 +2145,41 @@ def test_streaming_attribution_outer_under_rocksdb(spark, tmp_path):
     assert sorted(got, key=lambda t: (t[0], t[1] or 0)) == [
         (10, 11), (20, None)
     ]
+
+
+def test_streaming_enrich_join_batch_boundary_independent(
+    spark, tmp_path
+):
+    """The stream-static enrichment gate's determinism argument,
+    executed: a stateless per-micro-batch broadcast join produces the
+    SAME enriched row set whether the stream drains in one batch or
+    several — no state, no watermark, so batching cannot reorder or
+    drop anything. Two-slab drain vs the plain batch join."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, i % 5, f"t{i % 3}", float(i) / 4) for i in range(40)]
+    batch = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    dim = spark.createDataFrame(
+        [(u, f"nation{u % 2}") for u in range(5)],
+        "user_id long, nation string",
+    )
+    src = str(tmp_path / "enrich_src")
+    _write_slab_files(
+        spark, batch,
+        [F.col("event_id") < 20, F.col("event_id") >= 20], src,
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    got_rows, n_data = _drain_batches(
+        spark, stream.join(F.broadcast(dim), "user_id"), "enrich_2slab", 2
+    )
+    assert n_data == 2, "must exercise a multi-batch drain"
+    got = sorted(tuple(r) for r in got_rows)
+    want = sorted(
+        tuple(r) for r in batch.join(F.broadcast(dim), "user_id").collect()
+    )
+    assert got == want
