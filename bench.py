@@ -389,31 +389,116 @@ def sweep_with_retry(spark, sf_dir, cal_prev, probe_prev=None,
             probe_attempts)
 
 
-def payload_dest(here: str, cal_flag: bool) -> str:
-    """Where this sweep's full payload goes. A payload that is STILL
-    flagged after its retry — by EITHER sentinel: the sweep's or the
-    microbench subprocess's (a loaded microbench would otherwise
-    install contaminated *_clean throughputs AND an inflated
-    microbench_calibration_sec as the next round's comparison
-    baseline, recreating the BENCH_r08 false-clean failure) — must
-    not clobber a previous in-band artifact (learned the hard way: a
-    degrading host flagged sweep 2 and overwrote sweep 1's clean
-    payload). Flagged payloads land in BENCH_LOCAL_FLAGGED.json
-    whenever BENCH_LOCAL.json already holds a both-sentinels-in-band
-    payload; with no prior in-band artifact the flagged one is better
-    than nothing."""
-    dest = os.path.join(here, "BENCH_LOCAL.json")
-    if cal_flag and os.path.exists(dest):
+def code_fingerprint(here: str | None = None) -> str:
+    """Stable identity of the measured code: sha256 over the repo's
+    Python sources (``certa_spark/``, ``__spark_entry__.py``,
+    ``tools/explain_microbench.py``, and this file), keyed by path
+    relative to the repo root. Promotion only ever compares sweeps
+    with EQUAL fingerprints: an in-band-but-noisier rerun of the SAME
+    code must not clobber a cleaner incumbent (r10 lost its cleanest
+    sweep, 210.2 s @ probe 0.433, exactly this way), while any code
+    change makes the new sweep the only valid measurement and it wins
+    unconditionally."""
+    import hashlib
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    files = [
+        os.path.join(here, "__spark_entry__.py"),
+        os.path.join(here, "bench.py"),
+        os.path.join(here, "tools", "explain_microbench.py"),
+    ]
+    for dirpath, _dirs, names in os.walk(os.path.join(here, "certa_spark")):
+        files.extend(
+            os.path.join(dirpath, n) for n in names if n.endswith(".py")
+        )
+    h = hashlib.sha256()
+    for path in sorted(files):
         try:
-            with open(dest) as f:
-                prev = json.load(f)
-            if not prev.get("calibration_flag") and not prev.get(
-                "microbench_calibration_flag"
-            ):
-                return os.path.join(here, "BENCH_LOCAL_FLAGGED.json")
-        except (OSError, ValueError):
-            pass
-    return dest
+            with open(path, "rb") as f:
+                body = f.read()
+        except OSError:
+            continue
+        h.update(os.path.relpath(path, here).encode())
+        h.update(b"\x00")
+        h.update(body)
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def worst_signal(cal: float | None, med: float | None) -> float | None:
+    """A sweep's single comparable noise figure: the WORST of its
+    start sentinel and its mid-sweep probe median. Promotion keeps the
+    payload whose worst signal is lowest — the same rule
+    :func:`sweep_with_retry` already applies between an attempt and
+    its retry, extended across sweeps of the same code."""
+    vals = [x for x in (cal, med) if x is not None]
+    return max(vals) if vals else None
+
+
+def _payload_in_band(payload: dict) -> bool:
+    return (
+        not payload.get("calibration_flag")
+        and not payload.get("microbench_calibration_flag")
+        and payload.get("worst_signal_sec") is not None
+    )
+
+
+def history_entries(here: str) -> list[dict]:
+    """Every payload recorded in BENCH_HISTORY.jsonl (bad lines
+    skipped); [] when the log is absent."""
+    out: list[dict] = []
+    try:
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl")) as f:
+            for line in f:
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    return out
+
+
+def promote_best(here: str, current: dict) -> tuple[dict, dict]:
+    """Pick the payload to PUBLISH (BENCH_LOCAL.json + the stdout line
+    the driver records): among the current sweep and every
+    BENCH_HISTORY entry with the SAME code_fingerprint whose both
+    sentinels are in-band, the one with the lowest worst_signal_sec
+    wins (r10 verdict ask #1 — the published artifact is the cleanest
+    full sweep of its code version, explicitly, instead of whichever
+    in-band run happened last). Ties keep the current sweep. A flagged
+    current sweep with no in-band same-code candidate is published
+    anyway (better than nothing), its flags visible. Candidates must
+    also match the current sweep's ``sf`` (a smaller-scale run is a
+    different measurement, not a cleaner one) and contain no errored
+    (-1) query — an error-pruned total is not comparable. Returns
+    ``(winner, meta)`` where meta records the rule so the payload says
+    how it was chosen."""
+    fp = current.get("code_fingerprint")
+    candidates = [
+        e
+        for e in history_entries(here)
+        if e.get("code_fingerprint") == fp
+        and e.get("sf") == current.get("sf")
+        and _payload_in_band(e)
+        and not any(
+            isinstance(t, (int, float)) and t < 0
+            for t in e.get("queries", {}).values()
+        )
+    ]
+    winner = current
+    best = (
+        current["worst_signal_sec"] if _payload_in_band(current) else None
+    )
+    for e in candidates:
+        if best is None or e["worst_signal_sec"] < best:
+            winner, best = e, e["worst_signal_sec"]
+    meta = {
+        "promotion_rule": "min_worst_signal_same_code",
+        "promotion_candidates_in_band": len(candidates),
+        "promoted_from_history": winner is not current,
+    }
+    return winner, meta
 
 
 def main() -> None:
@@ -437,12 +522,10 @@ def main() -> None:
     # run is machine-detectably contaminated instead of requiring
     # judge forensics (BENCH_r06 was noise-inflated 1.13x median with
     # nothing in the payload recording it).
+    here = os.path.dirname(os.path.abspath(__file__))
     cal_prev, probe_prev = None, None
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json")
-        ) as f:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
             _prev = json.load(f)
         cal_prev = _prev.get("calibration_sec")
         probe_prev = _prev.get("calibration_probe_median_sec")
@@ -458,6 +541,16 @@ def main() -> None:
         )
     except (OSError, ValueError):
         probe_clean_prev = None
+    # the floor is a MACHINE property, not a code property, so it also
+    # seeds from every probe median / floor the history log has ever
+    # recorded — BENCH_LOCAL alone drops the evidence of a flagged
+    # sweep that happened to observe a lower median (r10 advice #4)
+    for _e in history_entries(here):
+        probe_clean_prev = probe_clean_ref(
+            probe_clean_prev,
+            _e.get("calibration_probe_median_sec"),
+            _e.get("calibration_probe_clean_sec"),
+        )
 
     (cal, timings, runs_used, attempts, probes, cal_flag,
      probe_attempts) = sweep_with_retry(spark, sf_dir, cal_prev, probe_prev)
@@ -502,6 +595,8 @@ def main() -> None:
         "calibration_probe_clean_sec": probe_clean,
         "calibration_probe_attempts": probe_attempts,
         "calibration_probe_prev_sec": probe_prev,
+        "code_fingerprint": code_fingerprint(),
+        "worst_signal_sec": worst_signal(round(cal, 3), med),
         **mb_meta,
         "runs_used": runs_used,
         "queries": {
@@ -509,60 +604,89 @@ def main() -> None:
             for k, v in timings.items()
         },
     }
-    here = os.path.dirname(os.path.abspath(__file__))
-    any_flag = cal_flag or bool(mb_meta.get("microbench_calibration_flag"))
-    try:
-        with open(payload_dest(here, any_flag), "w") as f:
-            f.write(json.dumps(full, separators=(",", ":")) + "\n")
-    except OSError:
-        pass
-    # every payload ALSO appends to the history log: BENCH_LOCAL only
-    # keeps the latest in-band payload, and r10 lost its cleanest
-    # sweep (210.2 s @ probe 0.433) to an in-band-but-noisier rerun —
-    # payload_dest cannot referee two in-band runs without knowing
-    # whether the code changed between them, but an append-only
-    # history lets anyone pick the lowest-worst-signal artifact per
-    # code version after the fact
+    # every sweep appends to the history log FIRST — BENCH_LOCAL keeps
+    # only the promoted artifact, and promotion reads the history
     try:
         with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
             f.write(json.dumps(full, separators=(",", ":")) + "\n")
     except OSError:
         pass
+    # r10 verdict ask #1: publish the min-worst-signal in-band sweep
+    # of THIS code version, explicitly, instead of whichever in-band
+    # run happened last (r10's cleanest sweep was silently clobbered
+    # by a noisier-but-in-band rerun). The promoted payload is
+    # re-normalized to the freshest floor so a ratchet that happened
+    # after it was recorded still reaches it.
+    winner, promo = promote_best(here, full)
+    if winner is not full:
+        winner = dict(winner)
+        winner["calibration_probe_clean_sec"] = probe_clean_ref(
+            probe_clean, winner.get("calibration_probe_clean_sec")
+        )
+        winner["value_normalized"] = normalized_total(
+            winner.get("value"),
+            winner.get("calibration_probe_clean_sec"),
+            winner.get("calibration_probe_median_sec"),
+        )
+    winner.update(promo)
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            f.write(json.dumps(winner, separators=(",", ":")) + "\n")
+    except OSError:
+        pass
+    if promo["promoted_from_history"]:
+        # the demoted current sweep stays inspectable (it is also in
+        # the history log); FLAGGED now means "latest unpublished"
+        try:
+            with open(
+                os.path.join(here, "BENCH_LOCAL_FLAGGED.json"), "w"
+            ) as f:
+                f.write(json.dumps(full, separators=(",", ":")) + "\n")
+        except OSError:
+            pass
+        print(
+            "bench: promoted the cleaner same-code sweep from history "
+            f"(worst signal {winner.get('worst_signal_sec')}s vs this "
+            f"run's {full.get('worst_signal_sec')}s)",
+            file=sys.stderr,
+        )
     # stdout line: the driver records only a 2000-char TAIL of stdout
     # (BENCH_r01-r03 all clipped once the full dict outgrew it), so the
     # printed line keeps itself under 1900 bytes by priority-truncating
     # the per-query dict — throughput metrics and the slowest queries
-    # first, the sub-second tail shed into BENCH_LOCAL.json.
+    # first, the sub-second tail shed into BENCH_LOCAL.json. The line
+    # reports the PROMOTED payload, so the driver's recorded artifact
+    # is the cleanest full sweep of this code version and says so
+    # (promotion_rule / promoted_from_history).
+    wq = winner.get("queries", {})
     head = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "value_normalized": value_normalized,
-        "unit": "sec",
-        "sf": sf,
-        "runs": RUNS,
-        "heavy_loop_runs": 3,
-        "calibration_sec": round(cal, 3),
-        "calibration_flag": cal_flag,
-        "calibration_attempts": attempts,
-        "calibration_probe_median_sec": med,
-        "calibration_probe_clean_sec": probe_clean,
-        **mb_meta,
-        "n_queries": len(timings),
+        k: winner.get(k)
+        for k in (
+            "metric", "value", "value_normalized", "unit", "sf", "runs",
+            "heavy_loop_runs", "calibration_sec", "calibration_flag",
+            "calibration_attempts", "calibration_probe_median_sec",
+            "calibration_probe_clean_sec", "worst_signal_sec",
+            "promotion_rule", "promoted_from_history",
+        )
+        if k in winner
     }
-    prio = [k for k in timings if "explains_per_min" in k or "flagship" in k]
+    head.update(
+        {k: v for k, v in winner.items()
+         if k.startswith("microbench_calibration")}
+    )
+    head["n_queries"] = len(wq)
+    prio = [k for k in wq if "explains_per_min" in k or "flagship" in k]
     prio += sorted(
-        (k for k in timings if k not in prio),
-        key=lambda k: -(timings[k] if isinstance(timings[k], float) else 0.0),
+        (k for k in wq if k not in prio),
+        key=lambda k: -(wq[k] if isinstance(wq[k], float) else 0.0),
     )
     shown: dict[str, float] = {}
     line = ""
     for k in prio:
-        shown[k] = (
-            round(timings[k], 2) if isinstance(timings[k], float) else timings[k]
-        )
+        shown[k] = wq[k]
         trial = json.dumps(
             {**head, "queries": shown,
-             "queries_omitted": len(timings) - len(shown),
+             "queries_omitted": len(wq) - len(shown),
              "full": "BENCH_LOCAL.json"},
             separators=(",", ":"),
         )

@@ -301,60 +301,135 @@ def test_bench_microbench_auto_retry_on_flag():
     assert out["microbench_calibration_attempts"] == [1.9, 2.5]
 
 
-def test_bench_flagged_sweep_does_not_clobber_clean_artifact(tmp_path):
-    """A sweep still flagged after its retry must write to
-    BENCH_LOCAL_FLAGGED.json when BENCH_LOCAL.json holds an in-band
-    payload; in-band sweeps (or flagged ones with no prior clean
-    artifact) keep writing BENCH_LOCAL.json."""
+def _hist_write(tmp_path, entries):
     import json as _json
 
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "".join(_json.dumps(e) + "\n" for e in entries)
+    )
+
+
+def _payload(fp="abc", cal=0.38, med=0.40, value=200.0, sf=0.1, **kw):
+    p = {
+        "code_fingerprint": fp,
+        "calibration_flag": False,
+        "calibration_sec": cal,
+        "calibration_probe_median_sec": med,
+        "worst_signal_sec": max(x for x in (cal, med) if x is not None),
+        "value": value,
+        "sf": sf,
+        "queries": {"q": 1.0},
+    }
+    p.update(kw)
+    return p
+
+
+def test_bench_promotion_keeps_cleaner_same_code_incumbent(tmp_path):
+    """r10 verdict ask #1 (the race that cost the round): an
+    in-band-but-NOISIER rerun of the SAME code must not clobber a
+    cleaner incumbent — promotion publishes the min-worst-signal
+    in-band sweep of the current code version."""
     import bench
 
     here = str(tmp_path)
-    local = tmp_path / "BENCH_LOCAL.json"
-    # no prior artifact: flagged still writes the main file
-    assert bench.payload_dest(here, True).endswith("BENCH_LOCAL.json")
-    # prior CLEAN artifact: flagged diverts, in-band overwrites
-    local.write_text(_json.dumps({"calibration_flag": False}))
-    assert bench.payload_dest(here, True).endswith(
-        "BENCH_LOCAL_FLAGGED.json"
-    )
-    assert bench.payload_dest(here, False).endswith("BENCH_LOCAL.json")
-    # prior artifact itself flagged: a newer flagged sweep may replace it
-    local.write_text(_json.dumps({"calibration_flag": True}))
-    assert bench.payload_dest(here, True).endswith("BENCH_LOCAL.json")
+    clean = _payload(med=0.40, value=210.2)
+    _hist_write(tmp_path, [clean])
+    noisy = _payload(med=0.49, value=249.7)
+    winner, meta = bench.promote_best(here, noisy)
+    assert winner["value"] == 210.2
+    assert meta["promoted_from_history"] is True
+    assert meta["promotion_rule"] == "min_worst_signal_same_code"
+    # ties keep the current sweep (latest measurement wins a draw)
+    tied = _payload(med=0.40, value=211.0)
+    winner, meta = bench.promote_best(here, tied)
+    assert winner is tied
+    assert meta["promoted_from_history"] is False
 
 
-def test_bench_microbench_flag_routes_payload(tmp_path):
-    """r9 review fix: a payload whose MICROBENCH sentinel stayed
-    flagged (even with an in-band sweep sentinel) must not clobber a
-    clean BENCH_LOCAL.json — otherwise the contaminated *_clean
-    throughputs and inflated microbench baseline become next round's
-    comparison reference (the BENCH_r08 false-clean failure, on the
-    other sentinel). And a prior artifact is 'clean' only when BOTH
-    its flags are unset."""
-    import json as _json
+def test_bench_promotion_code_change_always_wins(tmp_path):
+    """A cleaner incumbent of a DIFFERENT code version is obsolete —
+    the new sweep is the only valid measurement of the new code and
+    wins even when noisier."""
+    import bench
 
+    _hist_write(tmp_path, [_payload(fp="old", med=0.38, value=190.0)])
+    cur = _payload(fp="new", med=0.55, value=230.0)
+    winner, meta = bench.promote_best(str(tmp_path), cur)
+    assert winner is cur
+    assert meta["promotion_candidates_in_band"] == 0
+
+
+def test_bench_promotion_ignores_other_sf_and_errored_sweeps(tmp_path):
+    """Same-code candidates must also be same-SF (a smaller-scale run
+    is a different measurement, not a cleaner one) and error-free (an
+    error-pruned total is not comparable)."""
+    import bench
+
+    _hist_write(tmp_path, [
+        _payload(med=0.30, value=5.0, sf=0.001),          # other scale
+        _payload(med=0.31, value=150.0,                    # errored sweep
+                 queries={"q": 1.0, "broken": -1.0}),
+    ])
+    cur = _payload(med=0.50, value=230.0)
+    winner, meta = bench.promote_best(str(tmp_path), cur)
+    assert winner is cur
+    assert meta["promotion_candidates_in_band"] == 0
+
+
+def test_bench_promotion_flagged_current_prefers_clean_history(tmp_path):
+    """A sweep still flagged after its retry — by EITHER sentinel —
+    must not displace an in-band same-code artifact (the r8/r9
+    false-clean failure class); with no in-band candidate the flagged
+    sweep is published anyway, flags visible."""
     import bench
 
     here = str(tmp_path)
-    local = tmp_path / "BENCH_LOCAL.json"
-    # prior clean artifact + any_flag (from the microbench): diverts
-    local.write_text(_json.dumps(
-        {"calibration_flag": False, "microbench_calibration_flag": False}
-    ))
-    assert bench.payload_dest(here, True).endswith(
-        "BENCH_LOCAL_FLAGGED.json"
-    )
-    # prior artifact with a flagged MICROBENCH is not clean — a newer
-    # flagged payload may replace it
-    local.write_text(_json.dumps(
-        {"calibration_flag": False, "microbench_calibration_flag": True}
-    ))
-    assert bench.payload_dest(here, True).endswith("BENCH_LOCAL.json")
-    # pre-microbench-era artifact (no microbench key) is clean if the
-    # sweep flag is unset
-    local.write_text(_json.dumps({"calibration_flag": False}))
-    assert bench.payload_dest(here, True).endswith(
-        "BENCH_LOCAL_FLAGGED.json"
-    )
+    clean = _payload(med=0.41, value=212.0)
+    _hist_write(tmp_path, [clean])
+    for flag_field in ("calibration_flag", "microbench_calibration_flag"):
+        flagged = _payload(med=0.39, value=205.0, **{flag_field: True})
+        winner, meta = bench.promote_best(here, flagged)
+        assert winner["value"] == 212.0, flag_field
+        assert meta["promoted_from_history"] is True
+    # no history at all: flagged current is better than nothing
+    _hist_write(tmp_path, [])
+    flagged = _payload(med=0.60, value=260.0, calibration_flag=True)
+    winner, meta = bench.promote_best(here, flagged)
+    assert winner is flagged
+    # flagged HISTORY entries are never candidates either
+    _hist_write(tmp_path, [
+        _payload(med=0.30, value=180.0, calibration_flag=True),
+        _payload(med=0.31, value=181.0, microbench_calibration_flag=True),
+    ])
+    winner, meta = bench.promote_best(here, flagged)
+    assert winner is flagged
+    assert meta["promotion_candidates_in_band"] == 0
+
+
+def test_bench_code_fingerprint_tracks_source(tmp_path):
+    """The fingerprint changes when any measured source file changes
+    and is stable across repeated calls / absolute locations."""
+    import bench
+
+    (tmp_path / "certa_spark").mkdir()
+    (tmp_path / "tools").mkdir()
+    (tmp_path / "certa_spark" / "a.py").write_text("x = 1\n")
+    (tmp_path / "__spark_entry__.py").write_text("y = 2\n")
+    fp1 = bench.code_fingerprint(str(tmp_path))
+    assert fp1 == bench.code_fingerprint(str(tmp_path))
+    (tmp_path / "certa_spark" / "a.py").write_text("x = 3\n")
+    fp2 = bench.code_fingerprint(str(tmp_path))
+    assert fp1 != fp2
+    # a NEW source file changes it too (content moved between files
+    # must not collide: the path is folded into the hash)
+    (tmp_path / "certa_spark" / "b.py").write_text("")
+    assert bench.code_fingerprint(str(tmp_path)) != fp2
+
+
+def test_bench_worst_signal():
+    import bench
+
+    assert bench.worst_signal(0.38, 0.49) == 0.49
+    assert bench.worst_signal(0.5, 0.4) == 0.5
+    assert bench.worst_signal(0.38, None) == 0.38
+    assert bench.worst_signal(None, None) is None
