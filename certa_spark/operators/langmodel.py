@@ -242,37 +242,32 @@ def dsir_resample(
     scans (broadcast model, one wide exchange of per-doc partials);
     the resample adds one map-side key expression and a partial top-k
     (per-partition heaps, then a k-row merge — never a global sort or
-    an unpartitioned window). ``wkey`` rounds to 6 decimals before
-    ranking (cross-engine pow/exp ulp noise cannot reorder), ties to
-    the smaller ``id_col``; strongly negative log-weights underflow
-    ``u^(1/w)`` to exactly 0.0 in every IEEE engine — still ordered,
-    still deterministic.
+    a corpus-sized window: the rank window sees only the k survivors).
+    ``wkey`` rounds to 6 decimals before ranking (cross-engine pow/exp
+    ulp noise cannot reorder), ties to the smaller ``id_col``. The
+    weight clamps at 1e-300 (r11, advice): a log-weight below ~-745
+    underflows ``exp`` to exactly 0.0, and ``1/0.0`` is an engine-
+    semantics question this pipeline refuses to ask — with the clamp
+    both engines compute ``pow(u, 1e300) == 0.0`` deterministically
+    (strongly negative weights still sort last, unchanged).
 
     Returns the selected docs as ``(id_col, n_tokens, dsir_logw,
     rnk, wkey)``, rank 1 = first drawn.
     """
-    from certa_spark.operators.sampling import weighted_sample_keys
+    from certa_spark.operators.sampling import rank_top, weighted_sample_keys
 
     imp = dsir_importance(
         docs, target_pred, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, add_k=add_k,
     )
     keyed = weighted_sample_keys(
-        imp, id_col, F.exp(F.col("dsir_logw")), seed=seed
+        imp, id_col,
+        F.greatest(F.exp(F.col("dsir_logw")), F.lit(1e-300)),
+        seed=seed,
     )
     # partial top-k before any exchange (TakeOrderedAndProject), then
-    # rank the k survivors on the single merged partition — the
-    # doc_weighted_sample pattern: a global row_number window would
-    # single-partition the whole corpus
+    # row_number over the k survivors only
     top = keyed.orderBy(F.col("wkey").desc(), F.col(id_col)).limit(k_docs)
-    return (
-        top.coalesce(1)
-        .sortWithinPartitions(F.col("wkey").desc(), F.col(id_col))
-        .select(
-            id_col,
-            "n_tokens",
-            "dsir_logw",
-            (F.monotonically_increasing_id() + 1).cast("long").alias("rnk"),
-            "wkey",
-        )
+    return rank_top(top, [F.col("wkey").desc(), F.col(id_col)]).select(
+        id_col, "n_tokens", "dsir_logw", "rnk", "wkey"
     )

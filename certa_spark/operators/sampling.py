@@ -148,6 +148,26 @@ def weighted_sample_keys(
     )
 
 
+def rank_top(df: DataFrame, order_by: list[Column], name: str = "rnk") -> DataFrame:
+    """Rank an ALREADY-LIMITED frame (the k survivors of an
+    ``orderBy(...).limit(k)`` partial top-k) with ``row_number()`` —
+    the semantically guaranteed form (r10 advice): the previous
+    ``coalesce(1) + sortWithinPartitions + monotonically_increasing_id``
+    idiom produced the same ranks but hinged on physical-plan details
+    (exactly one partition, the projection not reordered past the
+    sort) rather than an ordering semantic, and
+    ``monotonically_increasing_id`` is documented nondeterministic.
+    The window is unpartitioned BY DESIGN: it only ever sees the k
+    post-limit rows, so the single-partition exchange is k rows, not
+    the corpus. Callers must pass a TOTAL order (tie-break on a key
+    column) or the rank is not reproducible."""
+    from pyspark.sql.window import Window
+
+    return df.withColumn(
+        name, F.row_number().over(Window.orderBy(*order_by)).cast("long")
+    )
+
+
 def duck_weighted_key_sql(key_expr: str, weight_expr: str, seed: int = 0) -> str:
     """DuckDB expression matching :func:`weighted_sample_keys`."""
     h = duck_hash64(key_expr, seed=seed)

@@ -702,17 +702,12 @@ def q_doc_quality(spark, sf_dir) -> DataFrame:
         F.round(TS.punct_ratio(F.col("text")), 6).alias("pr"),
     )
     # top-20 via orderBy+limit (TakeOrderedAndProject) — not a global
-    # row_number window, which would single-partition the corpus. Rank
-    # the 20 survivors without a window at all (an unpartitioned
-    # WindowExec logs a single-partition warning on every run): one
-    # local sort over the survivors, then a per-partition id — exact
-    # row_number semantics on a 1-partition frame.
+    # row_number window, which would single-partition the corpus; the
+    # rank window (sampling.rank_top) sees only the 20 survivors
+    from certa_spark.operators.sampling import rank_top
+
     top = scored.orderBy(F.col("quality").desc(), F.col("doc_id")).limit(20)
-    return (
-        top.coalesce(1)
-        .sortWithinPartitions(F.col("quality").desc(), F.col("doc_id"))
-        .withColumn("rnk", (F.monotonically_increasing_id() + 1).cast("long"))
-    )
+    return rank_top(top, [F.col("quality").desc(), F.col("doc_id")])
 
 
 _Q_DOC_QUALITY_SQL = f"""
@@ -4978,19 +4973,11 @@ def q_doc_weighted_sample(spark, sf_dir) -> DataFrame:
     # partition heaps + one merge; a global row_number window would
     # single-partition the whole corpus — WindowGroupLimit only infers
     # for PARTITIONED windows). The rank window then runs on 50 rows.
+    from certa_spark.operators.sampling import rank_top
+
     top = keyed.orderBy(F.col("wkey").desc(), F.col("doc_id")).limit(50)
-    # rank the 50 survivors without an unpartitioned window (which logs
-    # a single-partition warning every run): local sort + per-partition
-    # id on the 1-partition survivor frame = row_number exactly
-    return (
-        top.coalesce(1)
-        .sortWithinPartitions(F.col("wkey").desc(), F.col("doc_id"))
-        .select(
-            "doc_id",
-            "source",
-            (F.monotonically_increasing_id() + 1).cast("long").alias("rnk"),
-            "wkey",
-        )
+    return rank_top(top, [F.col("wkey").desc(), F.col("doc_id")]).select(
+        "doc_id", "source", "rnk", "wkey"
     )
 
 
@@ -5145,7 +5132,8 @@ def q_doc_dsir_resample(spark, sf_dir) -> DataFrame:
     pipeline runs after scoring. Composes doc_dsir_importance's
     broadcast hashed model unchanged; the draw itself is one map-side
     key expression + a partial top-k (per-partition heaps, k-row
-    merge — no global sort, no unpartitioned window). Deterministic:
+    merge — no global sort; the rank window sees only the 64
+    survivors). Deterministic:
     content-hash uniforms, wkey rounded to 6 before ranking, ties to
     doc_id."""
     from certa_spark.operators.langmodel import dsir_resample
@@ -5163,8 +5151,12 @@ def q_doc_dsir_resample(spark, sf_dir) -> DataFrame:
 def _doc_dsir_resample_sql() -> str:
     from certa_spark.operators.sampling import duck_weighted_key_sql
 
+    # greatest(..., 1e-300) mirrors the Spark-side underflow clamp
+    # (langmodel.dsir_resample): a logw < ~-745 underflows exp to 0.0
+    # and 1/0.0 is an engine-semantics question neither side asks
     wkey = duck_weighted_key_sql(
-        "CAST(doc_id AS VARCHAR)", "exp(dsir_logw)", seed=29
+        "CAST(doc_id AS VARCHAR)", "greatest(exp(dsir_logw), 1e-300)",
+        seed=29,
     )
     return f"""
     WITH imp AS ({_doc_dsir_importance_sql()}),
@@ -8100,8 +8092,8 @@ def q_doc_zipf_slope(spark, sf_dir) -> DataFrame:
     """Zipf's-law fit over the corpus vocabulary: least-squares slope
     of ln(freq) vs ln(rank) for the top-200 words (a natural corpus
     should fit ~ -1; a synthetic or template-heavy one won't). The
-    rank rides the post-limit monotonic-id idiom (no unpartitioned
-    window); the regression sums route ln values rounded to 9dp
+    rank is a row_number over the 200 post-limit survivors (never the
+    corpus; sampling.rank_top); the regression sums route ln values rounded to 9dp
     through DECIMAL so partial-agg order cannot move the fit, and the
     closing slope/intercept expressions are float-identical to the
     oracle's."""
@@ -8113,11 +8105,12 @@ def q_doc_zipf_slope(spark, sf_dir) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    top = (
-        counts.orderBy(F.col("n").desc(), F.col("w")).limit(200)
-        .coalesce(1)
-        .sortWithinPartitions(F.col("n").desc(), F.col("w"))
-        .withColumn("rk", (F.monotonically_increasing_id() + 1).cast("long"))
+    from certa_spark.operators.sampling import rank_top
+
+    top = rank_top(
+        counts.orderBy(F.col("n").desc(), F.col("w")).limit(200),
+        [F.col("n").desc(), F.col("w")],
+        name="rk",
     )
     lx = F.round(F.log(F.col("rk").cast("double")), 9).cast("decimal(12,9)")
     ly = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(12,9)")

@@ -146,7 +146,9 @@ def test_dsir_resample_is_aes_topk_of_importance(spark):
         / float(_GRAIN)
     ).collect()
     keyed = [
-        (round(math.pow(r["_u"], 1.0 / math.exp(r["dsir_logw"])), 6),
+        (round(math.pow(
+            r["_u"], 1.0 / max(math.exp(r["dsir_logw"]), 1e-300)
+         ), 6),
          r["doc_id"])
         for r in imp
     ]
@@ -157,3 +159,61 @@ def test_dsir_resample_is_aes_topk_of_importance(spark):
         docs.repartition(11), pred, k_docs=k, n_buckets=512, seed=29
     ).collect()
     assert [tuple(r) for r in got2] == [tuple(r) for r in got]
+
+
+def test_dsir_resample_weight_underflow_edge(spark):
+    """r11 advice: a log-weight below ~-745 underflows exp() to exactly
+    0.0; without the 1e-300 clamp the wkey becomes pow(u, 1.0/0.0) and
+    the two engines' division-by-zero semantics are no longer a shared
+    contract. Pin the clamped expression to 0.0 on BOTH engines, and
+    pin the end-to-end operator: a pathologically off-target document
+    still ranks (last, wkey 0.0) instead of poisoning the draw."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.langmodel import dsir_resample
+    from certa_spark.operators.sampling import duck_weighted_key_sql
+
+    # expression-level: identical wkey on both engines at logw = -800
+    got_spark = (
+        spark.range(1)
+        .select(
+            F.round(
+                F.pow(
+                    F.lit(0.5),
+                    F.lit(1.0) / F.greatest(F.exp(F.lit(-800.0)),
+                                            F.lit(1e-300)),
+                ),
+                6,
+            ).alias("wkey")
+        )
+        .collect()[0]["wkey"]
+    )
+    # the oracle-side wkey fragment carries the clamped weight and
+    # DuckDB evaluates it (uniform pinned to the same 0.5 as above)
+    frag = duck_weighted_key_sql("'x'", "greatest(exp(-800.0), 1e-300)")
+    assert "greatest(exp(-800.0), 1e-300)" in frag
+    got_duck = duckdb.sql(
+        "SELECT round(pow(0.5, 1.0 / greatest(exp(-800.0), 1e-300)), 6) AS w"
+    ).fetchone()[0]
+    assert got_spark == got_duck == 0.0
+
+    # operator-level: one doc whose term-sum underflows exp (a long
+    # pure-off-target doc) is still drawn when k covers the corpus
+    rows = [
+        (0, "court contract clause binding " * 5, "legal"),
+        (1, "court contract binding " * 3, "web"),
+        (2, "garlic onion stir bake " * 400, "web"),  # strongly negative
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = dsir_resample(
+        docs, F.col("source") == "legal", k_docs=3, n_buckets=64, seed=29
+    ).collect()
+    assert [r["rnk"] for r in got] == [1, 2, 3]
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[2]["dsir_logw"] < 0
+    # the off-target doc sorts last and its wkey is finite (0.0 when
+    # the weight underflowed far enough, never NaN/None)
+    assert got[-1]["wkey"] is not None and got[-1]["wkey"] >= 0.0
