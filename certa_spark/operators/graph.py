@@ -1304,15 +1304,13 @@ def betweenness_approx(
     integer-exact; dependency deltas are doubles (sum order moves them
     ~1e-15 — round before asserting equality across runs).
 
-    Bound, stated rather than guarded (ADVICE r9 low #1): sigma rides
-    the shuffle as ``long`` and Spark's SUM wraps silently past 2^63 —
-    the same failure mode as the local finish's int64, which keeps the
-    two paths value-identical. The local finish guards its copy with a
-    post-BFS scan (see :func:`_betweenness_local`); guarding here
-    would cost one extra aggregate job per BFS level for a pathology
-    (>2^63 shortest paths through one node) that needs an adversarial
-    layered graph, so the distributed path documents the bound
-    instead.
+    Overflow guard (r11, closing ADVICE r9 low #1): sigma rides the
+    shuffle as ``long`` and Spark's SUM wraps silently past 2^63 — the
+    same failure mode as the local finish's int64, which keeps the two
+    paths value-identical. Both paths now fail loudly on the same
+    graphs: a post-BFS scan pins every sigma to [0, 2^50] and a
+    max-degree check certifies no level sum could have wrapped back
+    into the band undetected — two jobs total, not one per level.
     """
     partitions = _default_partitions(edges, partitions)
     sym = (
@@ -1413,6 +1411,39 @@ def betweenness_approx(
                 "max_depth — truncation would bias every bc value, not "
                 "just the tail"
             )
+    # post-BFS sigma overflow guard (r10 verdict ask #7, closing
+    # ADVICE r9 low #1 for the distributed path too): Spark's long SUM
+    # wraps silently past 2^63. Two cheap post-BFS jobs make the scan
+    # airtight by the same induction as the local finish's
+    # (_SIGMA_SAFE): every stored sigma is in [0, 2^50] (a wrap into
+    # [2^63, 2^64) lands NEGATIVE and is caught; true counts above the
+    # band fail loudly, mirroring the local path on the same graph),
+    # and max_sigma * max_degree < 2^63 certifies no level's TRUE sum
+    # could have reached the wrap point from in-band predecessors —
+    # without the fan-in bound a >=8192-way sum of near-band values
+    # could wrap back INTO the band undetected. Level-0 seeds are
+    # sigma=1, so by induction stored == true everywhere.
+    sig = visited.agg(
+        F.max("sigma").alias("mx"), F.min("sigma").alias("mn")
+    ).collect()[0]
+    if sig["mn"] < 0 or sig["mx"] > _SIGMA_SAFE:
+        raise RuntimeError(
+            "betweenness_approx: shortest-path counts left the "
+            f"int64-safe guard band [0, 2^50] (max {sig['mx']}, min "
+            f"{sig['mn']}); sigma would wrap silently past 2^63 — this "
+            "graph needs big-integer path counts, not int64 Brandes"
+        )
+    max_deg = (
+        sym.groupBy("b").agg(F.count("*").alias("d"))
+        .agg(F.max("d")).collect()[0][0]
+    )
+    if int(sig["mx"]) * int(max_deg) >= 1 << 63:
+        raise RuntimeError(
+            "betweenness_approx: max sigma x max degree "
+            f"({sig['mx']} x {max_deg}) reaches the int64 wrap point — "
+            "a level sum could have wrapped back into the guard band "
+            "undetected; this graph needs big-integer path counts"
+        )
     # backward accumulation: deepest level has no successors (delta=0);
     # each round joins level d's (1+delta)/sigma against the adjacency
     # and credits level d-1 predecessors with sigma_v * that ratio

@@ -1400,3 +1400,61 @@ def test_hyperball_local_property_registers_are_exact_ball_maxima():
                 assert mine == want, (r, v)
 
     run()
+
+
+def _layered_edges(width: int, layers: int) -> list[tuple[int, int]]:
+    """Adversarial deep layered graph: node 0 -> w layer-1 nodes, then
+    full bipartite between consecutive layers — sigma at layer d is
+    width^(d-1), the textbook int64-wrap construction."""
+    edges = [(0, 1 + j) for j in range(width)]
+    for d in range(1, layers):
+        lo, hi = 1 + (d - 1) * width, 1 + d * width
+        edges += [(lo + i, hi + j) for i in range(width) for j in range(width)]
+    return edges
+
+
+def test_betweenness_local_sigma_overflow_guard_raises():
+    """r10 verdict ask #7: the local finish's post-BFS sigma scan must
+    fail loudly on a genuine deep layered graph whose path counts
+    leave [0, 2^50] (32^11 = 2^55 at layer 12) — int64 sigma would
+    wrap silently under np.add.at otherwise."""
+    import pandas as pd
+    import pytest
+
+    from certa_spark.operators.graph import _betweenness_local
+
+    pdf = pd.DataFrame(_layered_edges(32, 12), columns=["a", "b"])
+    with pytest.raises(RuntimeError, match="guard band"):
+        _betweenness_local(pdf, max_depth=20)
+    # control: the same construction two layers shallower stays inside
+    # the band (32^9 = 2^45) and completes
+    ids, bc = _betweenness_local(
+        pd.DataFrame(_layered_edges(32, 10), columns=["a", "b"]),
+        max_depth=20,
+    )
+    assert len(ids) == 1 + 10 * 32
+
+
+def test_betweenness_distributed_sigma_overflow_guard_raises(
+    spark, monkeypatch
+):
+    """The distributed path's post-BFS guard (r11, closing ADVICE r9
+    low #1 on both paths) fires on the same layered construction. The
+    band is monkeypatched down so the overflow needs 4 BFS rounds, not
+    12 — the guard arithmetic is identical at any band value."""
+    import pytest
+
+    from certa_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        _layered_edges(4, 4), "src long, dst long"
+    )
+    monkeypatch.setattr(graph, "_SIGMA_SAFE", 50)  # 4^3 = 64 > 50
+    with pytest.raises(RuntimeError, match="guard band"):
+        graph.betweenness_approx(
+            edges, sources=[0], max_depth=10
+        ).collect()
+    # control: the real band passes and the guard leaves values alone
+    monkeypatch.setattr(graph, "_SIGMA_SAFE", 1 << 50)
+    out = graph.betweenness_approx(edges, sources=[0], max_depth=10)
+    assert out.count() == 1 + 4 * 4
