@@ -2520,7 +2520,11 @@ def _stage_events_sentinels(sf_dir: str, raw_schema, sentinels) -> str:
     batch the watermark sits just behind the sentinel, and the
     no-data micro-batch evicts + emits everything real. On a real
     unbounded stream the watermark advances by itself and no sentinel
-    is needed. Caller owns cleanup (shutil.rmtree)."""
+    is needed. Caller owns cleanup (shutil.rmtree) AFTER a successful
+    return; the helper removes the dir itself if staging fails partway
+    (r10 advice: a pa_types KeyError or write failure between mkdtemp
+    and return would otherwise leak the dir — holding a full COPY of
+    events.parquet on the hardlink-fallback path)."""
     import os
     import shutil
     import tempfile
@@ -2531,22 +2535,26 @@ def _stage_events_sentinels(sf_dir: str, raw_schema, sentinels) -> str:
     src = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="certa_stream_stage_")
     try:
-        os.link(src, f"{stage}/events.parquet")
-    except OSError:
-        shutil.copy(src, f"{stage}/events.parquet")
-    pa_types = {
-        "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
-        "float": pa.float32(), "string": pa.string(),
-        "timestamp_ntz": pa.timestamp("us"),
-        "timestamp": pa.timestamp("us", tz="UTC"),
-    }
-    sent_cols = {}
-    for f_ in raw_schema.fields:
-        patype = pa_types[f_.dataType.simpleString()]
-        sent_cols[f_.name] = pa.array(
-            [row.get(f_.name) for row in sentinels], patype
-        )
-    pq.write_table(pa.table(sent_cols), f"{stage}/zz_sentinel.parquet")
+        try:
+            os.link(src, f"{stage}/events.parquet")
+        except OSError:
+            shutil.copy(src, f"{stage}/events.parquet")
+        pa_types = {
+            "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
+            "float": pa.float32(), "string": pa.string(),
+            "timestamp_ntz": pa.timestamp("us"),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        sent_cols = {}
+        for f_ in raw_schema.fields:
+            patype = pa_types[f_.dataType.simpleString()]
+            sent_cols[f_.name] = pa.array(
+                [row.get(f_.name) for row in sentinels], patype
+            )
+        pq.write_table(pa.table(sent_cols), f"{stage}/zz_sentinel.parquet")
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     return stage
 
 

@@ -2113,6 +2113,30 @@ def test_stage_events_sentinels_writes_schema_compatible_rows(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def test_stage_events_sentinels_no_leak_on_failure(spark):
+    """r10 advice: if staging fails BETWEEN mkdtemp and return (e.g. a
+    schema type missing from the pa_types map), the helper must remove
+    its own temp dir — on the hardlink-fallback path the leaked dir
+    would hold a full copy of events.parquet. Caller cleanup only
+    covers post-return."""
+    import glob
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from certa_spark.queries import _stage_events_sentinels
+
+    before = set(glob.glob("/tmp/certa_stream_stage_*"))
+    bad_schema = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.LongType()))]
+    )  # map<...> has no pa_types entry -> KeyError mid-staging
+    with pytest.raises(KeyError):
+        _stage_events_sentinels(
+            "/root/testdata/sf0.001", bad_schema, [{"m": None}]
+        )
+    assert set(glob.glob("/tmp/certa_stream_stage_*")) == before
+
+
 def test_streaming_attribution_outer_under_rocksdb(spark, tmp_path):
     """The outer join's null-emission contract holds unchanged under
     the RocksDB state-store provider (the matched-flag per buffered
