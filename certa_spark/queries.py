@@ -2467,30 +2467,36 @@ def q_events_stream_heavy_hitters(spark, sf_dir) -> DataFrame:
     # above) and pass 2 recounts exactly — this gate never had the
     # single-batch precondition
     _drain_stream(spark, out, sink, "update", single_batch=False)
-    cands = (
-        spark.table(sink)
-        .select(
-            F.date_format("window_start", "yyyy-MM-dd").alias("day"),
-            F.col("item"),
-        )
-        .distinct()
+    # pass-2 shape notes (r11 drain-cost work, -0.6 s min-of-3):
+    # no .distinct() on the candidate side — a left-semi broadcast
+    # build tolerates duplicates (same output, and the distinct was a
+    # full shuffle of the summary rows just to shrink a ~30k-row
+    # broadcast); keys stay DATE-typed through the join/group (int
+    # comparisons, one date_format per OUTPUT row instead of one per
+    # input event)
+    cands = spark.table(sink).select(
+        F.to_date("window_start").alias("d"), F.col("item")
     )
     exact = (
         _events(spark, sf_dir)
         .select(
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.to_date("ts").alias("d"),
             F.col("user_id").cast("string").alias("item"),
         )
-        .join(F.broadcast(cands), ["day", "item"], "left_semi")
-        .groupBy("day", "item")
+        .join(F.broadcast(cands), ["d", "item"], "left_semi")
+        .groupBy("d", "item")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    w = Window.partitionBy("day").orderBy(
+    w = Window.partitionBy("d").orderBy(
         F.col("cnt").desc(), F.col("item").asc()
     )
     return (
         exact.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "item", "cnt", "rank",
+        )
     )
 
 
@@ -2710,20 +2716,41 @@ def _drain_stream(spark, df: DataFrame, sink: str, mode: str,
     folds sort per key on (ts, event_id); tri-scale hashes
     re-verified at 8 when each gate rotated through its window).
 
+    The drain checkpoints to tmpfs (/dev/shm) when available (r11,
+    finishing the r9/r10 drain-cost work): the offset WAL, commit log,
+    and one state-store delta per state partition per micro-batch are
+    all fsynced to the checkpoint dir, and on this host /tmp is ext4 —
+    disk fsyncs were most of the ~1.7 s per-gate driver-side overhead
+    the profiler attributes to no job at all. A finite replay's
+    checkpoint is discarded on return, so RAM durability is exactly
+    right HERE and only here; production streams keep checkpoints on
+    durable shared storage (that durability IS the exactly-once
+    story), and nothing about the operator changes — this is drain
+    harness cost, not plan cost.
+
     ``single_batch=False`` skips the one-data-batch precondition for
     gates whose output is batching-independent by construction
     (stateless in-stream projections)."""
+    import os
+    import shutil
+    import tempfile
+
     spark.catalog.dropTempView(sink)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = None
     try:
-        q = (
+        writer = (
             df.writeStream.format("memory")
             .queryName(sink)
             .outputMode(mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            ckpt = tempfile.mkdtemp(prefix="certa_drain_ckpt_",
+                                    dir="/dev/shm")
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         if not q.awaitTermination(600):
             # a timeout RETURNS False (it does not raise); proceeding
             # would hash a partially-drained memory sink as the result
@@ -2731,6 +2758,8 @@ def _drain_stream(spark, df: DataFrame, sink: str, mode: str,
             raise RuntimeError("streaming drain did not finish in 600s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     if single_batch:
         _assert_single_data_batch(q)
     return q
