@@ -10764,14 +10764,59 @@ _R7_STALE_FIRST: tuple[str, ...] = (
     "doc_chunk_dedup",
 )
 
+# Names gated green by the driver in round 10 (CORRECTNESS_r10.json —
+# the full r10 window, all 50 hash-green).
+_DRIVER_GREEN_R10: frozenset[str] = frozenset(
+    _R10_NEW + _R10_REGATE_BOUNDARY + _R10_REGATE_CHANGED
+    + _R7_STALE_FIRST
+)
+
+# Round-11 window (r10 verdict asks #2/#4/#5/#7): (0) the re-gate
+# tier — every name whose code/plan changed this round: the four
+# post-limit rank sites moved to sampling.rank_top + the DSIR weight
+# underflow clamp (doc_quality, doc_weighted_sample, doc_zipf_slope,
+# doc_dsir_resample), the shared _drain_stream tmpfs checkpoint + the
+# heavy-hitters pass-2 reshape (all nine streaming gates), and the
+# distributed sigma-overflow guard (part_betweenness); (1) the ENTIRE
+# remaining r7-stale tail — 22 names, clearing every pre-r8
+# attestation (verdict ask #4: after r11 the whole registry's latest
+# driver check is r8+); (2) the oldest r8-gated names padding the
+# window to exactly 50 (the r8-stale tail continues in r12).
+_R11_REGATE: tuple[str, ...] = (
+    "doc_quality", "doc_weighted_sample", "doc_zipf_slope",
+    "doc_dsir_resample",
+    "events_stream_heavy_hitters", "events_stream_sessionized",
+    "events_stream_funnel", "events_stream_zscore",
+    "events_stream_attribution", "events_stream_attribution_outer",
+    "events_stream_enrich", "events_stream_ingest_dedup",
+    "doc_stream_minhash_ingest",
+    "part_betweenness",
+)
+_R7_STALE_REMAINING: tuple[str, ...] = (
+    "knn_bruteforce", "embedding_stats", "embedding_quantize",
+    "doc_bm25", "tfidf_topk", "knn_lsh_ann", "minhash_signatures",
+    "simhash", "ngram_jaccard_pairs", "embedding_neardup",
+    "embedding_neardup_blas", "ditto_dk_ner", "part_pagerank_dangling",
+    "shap_token_saliency", "doc_rag_chunks", "er_sorted_neighborhood",
+    "doc_token_budget_mix", "doc_bigram_lm", "part_triangles",
+    "lineitem_skew_report", "orders_quantile_sketch",
+    "cm_heavy_hitters",
+)
+_R8_STALE_FIRST: tuple[str, ...] = (
+    "doc_quality_model", "doc_vocab_coverage", "knn_hard_negatives",
+    "flagship_batch_saliency", "er_fuzzy_levenshtein", "orders_scd2",
+    "orders_psi_drift", "events_resample_ffill", "events_funnel",
+    "events_retention", "orders_snapshot_diff", "events_sliding_hll",
+    "embedding_covariance", "embedding_pca_project",
+)
+
 _GATED: frozenset[str] = (
     _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
     | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7 | _DRIVER_GREEN_R8
-    | _DRIVER_GREEN_R9
+    | _DRIVER_GREEN_R9 | _DRIVER_GREEN_R10
 )
 _FRONT: tuple[str, ...] = (
-    _R10_NEW + _R10_REGATE_BOUNDARY + _R10_REGATE_CHANGED
-    + _R7_STALE_FIRST
+    _R11_REGATE + _R7_STALE_REMAINING + _R8_STALE_FIRST
 )
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
