@@ -484,6 +484,14 @@ def nearest_centroid_col(vec_col: str, cents_col):
     return F.array_sort(cands)[0]["l"]
 
 
+# init oversample size (r11): the driver-side greedy farthest-point
+# init runs over the first max(this, 8k) rows by (xxhash64(id), id).
+# A sample that covers the whole input reproduces the distributed
+# per-pick init bit-for-bit (tests monkeypatch this to force each
+# path); 4096 x dim doubles is a trivially safe driver collect.
+_KMEANS_INIT_SAMPLE = 4096
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -504,9 +512,23 @@ def kmeans_fit(
     seed = the row maximizing distance-to-nearest-chosen, ties to the
     smaller id) — k-means++'s deterministic cousin, which spreads
     seeds across blobs instead of gambling on a hash draw (a same-blob
-    seed pair strands Lloyd in the classic local optimum). Each pick
-    is one TakeOrdered job; at 100 TB run the init on a content-hash
-    sample. Assignment is the shuffle-free argmin of
+    seed pair strands Lloyd in the classic local optimum). The greedy
+    runs DRIVER-SIDE over one content-hash oversample job (r11,
+    verdict ask #6; k-means||'s oversample-then-finish shape): the
+    first ``max(4096, 8k)`` rows by ``(xxhash64(id), id)`` collect
+    once and the k-1 picks are numpy over that sample — replacing k-1
+    sequential TakeOrdered scans (the r10 profile's ~7 init collects)
+    with ONE job. Distances accumulate in the SAME left-to-right
+    fold order as the Spark expression (cumsum, not pairwise sum), so
+    when the sample covers the corpus — every test fixture; any input
+    <= 4096 rows — the seeds are bit-identical to the old per-pick
+    scans (goldens unchanged, asserted by an A/B test). A corpus
+    bigger than the sample gets seeds spread over the SAMPLE's blobs
+    (the standard k-means|| trade); if the sample runs out of
+    distinct vectors before k seeds, the remaining picks FALL BACK to
+    the distributed per-pick scan, which also owns the
+    fewer-than-k-distinct failure. Assignment is the shuffle-free
+    argmin of
     :func:`nearest_centroid_col` against the centroids broadcast as a
     one-row DATA frame (identical arithmetic to the literal twin —
     see :func:`_centroids_frame` for the plan-size/codegen-cache
@@ -528,16 +550,41 @@ def kmeans_fit(
     """
     if k <= 0:
         raise ValueError("kmeans_fit: k must be positive")
+    import numpy as np
+
     spark = df.sparkSession
     base = df.select(id_col, vec_col)
-    first = (
+    # ONE oversample job replaces the first-seed pick AND (normally)
+    # all k-1 greedy picks — see the init paragraph in the docstring
+    sample = (
         base.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(1)
+        .limit(max(_KMEANS_INIT_SAMPLE, 8 * k))
         .collect()
     )
-    if not first:
+    if not sample:
         raise ValueError("kmeans_fit: empty input")
-    centroids = [[float(v) for v in first[0][vec_col]]]
+    sx = np.array(
+        [[float(v) for v in r[vec_col]] for r in sample], dtype=np.float64
+    )
+    sample_ids = [r[id_col] for r in sample]
+    centroids = [[float(v) for v in sx[0]]]
+    # distance-to-nearest-chosen over the sample, accumulated in the
+    # SAME left-to-right order as the Spark fold (cumsum — pairwise
+    # np.sum could flip a near-tie argmax off the distributed twin);
+    # exact-equal max distances break to the smallest id, matching
+    # the distributed orderBy(_d desc, id asc)
+    sd = np.full(len(sample), np.inf)
+    while len(centroids) < k:
+        last = np.asarray(centroids[-1])
+        sd = np.minimum(sd, ((sx - last) ** 2).cumsum(axis=1)[:, -1])
+        mx = float(sd.max())
+        if mx == 0.0:
+            break  # sample exhausted; distributed fallback below
+        far = min(
+            (int(i) for i in np.flatnonzero(sd == mx)),
+            key=lambda i: sample_ids[i],
+        )
+        centroids.append([float(v) for v in sx[far]])
     # every per-iteration plan below carries the centroids as a
     # broadcast DATA column (_centroids_frame), not literals: same
     # arithmetic, O(1) plan size in k*d, and the generated code is
@@ -545,9 +592,11 @@ def kmeans_fit(
     # once (r10 profile: the literal plans spent 6.3 of 8.7 s wall
     # OUTSIDE Spark jobs on per-iteration analysis + recompiles)
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for _ in range(1, k):
-        # distance-to-nearest-chosen: the same zip_with/aggregate
-        # fold per chosen centroid, min over the (data) centroid list
+    for _ in range(len(centroids), k):
+        # distributed per-pick fallback: the sample ran out of
+        # distinct vectors (duplicate-heavy corpus bigger than the
+        # oversample). Same expression as the pre-r11 init; also owns
+        # the genuine fewer-than-k-distinct failure.
         nearest = F.array_min(
             F.transform(
                 F.col("_cents"),

@@ -2073,6 +2073,41 @@ def test_drain_stream_sizes_and_restores_shuffle_partitions(
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+def test_drain_stream_cleans_up_tmpfs_checkpoint(spark, tmp_path):
+    """r11: the drain checkpoints to /dev/shm when available (disk
+    fsyncs of the offset WAL / commit log / state deltas were most of
+    the per-gate driver overhead) and must remove that dir on return —
+    success AND failure — or every gate run leaks state files into
+    RAM-backed tmpfs."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from certa_spark.queries import _drain_stream
+
+    if not (os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        pytest.skip("no /dev/shm on this host")
+    src = str(tmp_path / "ckpt_src")
+    spark.range(50).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    before = set(glob.glob("/dev/shm/certa_drain_ckpt_*"))
+    _drain_stream(spark, agg, "_t_drain_ckpt", "update")
+    assert set(glob.glob("/dev/shm/certa_drain_ckpt_*")) == before
+    with pytest.raises(Exception):
+        _drain_stream(spark, spark.range(5), "_t_drain_ckpt_bad", "append")
+    assert set(glob.glob("/dev/shm/certa_drain_ckpt_*")) == before
+
+
 def test_stage_events_sentinels_writes_schema_compatible_rows(
     spark, tmp_path
 ):

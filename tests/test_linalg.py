@@ -280,3 +280,57 @@ def test_semdedup_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_kmeans_sampled_init_equals_distributed_greedy(spark, monkeypatch):
+    """r11 init cut (verdict ask #6): the driver-side numpy greedy
+    over the content-hash oversample must produce BIT-IDENTICAL
+    centroids to the distributed per-pick scan. Forcing the sample to
+    1 row reproduces the pre-r11 algorithm exactly (the first seed
+    collects, the sample exhausts, every remaining pick goes through
+    the distributed fallback), so the two paths A/B against each
+    other on the same fixture — including the near-tie distances the
+    cumsum ordering note exists for."""
+    from certa_spark.operators import linalg
+
+    df = _blob_df(spark)
+    c_fast, a_fast = linalg.kmeans_fit(df, "embedding", "vec_id", dim=3, k=3)
+    monkeypatch.setattr(linalg, "_KMEANS_INIT_SAMPLE", 1)
+    c_slow, a_slow = linalg.kmeans_fit(df, "embedding", "vec_id", dim=3, k=3)
+    assert c_fast == c_slow
+    assert sorted(map(tuple, a_fast.collect())) == sorted(
+        map(tuple, a_slow.collect())
+    )
+
+
+def test_kmeans_sampled_init_fallback_on_duplicate_heavy_sample(
+    spark, monkeypatch
+):
+    """If the oversample runs out of distinct vectors before k seeds,
+    the remaining picks fall back to the distributed scan and still
+    find seeds the sample missed; a genuinely <k-distinct corpus
+    still raises."""
+    import pytest
+
+    from certa_spark.operators import linalg
+
+    # 40 duplicate rows + 2 distinct outliers: a 3-row sample almost
+    # surely holds duplicates of one vector, so k=3 needs the fallback
+    rows = [(i, [0.0, 0.0, 0.0]) for i in range(40)]
+    rows += [(100, [5.0, 5.0, 5.0]), (101, [-5.0, 0.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    monkeypatch.setattr(linalg, "_KMEANS_INIT_SAMPLE", 3)
+    cents, assign = linalg.kmeans_fit(
+        df, "embedding", "vec_id", dim=3, k=3, iterations=3
+    )
+    assert len({tuple(c) for c in cents}) == 3
+    got = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    assert got[100] != got[0] and got[101] != got[0] and got[100] != got[101]
+    # degenerate corpus: 2 distinct vectors, k=3 -> the fallback owns
+    # the loud failure
+    dup = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        linalg.kmeans_fit(dup, "embedding", "vec_id", dim=3, k=3)
