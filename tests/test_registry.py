@@ -33,65 +33,52 @@ def test_goldens_are_registered_queries():
 def test_rotation_puts_ungated_queries_first():
     """The driver gates the FIRST 50 entries; the rotation must place
     never-driver-gated queries before driver-green ones — otherwise
-    gate coverage silently erodes as the registry grows. Round-10
-    order (r9 verdict asks #1-#3): the two r10 additions (ungated),
-    the r8/r9-BOUNDARY-commit re-gate tier FIRST, then this round's
-    changed-plan tier (widen flips, shared drain helper, graph advice
-    closures), then the oldest r7-stale names. What matters
-    invariantly: every ungated name sits inside the 50-entry window,
-    the window is exactly 50 deep, and the boundary-commit debt is
-    cleared IN FULL this window."""
+    gate coverage silently erodes as the registry grows. Round-11
+    order (r10 verdict asks #2/#4/#5/#7): this round's changed-code
+    re-gate tier FIRST (rank_top sites, all nine streaming gates, the
+    betweenness guard), then the ENTIRE remaining r7-stale tail
+    (clearing every pre-r8 attestation), then the oldest r8-gated
+    pads. What matters invariantly: every ungated name sits inside
+    the 50-entry window, the window is exactly 50 deep, and the
+    r7-stale debt is cleared IN FULL this window."""
     from certa_spark.queries import (
-        _DRIVER_GREEN,
-        _DRIVER_GREEN_R3,
-        _DRIVER_GREEN_R4,
-        _DRIVER_GREEN_R56,
+        _FRONT,
+        _GATED,
+        _R7_STALE_REMAINING,
+        _R8_STALE_FIRST,
+        _R11_REGATE,
         _DRIVER_GREEN_R7,
         _DRIVER_GREEN_R8,
         _DRIVER_GREEN_R9,
-        _FRONT,
-        _R7_STALE_FIRST,
-        _R10_NEW,
-        _R10_REGATE_BOUNDARY,
-        _R10_REGATE_CHANGED,
+        _DRIVER_GREEN_R10,
     )
 
-    gated = (
-        _DRIVER_GREEN | _DRIVER_GREEN_R3 | _DRIVER_GREEN_R4
-        | _DRIVER_GREEN_R56 | _DRIVER_GREEN_R7 | _DRIVER_GREEN_R8
-        | _DRIVER_GREEN_R9
-    )
     names = list(QUERIES)
-    front = (
-        _R10_NEW + _R10_REGATE_BOUNDARY + _R10_REGATE_CHANGED
-        + _R7_STALE_FIRST
-    )
+    front = _R11_REGATE + _R7_STALE_REMAINING + _R8_STALE_FIRST
     assert front == _FRONT
     assert len(front) == 50, "driver window must be exactly 50 deep"
     assert len(set(front)) == 50, "front tier has duplicates"
     assert tuple(names[: len(front)]) == front, "front tier out of order"
-    # the r10 additions are the only never-gated names, and lead
-    assert [n for n in names if n not in gated] == list(_R10_NEW)
-    # the boundary-commit debt (verdict ask #1) is the EXACT 11-name
-    # set the r9 verdict enumerated, and it outranks everything except
-    # the ungated additions
-    assert set(_R10_REGATE_BOUNDARY) == {
-        "part_ktruss", "part_clustering_coeff", "er_golden_record",
-        "neardup_clusters_lsss", "part_pagerank_personalized",
-        "doc_span_dedup", "doc_bpe_merges", "doc_novelty",
-        "minhash_incremental", "curation_pipeline_v2",
-        "doc_source_overlap",
-    }
-    # both re-gate tiers name only previously-driver-green queries
-    for n in _R10_REGATE_BOUNDARY + _R10_REGATE_CHANGED:
-        assert n in gated
-    # the tail pads draw from the r7-stale pool: last gated in r7,
-    # not re-gated since
-    r7_stale = _DRIVER_GREEN_R7 - _DRIVER_GREEN_R8 - _DRIVER_GREEN_R9
-    for n in _R7_STALE_FIRST:
+    # every registry name has a driver-green attestation by now (the
+    # r10 window closed the never-gated set), so the regate tier leads
+    assert [n for n in names if n not in _GATED] == []
+    # the re-gate tier names only previously-driver-green queries
+    for n in _R11_REGATE:
+        assert n in _GATED
+    # the r7-stale rotation is COMPLETE: every name last gated in r7
+    # and not re-gated since is either in this window's stale tier or
+    # in the regate tier
+    r7_stale = (
+        _DRIVER_GREEN_R7 - _DRIVER_GREEN_R8 - _DRIVER_GREEN_R9
+        - _DRIVER_GREEN_R10
+    )
+    assert r7_stale <= set(_R7_STALE_REMAINING) | set(_R11_REGATE)
+    for n in _R7_STALE_REMAINING:
         assert n in r7_stale
-    # every ungated query fits inside the 50-entry driver window
-    ungated = [n for n in names if n not in gated]
-    assert set(ungated) <= set(names[:50]), "ungated query outside window"
+    # the pads draw from the r8-stale pool: last gated in r8, not
+    # re-gated since
+    r8_stale = _DRIVER_GREEN_R8 - _DRIVER_GREEN_R9 - _DRIVER_GREEN_R10
+    for n in _R8_STALE_FIRST:
+        assert n in r8_stale
     # the gated ledgers only name real queries
-    assert gated <= set(QUERIES)
+    assert _GATED <= set(QUERIES)
