@@ -459,7 +459,35 @@ def history_entries(here: str) -> list[dict]:
     return out
 
 
-def promote_best(here: str, current: dict) -> tuple[dict, dict]:
+def publish_dest(here: str, winner: dict) -> str:
+    """Where the published payload goes. A FLAGGED winner (possible
+    only when it is the current sweep and no in-band same-code
+    candidate exists) must not overwrite an in-band BENCH_LOCAL.json
+    of ANY code version: the incumbent's machine-property baselines
+    (calibration_sec, probe medians, microbench sentinel) are
+    code-independent, and replacing them with inflated loaded-host
+    values would let the next run band-check against the inflated
+    baseline and pass as false-clean — the BENCH_r08 failure the old
+    payload_dest guard existed for (r11 review). The flagged payload
+    still goes to stdout (it is the only measurement of its code) and
+    to history + BENCH_LOCAL_FLAGGED."""
+    dest = os.path.join(here, "BENCH_LOCAL.json")
+    if not _payload_in_band(winner) and os.path.exists(dest):
+        try:
+            with open(dest) as f:
+                prev = json.load(f)
+            if not prev.get("calibration_flag") and not prev.get(
+                "microbench_calibration_flag"
+            ):
+                return os.path.join(here, "BENCH_LOCAL_FLAGGED.json")
+        except (OSError, ValueError):
+            pass
+    return dest
+
+
+def promote_best(
+    here: str, current: dict, entries: list[dict] | None = None
+) -> tuple[dict, dict]:
     """Pick the payload to PUBLISH (BENCH_LOCAL.json + the stdout line
     the driver records): among the current sweep and every
     BENCH_HISTORY entry with the SAME code_fingerprint whose both
@@ -471,13 +499,16 @@ def promote_best(here: str, current: dict) -> tuple[dict, dict]:
     anyway (better than nothing), its flags visible. Candidates must
     also match the current sweep's ``sf`` (a smaller-scale run is a
     different measurement, not a cleaner one) and contain no errored
-    (-1) query — an error-pruned total is not comparable. Returns
+    (-1) query — an error-pruned total is not comparable. Pass the
+    already-read history as ``entries`` (the caller appends the
+    current sweep AFTER promotion, so the candidate count never
+    includes the sweep's own history copy — r11 review). Returns
     ``(winner, meta)`` where meta records the rule so the payload says
     how it was chosen."""
     fp = current.get("code_fingerprint")
     candidates = [
         e
-        for e in history_entries(here)
+        for e in (entries if entries is not None else history_entries(here))
         if e.get("code_fingerprint") == fp
         and e.get("sf") == current.get("sf")
         and _payload_in_band(e)
@@ -544,8 +575,10 @@ def main() -> None:
     # the floor is a MACHINE property, not a code property, so it also
     # seeds from every probe median / floor the history log has ever
     # recorded — BENCH_LOCAL alone drops the evidence of a flagged
-    # sweep that happened to observe a lower median (r10 advice #4)
-    for _e in history_entries(here):
+    # sweep that happened to observe a lower median (r10 advice #4).
+    # One read serves both the floor seed and promotion below.
+    history = history_entries(here)
+    for _e in history:
         probe_clean_prev = probe_clean_ref(
             probe_clean_prev,
             _e.get("calibration_probe_median_sec"),
@@ -604,20 +637,21 @@ def main() -> None:
             for k, v in timings.items()
         },
     }
-    # every sweep appends to the history log FIRST — BENCH_LOCAL keeps
-    # only the promoted artifact, and promotion reads the history
+    # r10 verdict ask #1: publish the min-worst-signal in-band sweep
+    # of THIS code version, explicitly, instead of whichever in-band
+    # run happened last (r10's cleanest sweep was silently clobbered
+    # by a noisier-but-in-band rerun). Promotion runs against the
+    # history read above (current sweep NOT yet appended, so the
+    # candidate count is the real prior-sweep count); the current
+    # sweep is then appended unconditionally. The promoted payload is
+    # re-normalized to the freshest floor so a ratchet that happened
+    # after it was recorded still reaches it.
+    winner, promo = promote_best(here, full, history)
     try:
         with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
             f.write(json.dumps(full, separators=(",", ":")) + "\n")
     except OSError:
         pass
-    # r10 verdict ask #1: publish the min-worst-signal in-band sweep
-    # of THIS code version, explicitly, instead of whichever in-band
-    # run happened last (r10's cleanest sweep was silently clobbered
-    # by a noisier-but-in-band rerun). The promoted payload is
-    # re-normalized to the freshest floor so a ratchet that happened
-    # after it was recorded still reaches it.
-    winner, promo = promote_best(here, full)
     if winner is not full:
         winner = dict(winner)
         winner["calibration_probe_clean_sec"] = probe_clean_ref(
@@ -629,11 +663,20 @@ def main() -> None:
             winner.get("calibration_probe_median_sec"),
         )
     winner.update(promo)
+    # a still-flagged winner must not clobber an in-band incumbent's
+    # machine-property baselines — see publish_dest
+    dest = publish_dest(here, winner)
     try:
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        with open(dest, "w") as f:
             f.write(json.dumps(winner, separators=(",", ":")) + "\n")
     except OSError:
         pass
+    if dest.endswith("BENCH_LOCAL_FLAGGED.json"):
+        print(
+            "bench: flagged payload published to stdout only; "
+            "BENCH_LOCAL.json keeps the in-band incumbent's baselines",
+            file=sys.stderr,
+        )
     if promo["promoted_from_history"]:
         # the demoted current sweep stays inspectable (it is also in
         # the history log); FLAGGED now means "latest unpublished"

@@ -487,7 +487,7 @@ def nearest_centroid_col(vec_col: str, cents_col):
 # init oversample size (r11): the driver-side greedy farthest-point
 # init runs over the first max(this, 8k) rows by (xxhash64(id), id).
 # A sample that covers the whole input reproduces the distributed
-# per-pick init bit-for-bit (tests monkeypatch this to force each
+# per-pick init bit-for-bit (tests pass ``init_sample`` to force each
 # path); 4096 x dim doubles is a trivially safe driver collect.
 _KMEANS_INIT_SAMPLE = 4096
 
@@ -500,6 +500,7 @@ def kmeans_fit(
     k: int = 8,
     iterations: int = 5,
     q: int = Q_IN,
+    init_sample: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Deterministic Lloyd k-means over an embedding column — the
     clustering primitive of SemDeDup-style semantic dedup and of IVF
@@ -555,10 +556,17 @@ def kmeans_fit(
     spark = df.sparkSession
     base = df.select(id_col, vec_col)
     # ONE oversample job replaces the first-seed pick AND (normally)
-    # all k-1 greedy picks — see the init paragraph in the docstring
+    # all k-1 greedy picks — see the init paragraph in the docstring.
+    # ``init_sample`` pins the size exactly (tests force the
+    # distributed fallback with 1 — the 8k floor would otherwise
+    # silently widen a small override and the A/B would compare the
+    # sampled path against itself; r11 review finding)
+    m = init_sample if init_sample is not None else max(
+        _KMEANS_INIT_SAMPLE, 8 * k
+    )
     sample = (
         base.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(max(_KMEANS_INIT_SAMPLE, 8 * k))
+        .limit(m)
         .collect()
     )
     if not sample:
@@ -566,6 +574,14 @@ def kmeans_fit(
     sx = np.array(
         [[float(v) for v in r[vec_col]] for r in sample], dtype=np.float64
     )
+    if not np.isfinite(sx).all():
+        # fail loudly with a diagnosable message: a NaN would otherwise
+        # poison the argmax (NaN != NaN empties the tie set) and crash
+        # with an unintelligible empty-sequence min() (r11 review)
+        raise ValueError(
+            "kmeans_fit: non-finite embedding component in the init "
+            "sample — clean the vectors before clustering"
+        )
     sample_ids = [r[id_col] for r in sample]
     centroids = [[float(v) for v in sx[0]]]
     # distance-to-nearest-chosen over the sample, accumulated in the

@@ -2753,7 +2753,11 @@ def _drain_stream(spark, df: DataFrame, sink: str, mode: str,
         q = writer.start()
         if not q.awaitTermination(600):
             # a timeout RETURNS False (it does not raise); proceeding
-            # would hash a partially-drained memory sink as the result
+            # would hash a partially-drained memory sink as the result.
+            # stop() BLOCKS until the execution thread exits
+            # (spark.sql.streaming.stopTimeout defaults to 0 = wait
+            # indefinitely), so the finally below never deletes the
+            # checkpoint out from under a still-running query.
             q.stop()
             raise RuntimeError("streaming drain did not finish in 600s")
     finally:

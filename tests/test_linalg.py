@@ -282,30 +282,32 @@ def test_semdedup_partition_invariant(spark):
     assert a == b
 
 
-def test_kmeans_sampled_init_equals_distributed_greedy(spark, monkeypatch):
+def test_kmeans_sampled_init_equals_distributed_greedy(spark):
     """r11 init cut (verdict ask #6): the driver-side numpy greedy
     over the content-hash oversample must produce BIT-IDENTICAL
-    centroids to the distributed per-pick scan. Forcing the sample to
-    1 row reproduces the pre-r11 algorithm exactly (the first seed
-    collects, the sample exhausts, every remaining pick goes through
-    the distributed fallback), so the two paths A/B against each
-    other on the same fixture — including the near-tie distances the
-    cumsum ordering note exists for."""
+    centroids to the distributed per-pick scan. ``init_sample=1``
+    reproduces the pre-r11 algorithm exactly (the first seed
+    collects, the 1-row sample exhausts immediately, every remaining
+    pick goes through the distributed fallback), so the two paths A/B
+    against each other on the same fixture — including the near-tie
+    distances the cumsum ordering note exists for. (The override is a
+    kmeans_fit parameter, not a monkeypatched constant: the 8k floor
+    silently widened a patched constant back to 24 rows and the A/B
+    compared the sampled path against itself — r11 review finding.)"""
     from certa_spark.operators import linalg
 
     df = _blob_df(spark)
     c_fast, a_fast = linalg.kmeans_fit(df, "embedding", "vec_id", dim=3, k=3)
-    monkeypatch.setattr(linalg, "_KMEANS_INIT_SAMPLE", 1)
-    c_slow, a_slow = linalg.kmeans_fit(df, "embedding", "vec_id", dim=3, k=3)
+    c_slow, a_slow = linalg.kmeans_fit(
+        df, "embedding", "vec_id", dim=3, k=3, init_sample=1
+    )
     assert c_fast == c_slow
     assert sorted(map(tuple, a_fast.collect())) == sorted(
         map(tuple, a_slow.collect())
     )
 
 
-def test_kmeans_sampled_init_fallback_on_duplicate_heavy_sample(
-    spark, monkeypatch
-):
+def test_kmeans_sampled_init_fallback_on_duplicate_heavy_sample(spark):
     """If the oversample runs out of distinct vectors before k seeds,
     the remaining picks fall back to the distributed scan and still
     find seeds the sample missed; a genuinely <k-distinct corpus
@@ -319,9 +321,8 @@ def test_kmeans_sampled_init_fallback_on_duplicate_heavy_sample(
     rows = [(i, [0.0, 0.0, 0.0]) for i in range(40)]
     rows += [(100, [5.0, 5.0, 5.0]), (101, [-5.0, 0.0, 3.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    monkeypatch.setattr(linalg, "_KMEANS_INIT_SAMPLE", 3)
     cents, assign = linalg.kmeans_fit(
-        df, "embedding", "vec_id", dim=3, k=3, iterations=3
+        df, "embedding", "vec_id", dim=3, k=3, iterations=3, init_sample=3
     )
     assert len({tuple(c) for c in cents}) == 3
     got = {r["vec_id"]: r["cluster"] for r in assign.collect()}
@@ -334,3 +335,20 @@ def test_kmeans_sampled_init_fallback_on_duplicate_heavy_sample(
     )
     with pytest.raises(ValueError, match="distinct"):
         linalg.kmeans_fit(dup, "embedding", "vec_id", dim=3, k=3)
+
+
+def test_kmeans_rejects_non_finite_vectors(spark):
+    """A NaN embedding component must fail loudly at init (r11
+    review: it would otherwise empty the argmax tie set — NaN != NaN
+    — and crash with an unintelligible min() error)."""
+    import pytest
+
+    from certa_spark.operators import linalg
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [float("nan"), 1.0, 0.0]),
+         (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        linalg.kmeans_fit(df, "embedding", "vec_id", dim=3, k=2)

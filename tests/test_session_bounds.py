@@ -433,3 +433,36 @@ def test_bench_worst_signal():
     assert bench.worst_signal(0.5, 0.4) == 0.5
     assert bench.worst_signal(0.38, None) == 0.38
     assert bench.worst_signal(None, None) is None
+
+
+def test_bench_flagged_winner_preserves_inband_baselines(tmp_path):
+    """r11 review: a flagged winner (current sweep, no in-band
+    same-code candidate — e.g. first run after a code change on a
+    loaded host) must not overwrite an in-band BENCH_LOCAL.json of
+    ANY code version: the incumbent's machine-property baselines are
+    code-independent, and replacing them would let the next run
+    band-check against inflated values and pass false-clean."""
+    import json as _json
+
+    import bench
+
+    here = str(tmp_path)
+    local = tmp_path / "BENCH_LOCAL.json"
+    flagged = _payload(fp="new", med=0.9, calibration_flag=True)
+    # no incumbent: flagged publishes to BENCH_LOCAL (better than nothing)
+    assert bench.publish_dest(here, flagged).endswith("BENCH_LOCAL.json")
+    # in-band incumbent of a DIFFERENT code version: preserved
+    local.write_text(_json.dumps(_payload(fp="old")))
+    assert bench.publish_dest(here, flagged).endswith(
+        "BENCH_LOCAL_FLAGGED.json"
+    )
+    # flagged incumbent: replaceable
+    local.write_text(_json.dumps(
+        _payload(fp="old", microbench_calibration_flag=True)
+    ))
+    assert bench.publish_dest(here, flagged).endswith("BENCH_LOCAL.json")
+    # in-band winner always publishes to BENCH_LOCAL
+    local.write_text(_json.dumps(_payload(fp="old")))
+    assert bench.publish_dest(here, _payload(fp="new")).endswith(
+        "BENCH_LOCAL.json"
+    )
