@@ -854,3 +854,79 @@ def knn_ivfpq_adc(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "adist")
     )
+
+
+def knn_ivfpq_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    shortlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — IVF-PQ ADC shortlist, then exact rerank
+    (the production serving shape: FAISS IndexRefineFlat over IVFPQ).
+    Stage 1 shortlists ``shortlist`` candidates per probe with
+    :func:`knn_ivfpq_adc` — code arithmetic only, no full-dimension
+    math touches the corpus. Stage 2 re-scores ONLY the shortlist
+    against the full-dimension vectors and keeps the exact-squared-L2
+    top ``k`` (ties to the lowest neighbor id).
+
+    Scale shape: the shortlist is probes x shortlist rows — tiny by
+    construction — so stage 2 is a BROADCAST hash join of the
+    shortlist against the corpus scan plus one per-probe top-k
+    window over <= shortlist rows. Full vectors of non-shortlisted
+    rows never leave the scan stage; stage-2 compute is
+    O(probes x shortlist x dim) regardless of corpus size, which is
+    what makes refine affordable at 100 TB while repairing the PQ
+    quantization error ADC alone cannot (rank inversions inside the
+    shortlist are undone; misses OUTSIDE it are the recall budget the
+    shortlist size buys).
+
+    Returns (probe_id, neighbor_id, rank, dist, adist): ``dist`` the
+    exact rounded squared-L2 that ordered the final top-k, ``adist``
+    the stage-1 approximation kept so recall/IO audits can compare
+    the two orderings row-for-row.
+    """
+    short = knn_ivfpq_adc(
+        corpus,
+        probes,
+        centroids,
+        codebooks,
+        k=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("_pv"),
+    )
+    exact = (
+        cv.join(
+            F.broadcast(short.select("probe_id", "neighbor_id", "adist")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(pv), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "adist",
+            _d2(F.col("_pv"), F.col("_cv")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "dist", "adist")
+    )

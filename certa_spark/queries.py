@@ -1903,6 +1903,7 @@ _Q_KNN_LSH_SQL = f"""
 
 _IVF_CELLS = 8
 _IVF_NPROBE = 2
+_RERANK_SHORTLIST = 10
 
 
 def q_knn_ivf_ann(spark, sf_dir) -> DataFrame:
@@ -9740,19 +9741,12 @@ _Q_DOC_TOKEN_HH_SQL = """
 """
 
 
-def q_knn_ivfpq(spark, sf_dir) -> DataFrame:
-    """IVF-PQ composite ANN (similarity.knn_ivfpq_adc — the FAISS
-    IVFPQ production shape): argmin-L2 coarse cells from the 8
-    lowest-id vectors, residual x - c(cell) PQ-encoded against
-    codebooks built from the 16 lowest-id vectors' OWN residuals
+def _ivfpq_seed(e: DataFrame) -> tuple[list, list]:
+    """Deterministic IVF-PQ model seed shared by the ivfpq gates:
+    coarse centroids = the 8 lowest-id vectors, PQ codebooks = the 16
+    lowest-id vectors' OWN residuals to their argmin-L2 cell
     (deterministic stand-in for the per-subspace k-means trainer —
-    linalg.kmeans_fit is where both would come from at 100 TB), ADC
-    over each probe's 2 nearest cells. Both composite halves already
-    pass their solo gates (knn_ivf_ann, knn_pq_adc); this gates the
-    residual plumbing that joins them."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    linalg.kmeans_fit is where both would come from at 100 TB)."""
     cent = [
         list(r["embedding"])
         for r in e.filter(F.col("vec_id") < _IVF_CELLS)
@@ -9791,23 +9785,66 @@ def q_knn_ivfpq(spark, sf_dir) -> DataFrame:
         [list(r["r"])[s * _PQ_DSUB : (s + 1) * _PQ_DSUB] for r in seed]
         for s in range(_PQ_M)
     ]
+    return cent, codebooks
+
+
+def q_knn_ivfpq(spark, sf_dir) -> DataFrame:
+    """IVF-PQ composite ANN (similarity.knn_ivfpq_adc — the FAISS
+    IVFPQ production shape): argmin-L2 coarse cells and residual PQ
+    codebooks from the deterministic `_ivfpq_seed`, ADC over each
+    probe's 2 nearest cells. Both composite halves already pass their
+    solo gates (knn_ivf_ann, knn_pq_adc); this gates the residual
+    plumbing that joins them."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent, codebooks = _ivfpq_seed(e)
     probes = e.filter(F.col("vec_id") % 101 == 0)
     return SIM.knn_ivfpq_adc(
         e, probes, cent, codebooks, k=_PQ_K, nprobe=_IVF_NPROBE
     )
 
 
-def _q_knn_ivfpq_sql() -> str:
-    m, dsub, k = _PQ_M, _PQ_DSUB, _PQ_K
+def q_knn_ivfpq_rerank(spark, sf_dir) -> DataFrame:
+    """Two-stage retrieval (similarity.knn_ivfpq_rerank — the FAISS
+    IVFPQ+refine serving shape): the SAME deterministic IVF-PQ model
+    as knn_ivfpq shortlists 10 candidates per probe on code
+    arithmetic alone, then ONLY the shortlist is re-scored against
+    the full-dimension vectors and the exact-squared-L2 top 3 kept.
+    Gates the stage-2 plumbing the solo ADC gate cannot: the
+    broadcast shortlist-vs-corpus rejoin and the exact-vs-approximate
+    rank repair (adist rides along so the two orderings are auditable
+    row-for-row)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent, codebooks = _ivfpq_seed(e)
+    probes = e.filter(F.col("vec_id") % 101 == 0)
+    return SIM.knn_ivfpq_rerank(
+        e, probes, cent, codebooks,
+        k=_PQ_K, shortlist=_RERANK_SHORTLIST, nprobe=_IVF_NPROBE,
+    )
+
+
+def _duck_d2full(a: str, b: str) -> str:
+    """DuckDB twin of similarity._d2 on full-dimension vectors (same
+    left-to-right fold, per-element DOUBLE casts, round 6)."""
+    return (
+        f"round(list_aggregate(list_transform(range(1, len({a}) + 1),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),"
+        f" 'sum'), 6)"
+    )
+
+
+def _ivfpq_adc_cte() -> str:
+    """The shared IVF-PQ oracle pipeline (cell assignment → residual
+    codes → probe distance tables → ADC scores), ending in the `adc`
+    CTE — the two ivfpq gates differ only in what they select from it."""
+    m, dsub = _PQ_M, _PQ_DSUB
     nc, npr = _IVF_CELLS, _IVF_NPROBE
 
-    def d2full(a: str, b: str) -> str:
-        return (
-            f"round(list_aggregate(list_transform(range(1, len({a}) + 1),"
-            f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),"
-            f" 'sum'), 6)"
-        )
+    d2full = _duck_d2full
 
     def d2res(v: str, vc: str, w: str, wc: str) -> str:
         # residual-vs-residual squared L2 on subspace `sub`, spelled as
@@ -9825,8 +9862,7 @@ def _q_knn_ivfpq_sql() -> str:
         )
         return f"round(0.0 + {terms}, 6)"
 
-    return f"""
-    WITH cent AS (
+    return f"""cent AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                    AS cell_id,
                embedding AS cvec
@@ -9875,14 +9911,46 @@ def _q_knn_ivfpq_sql() -> str:
                    AS adist
         FROM codes c JOIN dist d USING (cell_id, sub, code)
         GROUP BY 1, 2
-    )
+    )"""
+
+
+def _q_knn_ivfpq_sql() -> str:
+    return f"""
+    WITH {_ivfpq_adc_cte()}
     SELECT probe_id, neighbor_id,
            CAST(row_number() OVER (PARTITION BY probe_id
                                    ORDER BY adist, neighbor_id) AS INT)
                AS rank,
            adist
     FROM adc
-    QUALIFY rank <= {k}
+    QUALIFY rank <= {_PQ_K}
+    """
+
+
+def _q_knn_ivfpq_rerank_sql() -> str:
+    return f"""
+    WITH {_ivfpq_adc_cte()},
+    short AS (
+        SELECT probe_id, neighbor_id, adist
+        FROM adc
+        QUALIFY row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY adist, neighbor_id)
+                <= {_RERANK_SHORTLIST}
+    ),
+    rr AS (
+        SELECT s.probe_id, s.neighbor_id, s.adist,
+               {_duck_d2full('p.embedding', 'n.embedding')} AS dist
+        FROM short s
+        JOIN embeddings n ON n.vec_id = s.neighbor_id
+        JOIN embeddings p ON p.vec_id = s.probe_id
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dist, neighbor_id) AS INT)
+               AS rank,
+           dist, adist
+    FROM rr
+    QUALIFY rank <= {_PQ_K}
     """
 
 
@@ -10334,6 +10402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_url_dedup": q_doc_url_dedup,
     "part_louvain": q_part_louvain,
     "knn_ivfpq": q_knn_ivfpq,
+    "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
     "doc_domain_cap": q_doc_domain_cap,
     "events_quantile_kll": q_events_quantile_kll,
@@ -10786,6 +10855,12 @@ _DRIVER_GREEN_R10: frozenset[str] = frozenset(
 # attestation (verdict ask #4: after r11 the whole registry's latest
 # driver check is r8+); (2) the oldest r8-gated names padding the
 # window to exactly 50 (the r8-stale tail continues in r12).
+# Queries ADDED this round — never driver-gated, so they lead the
+# window (one r8-stale pad each gives way; the r8 tail continues in
+# r12 regardless).
+_R11_NEW: tuple[str, ...] = (
+    "knn_ivfpq_rerank",
+)
 _R11_REGATE: tuple[str, ...] = (
     "doc_quality", "doc_weighted_sample", "doc_zipf_slope",
     "doc_dsir_resample",
@@ -10811,7 +10886,7 @@ _R8_STALE_FIRST: tuple[str, ...] = (
     "flagship_batch_saliency", "er_fuzzy_levenshtein", "orders_scd2",
     "orders_psi_drift", "events_resample_ffill", "events_funnel",
     "events_retention", "orders_snapshot_diff", "events_sliding_hll",
-    "embedding_covariance", "embedding_pca_project",
+    "embedding_covariance",
 )
 
 _GATED: frozenset[str] = (
@@ -10820,7 +10895,7 @@ _GATED: frozenset[str] = (
     | _DRIVER_GREEN_R9 | _DRIVER_GREEN_R10
 )
 _FRONT: tuple[str, ...] = (
-    _R11_REGATE + _R7_STALE_REMAINING + _R8_STALE_FIRST
+    _R11_NEW + _R11_REGATE + _R7_STALE_REMAINING + _R8_STALE_FIRST
 )
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
@@ -11019,6 +11094,7 @@ ORACLES: dict[str, str] = {
     "part_louvain": _Q_PART_LOUVAIN_GOLDEN_SQL,
     "part_betweenness": _Q_PART_BETWEENNESS_GOLDEN_SQL,
     "knn_ivfpq": _q_knn_ivfpq_sql(),
+    "knn_ivfpq_rerank": _q_knn_ivfpq_rerank_sql(),
     "doc_token_heavy_hitters": _Q_DOC_TOKEN_HH_SQL,
     "doc_domain_cap": _q_doc_domain_cap_sql(),
     "events_quantile_kll": _Q_EVENTS_QUANTILE_KLL_SQL,

@@ -2242,3 +2242,90 @@ def test_streaming_enrich_join_batch_boundary_independent(
         tuple(r) for r in batch.join(F.broadcast(dim), "user_id").collect()
     )
     assert got == want
+
+
+def test_ivfpq_rerank_repairs_adc_order(spark):
+    """Two-stage refine: (1) the final top-k is EXACTLY the exact-L2
+    top-k computed over the ADC shortlist (rank inversions inside the
+    shortlist are undone); (2) with the shortlist covering every
+    candidate in the probed cells, rerank == brute-force exact L2
+    over those cells; (3) dist is the true squared L2, adist rides
+    along from stage 1; (4) deterministic under repartition."""
+    import random
+
+    from certa_spark.operators.similarity import (
+        knn_ivfpq_adc,
+        knn_ivfpq_rerank,
+    )
+
+    rnd = random.Random(7)
+
+    def vec(center):
+        return [center + rnd.uniform(-0.5, 0.5) for _ in range(16)]
+
+    rows = [(i, vec(0.0)) for i in range(24)] + [
+        (i, vec(5.0)) for i in range(24, 48)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [rows[0][1], rows[24][1]]
+
+    def resid(v, c):
+        return [x - y for x, y in zip(v, c)]
+
+    cb_vecs = [
+        resid(rows[1][1], centroids[0]),
+        resid(rows[2][1], centroids[0]),
+        resid(rows[25][1], centroids[1]),
+        resid(rows[26][1], centroids[1]),
+    ]
+    codebooks = [[v[s * 4 : (s + 1) * 4] for v in cb_vecs] for s in range(4)]
+    probes = df.filter(F.col("vec_id").isin(0, 30))
+
+    short = knn_ivfpq_adc(
+        df, probes, centroids, codebooks, k=8, nprobe=1
+    ).collect()
+    out = knn_ivfpq_rerank(
+        df, probes, centroids, codebooks, k=3, shortlist=8, nprobe=1
+    )
+    got = out.collect()
+
+    by_vec = dict(rows)
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    for p in (0, 30):
+        sl = [r["neighbor_id"] for r in short if r["probe_id"] == p]
+        # exact rerank over the shortlist, ties to lowest id
+        want = sorted(
+            ((d2(by_vec[p], by_vec[n]), n) for n in sl)
+        )[:3]
+        mine = sorted(
+            (r["rank"], r["neighbor_id"], r["dist"], r["adist"])
+            for r in got
+            if r["probe_id"] == p
+        )
+        assert [(n, d) for _, n, d, _ in mine] == [
+            (n, d) for d, n in want
+        ]
+        # adist is stage-1's score for the same (probe, neighbor)
+        adist_short = {
+            (r["probe_id"], r["neighbor_id"]): r["adist"] for r in short
+        }
+        for _, n, _, a in mine:
+            assert a == adist_short[(p, n)]
+
+    # nprobe=1 on separated clusters: results stay in the probe's cell
+    assert all(
+        (r["neighbor_id"] < 24) == (r["probe_id"] == 0) for r in got
+    )
+
+    # determinism under repartition
+    got2 = knn_ivfpq_rerank(
+        df.repartition(5), probes, centroids, codebooks,
+        k=3, shortlist=8, nprobe=1,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))

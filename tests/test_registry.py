@@ -46,6 +46,7 @@ def test_rotation_puts_ungated_queries_first():
         _GATED,
         _R7_STALE_REMAINING,
         _R8_STALE_FIRST,
+        _R11_NEW,
         _R11_REGATE,
         _DRIVER_GREEN_R7,
         _DRIVER_GREEN_R8,
@@ -54,14 +55,16 @@ def test_rotation_puts_ungated_queries_first():
     )
 
     names = list(QUERIES)
-    front = _R11_REGATE + _R7_STALE_REMAINING + _R8_STALE_FIRST
+    front = _R11_NEW + _R11_REGATE + _R7_STALE_REMAINING + _R8_STALE_FIRST
     assert front == _FRONT
     assert len(front) == 50, "driver window must be exactly 50 deep"
     assert len(set(front)) == 50, "front tier has duplicates"
     assert tuple(names[: len(front)]) == front, "front tier out of order"
-    # every registry name has a driver-green attestation by now (the
-    # r10 window closed the never-gated set), so the regate tier leads
-    assert [n for n in names if n not in _GATED] == []
+    # the r10 window closed the never-gated set, so the only ungated
+    # names are this round's additions — and they lead the window
+    assert {n for n in names if n not in _GATED} == set(_R11_NEW)
+    for n in _R11_NEW:
+        assert n not in _GATED
     # the re-gate tier names only previously-driver-green queries
     for n in _R11_REGATE:
         assert n in _GATED
