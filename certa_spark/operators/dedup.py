@@ -330,6 +330,56 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    est_threshold: float = 0.25,
+    true_threshold: float = 0.6,
+    k: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Two-stage near-dup join: LSH banding candidates, then EXACT
+    shingle-set Jaccard verification (the shape production dedup
+    pipelines run — banding proposes, verification decides; the
+    estimate alone carries signature-variance false positives that a
+    k-hash signature cannot remove).
+
+    Stage 1 is :func:`minhash_lsh_pairs` with a LOOSE estimate gate —
+    banding already bounds the candidate count, the loose gate only
+    sheds obvious noise. Stage 2 re-joins ONLY the candidates against
+    the per-doc distinct shingle sets and keeps pairs whose TRUE
+    Jaccard clears ``true_threshold``.
+
+    Scale shape: both stage-2 lookups are broadcast hash joins against
+    the map-side shingle frame — first the candidate id pairs
+    (bounded by banding), then the candidates re-armed with side-a's
+    shingle set; docs never pair up outside stage 1 and full shingle
+    sets of non-candidate docs never leave their scan. Exact
+    verification costs O(candidates x shingles), not O(pairs) — the
+    same cheap-propose / exact-verify economics as IVFPQ+refine.
+    Returns (doc_id_a, doc_id_b, est_jaccard, jaccard).
+    """
+    cand = minhash_lsh_pairs(
+        docs, text_col, id_col, threshold=est_threshold, k=k, bands=bands, n=n
+    )
+    sh = docs.select(
+        F.col(id_col).alias("_vid"), shingles(F.col(text_col), n).alias("_vsh")
+    )
+    sha = sh.select(F.col("_vid").alias("doc_id_a"), F.col("_vsh").alias("_sha"))
+    shb = sh.select(F.col("_vid").alias("doc_id_b"), F.col("_vsh").alias("_shb"))
+    va = sha.join(F.broadcast(cand), "doc_id_a")
+    return (
+        shb.join(F.broadcast(va), "doc_id_b")
+        .withColumn(
+            "jaccard", F.round(jaccard(F.col("_sha"), F.col("_shb")), 6)
+        )
+        .filter(F.col("jaccard") >= true_threshold)
+        .select("doc_id_a", "doc_id_b", "est_jaccard", "jaccard")
+    )
+
+
 def chunk_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -1817,8 +1817,9 @@ def _duck_band_hash(rows: int = 4) -> str:
     return duck_hash32(band_concat)
 
 
-_Q_MINHASH_LSH_SQL = f"""
-    WITH base AS (
+# the shared test corpus of the minhash near-dup gates: every 5th doc
+# plus a last-token-dropped variant (guaranteed near-dups)
+_MINHASH_CORPUS_CTES = """base AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
     ),
     corpus AS (
@@ -1827,7 +1828,18 @@ _Q_MINHASH_LSH_SQL = f"""
         SELECT doc_id + 100000 AS doc_id,
                regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
         FROM base
-    ),
+    )"""
+
+
+def _minhash_lsh_pairs_sql(
+    threshold: float = 0.5, corpus: str = _MINHASH_CORPUS_CTES
+) -> str:
+    est = (
+        f"round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),"
+        f" i -> sa[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6)"
+    )
+    return f"""
+    WITH {corpus},
     sigs AS (
         SELECT doc_id, {DD.duck_minhash_signature('text')} AS sig FROM corpus
     ),
@@ -1841,13 +1853,82 @@ _Q_MINHASH_LSH_SQL = f"""
         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
         WHERE a.doc_id < b.doc_id
     )
-    SELECT doc_id_a, doc_id_b,
-           round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
-                 i -> sa[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) AS est_jaccard
+    SELECT doc_id_a, doc_id_b, {est} AS est_jaccard
     FROM cand
-    WHERE round(CAST(len(list_filter(range(1, {DD.N_MINHASH} + 1),
-          i -> sa[i] = sb[i])) AS DOUBLE) / {DD.N_MINHASH}, 6) >= 0.5
+    WHERE {est} >= {threshold}
 """
+
+
+_Q_MINHASH_LSH_SQL = _minhash_lsh_pairs_sql()
+
+
+# the verified-neardup gate's corpus adds a THIRD class: prefix-45%
+# truncations (+200000), whose true shingle Jaccard vs the original
+# (~0.45 — variant shingles are a subset, J ~ kept fraction) sits
+# BELOW the 0.6 verify gate while banding still proposes many of them
+# (P(candidate) = 1-(1-J^rows)^bands ~ 15% at J=0.45) — so the verify
+# stage provably kills false positives here, not just re-scores
+_VERIFIED_CORPUS_CTES = """base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
+        FROM base
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+               substr(text, 1,
+                      CAST(floor(length(text) * 0.45) AS INT)) AS text
+        FROM base
+    )"""
+
+
+def q_doc_neardup_verified(spark, sf_dir) -> DataFrame:
+    """Two-stage near-dup join (dedup.lsh_verified_pairs): MinHash-LSH
+    banding proposes candidates through a LOOSE estimate gate (0.25),
+    exact shingle-set Jaccard >= 0.6 decides — the propose/verify
+    shape production dedup pipelines run. Corpus = the
+    minhash_lsh_neardup seed PLUS prefix-45% truncations, a class
+    banding proposes but verification must kill (true J ~ 0.45 < 0.6),
+    so the gate covers the disagreement path, not just a re-score.
+    Both scores ride along so est-vs-true audits are row-for-row."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    variant = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    trunc = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.45) as int))"
+        ).alias("text"),
+    )
+    corpus = widen_if_narrow(d.unionByName(variant).unionByName(trunc))
+    return DD.lsh_verified_pairs(
+        corpus, est_threshold=0.25, true_threshold=0.6
+    )
+
+
+def _q_doc_neardup_verified_sql() -> str:
+    jac = f"round({DD.duck_jaccard('a.sh', 'b.sh')}, 6)"
+    return f"""
+    WITH est AS ({_minhash_lsh_pairs_sql(0.25, corpus=_VERIFIED_CORPUS_CTES)}),
+    {_VERIFIED_CORPUS_CTES},
+    sh AS (
+        SELECT doc_id, {DD.duck_shingles('text')} AS sh FROM corpus
+    )
+    SELECT e.doc_id_a, e.doc_id_b, e.est_jaccard, {jac} AS jaccard
+    FROM est e
+    JOIN sh a ON a.doc_id = e.doc_id_a
+    JOIN sh b ON b.doc_id = e.doc_id_b
+    WHERE {jac} >= 0.6
+    """
 
 
 # deterministic hyperplanes shared verbatim by Spark and the oracle
@@ -10264,6 +10345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25": q_doc_bm25,
     "tfidf_topk": q_tfidf_topk,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "doc_neardup_verified": q_doc_neardup_verified,
     "knn_lsh_ann": q_knn_lsh_ann,
     "knn_ivf_ann": q_knn_ivf_ann,
     "knn_pq_adc": q_knn_pq_adc,
@@ -10860,6 +10942,7 @@ _DRIVER_GREEN_R10: frozenset[str] = frozenset(
 # r12 regardless).
 _R11_NEW: tuple[str, ...] = (
     "knn_ivfpq_rerank",
+    "doc_neardup_verified",
 )
 _R11_REGATE: tuple[str, ...] = (
     "doc_quality", "doc_weighted_sample", "doc_zipf_slope",
@@ -10886,7 +10969,6 @@ _R8_STALE_FIRST: tuple[str, ...] = (
     "flagship_batch_saliency", "er_fuzzy_levenshtein", "orders_scd2",
     "orders_psi_drift", "events_resample_ffill", "events_funnel",
     "events_retention", "orders_snapshot_diff", "events_sliding_hll",
-    "embedding_covariance",
 )
 
 _GATED: frozenset[str] = (
@@ -10954,6 +11036,7 @@ ORACLES: dict[str, str] = {
     "doc_bm25": _q_doc_bm25_sql(),
     "tfidf_topk": _q_tfidf_sql(),
     "minhash_lsh_neardup": _Q_MINHASH_LSH_SQL,
+    "doc_neardup_verified": _q_doc_neardup_verified_sql(),
     "knn_lsh_ann": _Q_KNN_LSH_SQL,
     "knn_ivf_ann": _Q_KNN_IVF_SQL,
     "knn_pq_adc": _q_knn_pq_adc_sql(),

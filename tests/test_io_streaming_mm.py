@@ -235,6 +235,71 @@ def test_minhash_lsh_finds_exact_dup(spark):
     ]
 
 
+def test_lsh_verified_pairs_kills_banding_false_positives(spark):
+    """Propose/verify contract: (1) a pair banding proposes whose TRUE
+    shingle Jaccard is below the gate is in the candidate set but NOT
+    the verified output; (2) a genuine near-dup survives with the
+    exact Jaccard value; (3) est_jaccard rides through unchanged from
+    stage 1; (4) deterministic under repartition."""
+    from certa_spark.operators.dedup import (
+        jaccard,
+        lsh_verified_pairs,
+        minhash_lsh_pairs,
+        shingles,
+    )
+
+    # base/prefix chosen so the FIXED hash seeds band-collide at true
+    # J = 0.5 (deterministic false positive — no randomness anywhere)
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    prefix = " ".join(base.split()[:11])
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " omega"),  # near-dup: true J = 18/19, above 0.6
+            (3, prefix),           # proposed by banding, true J = 0.5
+            (4, "completely unrelated text about catalyst optimizer internals"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    out = lsh_verified_pairs(
+        docs, est_threshold=0.0, true_threshold=0.6
+    )
+    got = {(r["doc_id_a"], r["doc_id_b"]): r for r in out.collect()}
+
+    # the prefix doc shares every one of its shingles with doc 1, so
+    # banding proposes (1, 3) — min-hashes agree often — but true
+    # Jaccard = |prefix shingles| / |base shingles| < 0.6
+    assert (1, 3) in cand
+    assert (1, 3) not in got
+    # the genuine near-dup survives with the EXACT jaccard value
+    assert (1, 2) in got
+    exact = docs.filter("doc_id in (1, 2)").select(
+        shingles(F.col("text")).alias("sh")
+    ).collect()
+    inter = len(set(exact[0]["sh"]) & set(exact[1]["sh"]))
+    union = len(set(exact[0]["sh"]) | set(exact[1]["sh"]))
+    assert got[(1, 2)]["jaccard"] == round(inter / union, 6)
+    # est_jaccard rides through from stage 1 unchanged
+    est = {
+        (r["doc_id_a"], r["doc_id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    for k, r in got.items():
+        assert r["est_jaccard"] == est[k]
+    # determinism under repartition
+    got2 = lsh_verified_pairs(
+        docs.repartition(3), est_threshold=0.0, true_threshold=0.6
+    ).collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, got2))
+
+
 def test_knn_lsh_self_neighbor(spark):
     from certa_spark.operators.similarity import knn_lsh
 
