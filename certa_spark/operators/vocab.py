@@ -146,3 +146,55 @@ def duck_learn_merges_sql(
             f"SELECT CAST({it} AS BIGINT) AS iter, pair, n FROM m{it}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# A fixed 20-merge BPE table over [a-z] words (rank order; every
+# merge's operands are base characters or products of EARLIER merges
+# — the well-formedness that makes sequential global application
+# below equal true lowest-rank-first BPE). Production pipelines load
+# this from a trained merges.txt; the table is model DATA, shared
+# verbatim with the DuckDB twin like _ANN_PLANES.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("o", "u"), ("i", "s"), ("i", "t"),
+    ("a", "l"), ("in", "g"), ("s", "t"), ("a", "r"), ("l", "e"),
+]
+
+
+def bpe_encode(word: Column, merges: list[tuple[str, str]] | None = None) -> Column:
+    """BPE-encode a ``[a-z]+`` word into its token array by applying
+    ``merges`` in rank order.
+
+    Encoding rides a doubled-separator string: tokens joined by
+    ``||`` with ``||`` at both ends, so applying merge (x, y) is ONE
+    literal (non-regex) replace of ``|x||y|`` with ``|xy|`` — the
+    shared inner pipes keep consecutive occurrences matchable, giving
+    exactly BPE's leftmost non-overlapping semantics ('aaa' + (a,a)
+    -> [aa, a]), and both engines' replace() scans left-to-right.
+    Sequential global application equals true lowest-rank-first BPE
+    for any well-formed table: a merge consuming token xy can only
+    appear AFTER the merge that creates xy, so later merges never
+    enable earlier ones.
+
+    The whole chain is one codegen'd projection of M string replaces
+    — no join, no shuffle, no Python. Encode DISTINCT words once and
+    join token counts back (the word-cache shape every production
+    tokenizer pipeline uses): cost is O(distinct words x M), not
+    O(corpus tokens x M).
+    """
+    ms = BPE_MERGES if merges is None else merges
+    s = F.concat(F.lit("||"), F.regexp_replace(word, r"(.)", r"$1||"))
+    for x, y in ms:
+        s = F.replace(s, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    return F.filter(F.split(s, r"\|\|"), lambda t: t != F.lit(""))
+
+
+def duck_bpe_encode(expr: str, merges: list[tuple[str, str]] | None = None) -> str:
+    """DuckDB twin of :func:`bpe_encode` — same doubled-separator
+    string, same literal replace chain, same trailing-empty filter."""
+    ms = BPE_MERGES if merges is None else merges
+    s = f"'||' || regexp_replace({expr}, '(.)', '\\1||', 'g')"
+    for x, y in ms:
+        s = f"replace({s}, '|{x}||{y}|', '|{x}{y}|')"
+    return f"list_filter(string_split({s}, '||'), t -> t <> '')"

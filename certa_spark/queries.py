@@ -6886,6 +6886,60 @@ def _q_doc_bpe_merges_sql() -> str:
     return duck_learn_merges_sql(iters=3)
 
 
+def q_doc_bpe_encode(spark, sf_dir) -> DataFrame:
+    """Tokenizer application at scale (vocab.bpe_encode): encode the
+    corpus with the fixed 20-merge BPE table and report the top-25
+    tokens by corpus frequency. Plan: word counts (ONE shuffle over
+    the corpus), then the merge chain — 20 literal string replaces in
+    one codegen'd projection — runs over DISTINCT words only (the
+    word-cache shape production tokenizer pipelines use), then token
+    explode + count over the dictionary. At 100 TB stage 2's input is
+    the word dictionary, not the corpus; only the word-count shuffle
+    sees corpus-sized data."""
+    from certa_spark.operators.vocab import bpe_encode
+
+    d = widen_if_narrow(_t(spark, sf_dir, "documents").select("text"))
+    wc = (
+        d.select(F.explode(TS.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    tok = wc.select(
+        F.explode(bpe_encode(F.col("word"))).alias("token"), "n"
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        tok.groupBy("token")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 25)
+        .select("token", "cnt", "rank")
+    )
+
+
+def _q_doc_bpe_encode_sql() -> str:
+    from certa_spark.functions.textstats import duck_words
+    from certa_spark.operators.vocab import duck_bpe_encode
+
+    return f"""
+    WITH wc AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        FROM documents, UNNEST({duck_words('text')}) AS t(w)
+        GROUP BY 1
+    ),
+    tok AS (
+        SELECT u.tok AS token, n
+        FROM wc, UNNEST({duck_bpe_encode('word')}) AS u(tok)
+    )
+    SELECT token, CAST(sum(n) AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY sum(n) DESC, token ASC) AS INT)
+               AS rank
+    FROM tok
+    GROUP BY token
+    QUALIFY rank <= 25
+    """
+
+
 def q_events_session_sequences(spark, sf_dir) -> DataFrame:
     """Top-10 most frequent 3-step event-type sequences within
     gap-based sessions (operators/funnel.session_sequences): all
@@ -10442,6 +10496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_project": q_embedding_pca_project,
     "doc_span_dedup": q_doc_span_dedup,
     "doc_bpe_merges": q_doc_bpe_merges,
+    "doc_bpe_encode": q_doc_bpe_encode,
     "events_session_sequences": q_events_session_sequences,
     "embedding_standardize": q_embedding_standardize,
     "orders_scd2_pitl": q_orders_scd2_pitl,
@@ -10943,6 +10998,7 @@ _DRIVER_GREEN_R10: frozenset[str] = frozenset(
 _R11_NEW: tuple[str, ...] = (
     "knn_ivfpq_rerank",
     "doc_neardup_verified",
+    "doc_bpe_encode",
 )
 _R11_REGATE: tuple[str, ...] = (
     "doc_quality", "doc_weighted_sample", "doc_zipf_slope",
@@ -10968,7 +11024,7 @@ _R8_STALE_FIRST: tuple[str, ...] = (
     "doc_quality_model", "doc_vocab_coverage", "knn_hard_negatives",
     "flagship_batch_saliency", "er_fuzzy_levenshtein", "orders_scd2",
     "orders_psi_drift", "events_resample_ffill", "events_funnel",
-    "events_retention", "orders_snapshot_diff", "events_sliding_hll",
+    "events_retention", "orders_snapshot_diff",
 )
 
 _GATED: frozenset[str] = (
@@ -11137,6 +11193,7 @@ ORACLES: dict[str, str] = {
     "embedding_pca_project": _q_embedding_pca_sql(),
     "doc_span_dedup": _q_doc_span_dedup_sql(),
     "doc_bpe_merges": _q_doc_bpe_merges_sql(),
+    "doc_bpe_encode": _q_doc_bpe_encode_sql(),
     "events_session_sequences": _Q_SESSION_SEQ_SQL,
     "embedding_standardize": _q_embedding_standardize_sql(),
     "orders_scd2_pitl": _Q_SCD2_PITL_SQL,

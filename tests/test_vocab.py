@@ -49,3 +49,64 @@ def test_learn_merges_empty_bigrams_stops(spark):
     docs = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
     merges, _ = learn_merges(docs, iters=3)
     assert merges == []
+
+
+def test_bpe_encode_rank_order_and_leftmost(spark):
+    """bpe_encode contract: merges apply in rank order (layered
+    merges compose: and = (a,n)+(an,d)), unmergeable words stay
+    character-split, and overlapping occurrences merge leftmost
+    non-overlapping ('aaa' + (a,a) -> [aa, a])."""
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.vocab import bpe_encode
+
+    df = spark.createDataFrame(
+        [(w,) for w in ["the", "thing", "and", "standing", "a", "xyz"]],
+        "w string",
+    )
+    got = {
+        r["w"]: r["toks"]
+        for r in df.select(
+            "w", bpe_encode(F.col("w")).alias("toks")
+        ).collect()
+    }
+    assert got["the"] == ["the"]
+    assert got["thing"] == ["th", "ing"]
+    assert got["and"] == ["and"]
+    # rank order: (a,n)/(an,d)/(in,g) fire first, then rank-18 (s,t)
+    # still finds s,t adjacent — exactly true lowest-rank-first BPE
+    assert got["standing"] == ["st", "and", "ing"]
+    assert got["a"] == ["a"]
+    assert got["xyz"] == ["x", "y", "z"]
+
+    # leftmost non-overlapping merge on a custom table
+    over = spark.createDataFrame([("aaa",)], "w string")
+    assert over.select(
+        bpe_encode(F.col("w"), [("a", "a")]).alias("t")
+    ).first()["t"] == ["aa", "a"]
+
+    # round-trip: concatenating tokens reproduces the word
+    for w, toks in got.items():
+        assert "".join(toks) == w
+
+
+def test_bpe_encode_duck_twin_matches(spark):
+    """The DuckDB twin tokenizes a word sample bit-identically."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from certa_spark.operators.vocab import bpe_encode, duck_bpe_encode
+
+    sample = ["the", "standing", "organization", "restlessness",
+              "aaa", "q", "interesting"]
+    df = spark.createDataFrame([(w,) for w in sample], "w string")
+    got = {
+        r["w"]: list(r["toks"])
+        for r in df.select("w", bpe_encode(F.col("w")).alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    for w in sample:
+        duck = con.execute(
+            "SELECT " + duck_bpe_encode(f"'{w}'")
+        ).fetchone()[0]
+        assert list(duck) == got[w], w
