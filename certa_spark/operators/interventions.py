@@ -24,14 +24,16 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from certa_spark.functions.litfast import array_lit
+
 
 def _powerset_literal(attrs: list[str]) -> Column:
+    # one py4j round trip for the whole 2^k literal (litfast) — the
+    # splat form paid one round trip per attr name per subset
     subs = [
         list(c) for k in range(len(attrs) + 1) for c in combinations(attrs, k)
     ]
-    return F.array(
-        *[F.array(*[F.lit(a) for a in s]).cast("array<string>") for s in subs]
-    )
+    return array_lit(subs, empty_as="cast(array() as array<string>)")
 
 
 def intervention_frame(

@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from certa_spark.functions.litfast import array_lit
+
 Q_IN = 10**6  # input-element quantization grid
 Q_W = 10**9   # eigenvector quantization grid
 
@@ -274,7 +276,10 @@ def pca_project(
     row = df.select(F.col(id_col), qx.alias("_qx"))
     cols = []
     for c, w in enumerate(comps_q):
-        wlit = F.array(*[F.lit(v) for v in w])
+        # one py4j round trip per component literal (litfast); the
+        # splat form paid one per element. BIGINT vs INT literals —
+        # the fold widens to long either way, values identical
+        wlit = array_lit([int(v) for v in w])
         dotq = F.aggregate(
             F.zip_with(F.col("_qx"), wlit, lambda a, b: a * b),
             F.lit(0).cast("long"),
@@ -340,7 +345,7 @@ def nearest_centroid_confusion(
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cands = []
     for lab in labels:
-        clit = F.array(*[F.lit(v) for v in by_label[lab]])
+        clit = array_lit([float(v) for v in by_label[lab]])
         d2 = F.aggregate(
             F.zip_with(xd, clit, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -426,7 +431,7 @@ def nearest_centroid_expr(vec_col: str, centroids: list[list[float]]):
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cands = []
     for idx, c in enumerate(centroids):
-        clit = F.array(*[F.lit(v) for v in c])
+        clit = array_lit([float(v) for v in c])
         d2 = F.aggregate(
             F.zip_with(xd, clit, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),

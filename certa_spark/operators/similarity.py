@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from certa_spark.functions.litfast import array_lit
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -96,8 +98,10 @@ def knn_bruteforce(
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-dot-product LSH bucket id from fixed hyperplanes. The
     plane matrix rides as ONE nested-array literal (per-scalar literal
-    trees re-pay analysis/codegen on every call — the PQ lesson)."""
-    pl = F.lit([[float(x) for x in plane] for plane in planes])
+    trees re-pay analysis/codegen on every call — the PQ lesson),
+    rendered in a single py4j round trip (litfast.array_lit; F.lit on
+    a nested list costs one round trip PER SCALAR at build time)."""
+    pl = array_lit([[float(x) for x in plane] for plane in planes])
     out = F.lit(0).cast("long")
     for i in range(len(planes)):
         p = F.element_at(pl, i + 1)
@@ -114,7 +118,7 @@ def ivf_cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
     so the whole assignment is map-side — no join, no shuffle. Alias
     the result once and reference the column (CollapseProject keeps
     multi-referenced non-cheap aliases as once-per-row columns)."""
-    ct = F.lit([[float(x) for x in c] for c in centroids])
+    ct = array_lit([[float(x) for x in c] for c in centroids])
     return F.transform(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda i: cosine(vec, F.element_at(ct, i + 1)),
@@ -509,12 +513,16 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     n_codes = len(codebooks[0])
-    # ONE nested-array literal for the whole codebook (F.lit(list)):
-    # the r1 form spelled 1024 scalar literals inside (sub,code,cvec)
-    # structs, and re-analyzing/codegen'ing that tree cost ~1.5s per
-    # CALL (plans aren't cached across calls) — 2x the encode time at
-    # small scale. Indexing is element_at(cb, sub+1)[code+1].
-    cb = F.lit([[list(map(float, code)) for code in book] for book in codebooks])
+    # ONE nested-array literal for the whole codebook, rendered in ONE
+    # py4j round trip (array_lit): the r1 form spelled 1024 scalar
+    # literals inside (sub,code,cvec) structs, and re-analyzing/
+    # codegen'ing that tree cost ~1.5s per CALL (plans aren't cached
+    # across calls) — 2x the encode time at small scale; the r11 form
+    # also stops F.lit(list) from paying one driver round trip per
+    # SCALAR at build time. Indexing is element_at(cb, sub+1)[code+1].
+    cb = array_lit(
+        [[list(map(float, code)) for code in book] for book in codebooks]
+    )
     sv = _subvectors(df, id_col, vec_col, m, dsub, id_col)
     # argmin with ties to the lowest code id: array_min over
     # (d2, code) structs is lexicographic
@@ -727,8 +735,8 @@ def knn_ivfpq_adc(
     dsub = len(codebooks[0][0])
     n_codes = len(codebooks[0])
     ncell = len(centroids)
-    centlit = F.lit([[float(x) for x in c] for c in centroids])
-    cblit = F.lit(
+    centlit = array_lit([[float(x) for x in c] for c in centroids])
+    cblit = array_lit(
         [[list(map(float, code)) for code in book] for book in codebooks]
     )
 

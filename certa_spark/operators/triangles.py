@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from certa_spark import tmpcache
 
+from certa_spark.functions.litfast import array_lit
 from certa_spark.matching import SCORE_COLS, Matcher
 from certa_spark.schema import LPREFIX, RPREFIX
 
@@ -103,9 +104,10 @@ def _subsets_literal(attrs: list[str], depth: int) -> F.Column:
     subs = [list(c) for c in combinations(attrs, depth)]
     if not subs:
         return F.array().cast("array<array<string>>")
-    return F.array(
-        *[F.array(*[F.lit(a) for a in s]) for s in subs]
-    )
+    # one py4j round trip for the whole C(n,depth) literal (litfast) —
+    # the splat form paid one round trip per attr name per subset,
+    # re-paid for every depth of every explain call
+    return array_lit(subs)
 
 
 def perturbations_at_depth(

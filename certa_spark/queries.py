@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from certa_spark.functions import textstats as TS
 from certa_spark.functions.hashing import duck_hash64
+from certa_spark.functions.litfast import array_lit as _array_lit
 from certa_spark.operators import dedup as DD
 from certa_spark.operators import widen_if_narrow
 from certa_spark.operators import similarity as SIM
@@ -9888,7 +9889,7 @@ def _ivfpq_seed(e: DataFrame) -> tuple[list, list]:
         .orderBy("vec_id")
         .collect()
     ]
-    centlit = F.lit(cent)
+    centlit = _array_lit(cent)
     # seed residuals via the SAME _d2 expressions the operator uses,
     # so the driver-side codebook is engine-exact by construction
     celld = F.array_min(
