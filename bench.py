@@ -389,6 +389,31 @@ def sweep_with_retry(spark, sf_dir, cal_prev, probe_prev=None,
             probe_attempts)
 
 
+def effective_cpus() -> int:
+    """The core count this sweep actually runs at — the same
+    $SPARK_GRAFT_CPUS that session.get_spark builds local[n] from. The
+    driver re-runs the bench at a lower core count to measure scaling,
+    so every payload must carry the cpus it was measured at and no
+    baseline, floor or promotion may ever cross core counts (r11
+    verdict "what's wrong" #1: the 8-core run's printed JSON became the
+    32-core incumbent verbatim and the scaling block read 1.0
+    everywhere)."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def entry_cpus(e: dict) -> int:
+    """A payload's core count; entries predating the ``cpus`` field
+    (r11 and earlier) were 32-core sweeps — the one exception, the
+    driver's flagged 8-core run, only ever appears where its HIGHER
+    probe medians cannot win a min() and its flags exclude it from
+    promotion, so the legacy default is safe everywhere it is used."""
+    c = e.get("cpus")
+    return int(c) if c is not None else 32
+
+
 def code_fingerprint(here: str | None = None) -> str:
     """Stable identity of the measured code: sha256 over the repo's
     Python sources (``certa_spark/``, ``__spark_entry__.py``,
@@ -470,16 +495,28 @@ def publish_dest(here: str, winner: dict) -> str:
     baseline and pass as false-clean — the BENCH_r08 failure the old
     payload_dest guard existed for (r11 review). The flagged payload
     still goes to stdout (it is the only measurement of its code) and
-    to history + BENCH_LOCAL_FLAGGED."""
+    to history + BENCH_LOCAL_FLAGGED.
+
+    r12 (r11 verdict ask #1): a winner measured at a DIFFERENT core
+    count than an in-band incumbent never clobbers it either — the
+    incumbent's baselines (calibration, probe medians) are per-cpus
+    machine properties (fewer cores make the CPU-bound probe slower by
+    construction), so a low-core payload routes to its own
+    BENCH_LOCAL_c<cpus>.json artifact."""
     dest = os.path.join(here, "BENCH_LOCAL.json")
-    if not _payload_in_band(winner) and os.path.exists(dest):
+    if os.path.exists(dest):
         try:
             with open(dest) as f:
                 prev = json.load(f)
-            if not prev.get("calibration_flag") and not prev.get(
+            prev_in_band = not prev.get("calibration_flag") and not prev.get(
                 "microbench_calibration_flag"
-            ):
+            )
+            if prev_in_band and not _payload_in_band(winner):
                 return os.path.join(here, "BENCH_LOCAL_FLAGGED.json")
+            if prev_in_band and entry_cpus(prev) != entry_cpus(winner):
+                return os.path.join(
+                    here, f"BENCH_LOCAL_c{entry_cpus(winner)}.json"
+                )
         except (OSError, ValueError):
             pass
     return dest
@@ -498,7 +535,10 @@ def promote_best(
     current sweep with no in-band same-code candidate is published
     anyway (better than nothing), its flags visible. Candidates must
     also match the current sweep's ``sf`` (a smaller-scale run is a
-    different measurement, not a cleaner one) and contain no errored
+    different measurement, not a cleaner one) AND its core count (r11
+    verdict: an 8-core sweep is a different measurement of the same
+    code — promotion across cpus substituted the 32-core payload for
+    the driver's scaling run) and contain no errored
     (-1) query — an error-pruned total is not comparable. Pass the
     already-read history as ``entries`` (the caller appends the
     current sweep AFTER promotion, so the candidate count never
@@ -511,6 +551,7 @@ def promote_best(
         for e in (entries if entries is not None else history_entries(here))
         if e.get("code_fingerprint") == fp
         and e.get("sf") == current.get("sf")
+        and entry_cpus(e) == entry_cpus(current)
         and _payload_in_band(e)
         and not any(
             isinstance(t, (int, float)) and t < 0
@@ -554,10 +595,22 @@ def main() -> None:
     # judge forensics (BENCH_r06 was noise-inflated 1.13x median with
     # nothing in the payload recording it).
     here = os.path.dirname(os.path.abspath(__file__))
+    cpus = effective_cpus()
     cal_prev, probe_prev = None, None
-    try:
-        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
-            _prev = json.load(f)
+    probe_clean_prev = None
+    # baselines and the noise floor are PER-CPUS machine properties
+    # (the CPU-bound probe is slower on fewer cores by construction —
+    # r11 verdict ask #1), so the previous-run reference is the
+    # incumbent artifact for THIS core count: BENCH_LOCAL.json when it
+    # matches, else BENCH_LOCAL_c<cpus>.json.
+    for _name in ("BENCH_LOCAL.json", f"BENCH_LOCAL_c{cpus}.json"):
+        try:
+            with open(os.path.join(here, _name)) as f:
+                _prev = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if entry_cpus(_prev) != cpus:
+            continue
         cal_prev = _prev.get("calibration_sec")
         probe_prev = _prev.get("calibration_probe_median_sec")
         # the ratchet seeds from EVERY probe median the previous
@@ -567,18 +620,23 @@ def main() -> None:
         # at bootstrap and started the normalized series ~13% high
         # (review finding, r10).
         probe_clean_prev = probe_clean_ref(
+            probe_clean_prev,
             _prev.get("calibration_probe_clean_sec"),
             _prev.get("calibration_probe_prev_sec"),
         )
-    except (OSError, ValueError):
-        probe_clean_prev = None
-    # the floor is a MACHINE property, not a code property, so it also
-    # seeds from every probe median / floor the history log has ever
-    # recorded — BENCH_LOCAL alone drops the evidence of a flagged
-    # sweep that happened to observe a lower median (r10 advice #4).
-    # One read serves both the floor seed and promotion below.
+        break
+    # the floor is a machine property AT THIS CORE COUNT, not a code
+    # property, so it also seeds from every same-cpus probe median /
+    # floor the history log has ever recorded — BENCH_LOCAL alone drops
+    # the evidence of a flagged sweep that happened to observe a lower
+    # median (r10 advice #4). One read serves both the floor seed and
+    # promotion below. (entry_cpus treats the pre-r12 unstamped entries
+    # as 32-core; the single unstamped 8-core entry carries only HIGHER
+    # medians than the real 32-core floor, so a min() never picks it.)
     history = history_entries(here)
     for _e in history:
+        if entry_cpus(_e) != cpus:
+            continue
         probe_clean_prev = probe_clean_ref(
             probe_clean_prev,
             _e.get("calibration_probe_median_sec"),
@@ -617,6 +675,13 @@ def main() -> None:
         "value_normalized": value_normalized,
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
+        # every queries entry is seconds (lower is better) EXCEPT the
+        # names listed here, which are rates (r11 verdict ask: the
+        # comparison tooling inverted a +9% explains/min gain into an
+        # apparent 0.914 slowdown)
+        "queries_higher_is_better": ["explains_per_min_x4_clean",
+                                     "explains_per_min_batch16_clean"],
         "runs": RUNS,
         "heavy_loop_runs": 3,
         "calibration_sec": round(cal, 3),
@@ -638,14 +703,17 @@ def main() -> None:
         },
     }
     # r10 verdict ask #1: publish the min-worst-signal in-band sweep
-    # of THIS code version, explicitly, instead of whichever in-band
-    # run happened last (r10's cleanest sweep was silently clobbered
-    # by a noisier-but-in-band rerun). Promotion runs against the
-    # history read above (current sweep NOT yet appended, so the
-    # candidate count is the real prior-sweep count); the current
-    # sweep is then appended unconditionally. The promoted payload is
-    # re-normalized to the freshest floor so a ratchet that happened
-    # after it was recorded still reaches it.
+    # of THIS code version (and this sf AND this core count — r11
+    # verdict ask #1) to the BENCH_LOCAL artifact, explicitly, instead
+    # of whichever in-band run happened last (r10's cleanest sweep was
+    # silently clobbered by a noisier-but-in-band rerun). Promotion
+    # runs against the history read above (current sweep NOT yet
+    # appended, so the candidate count is the real prior-sweep count);
+    # the current sweep is then appended unconditionally. The promoted
+    # payload is re-normalized to the freshest floor so a ratchet that
+    # happened after it was recorded still reaches it. Promotion
+    # selects ONLY what lands in BENCH_LOCAL.json: the stdout line the
+    # driver records always reports the CURRENT run (see below).
     winner, promo = promote_best(here, full, history)
     try:
         with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
@@ -678,19 +746,11 @@ def main() -> None:
             file=sys.stderr,
         )
     if promo["promoted_from_history"]:
-        # the demoted current sweep stays inspectable (it is also in
-        # the history log); FLAGGED now means "latest unpublished"
-        try:
-            with open(
-                os.path.join(here, "BENCH_LOCAL_FLAGGED.json"), "w"
-            ) as f:
-                f.write(json.dumps(full, separators=(",", ":")) + "\n")
-        except OSError:
-            pass
         print(
-            "bench: promoted the cleaner same-code sweep from history "
-            f"(worst signal {winner.get('worst_signal_sec')}s vs this "
-            f"run's {full.get('worst_signal_sec')}s)",
+            "bench: BENCH_LOCAL artifact kept the cleaner same-code "
+            f"sweep from history (worst signal "
+            f"{winner.get('worst_signal_sec')}s vs this run's "
+            f"{full.get('worst_signal_sec')}s); stdout reports this run",
             file=sys.stderr,
         )
     # stdout line: the driver records only a 2000-char TAIL of stdout
@@ -698,23 +758,30 @@ def main() -> None:
     # printed line keeps itself under 1900 bytes by priority-truncating
     # the per-query dict — throughput metrics and the slowest queries
     # first, the sub-second tail shed into BENCH_LOCAL.json. The line
-    # reports the PROMOTED payload, so the driver's recorded artifact
-    # is the cleanest full sweep of this code version and says so
-    # (promotion_rule / promoted_from_history).
-    wq = winner.get("queries", {})
+    # ALWAYS reports the CURRENT run (r11 verdict ask #1: the driver's
+    # recorded measurement must be the run it launched — an 8-core
+    # scaling run must never print the 32-core incumbent); the
+    # promotion meta says whether the BENCH_LOCAL artifact is this run
+    # or a cleaner same-code/same-cpus sweep from history.
+    full["promotion_rule"] = promo["promotion_rule"]
+    full["promoted_from_history"] = False
+    full["published_artifact_from_history"] = promo["promoted_from_history"]
+    wq = full.get("queries", {})
     head = {
-        k: winner.get(k)
+        k: full.get(k)
         for k in (
-            "metric", "value", "value_normalized", "unit", "sf", "runs",
-            "heavy_loop_runs", "calibration_sec", "calibration_flag",
-            "calibration_attempts", "calibration_probe_median_sec",
-            "calibration_probe_clean_sec", "worst_signal_sec",
+            "metric", "value", "value_normalized", "unit", "sf", "cpus",
+            "runs", "heavy_loop_runs", "calibration_sec",
+            "calibration_flag", "calibration_attempts",
+            "calibration_probe_median_sec", "calibration_probe_clean_sec",
+            "worst_signal_sec", "queries_higher_is_better",
             "promotion_rule", "promoted_from_history",
+            "published_artifact_from_history",
         )
-        if k in winner
+        if k in full
     }
     head.update(
-        {k: v for k, v in winner.items()
+        {k: v for k, v in full.items()
          if k.startswith("microbench_calibration")}
     )
     head["n_queries"] = len(wq)

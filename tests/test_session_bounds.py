@@ -376,6 +376,64 @@ def test_bench_promotion_ignores_other_sf_and_errored_sweeps(tmp_path):
     assert meta["promotion_candidates_in_band"] == 0
 
 
+def test_bench_promotion_never_crosses_core_counts(tmp_path):
+    """r11 verdict ask #1 (the scaling-measurement bug): the driver's
+    8-core run was flagged and the publisher substituted the historical
+    32-core payload — a different measurement of the same code. A
+    candidate must match the current sweep's core count; entries
+    predating the cpus field count as 32-core."""
+    import bench
+
+    here = str(tmp_path)
+    _hist_write(tmp_path, [
+        _payload(med=0.40, value=181.7, cpus=32),
+        _payload(med=0.39, value=183.0),            # legacy: treated as 32
+    ])
+    # an 8-core sweep of the same code never inherits a 32-core payload
+    cur8 = _payload(med=0.90, cal=0.85, value=420.0, cpus=8)
+    winner, meta = bench.promote_best(here, cur8)
+    assert winner is cur8
+    assert meta["promotion_candidates_in_band"] == 0
+    # a 32-core sweep still competes with both stamped and legacy 32s
+    cur32 = _payload(med=0.45, value=200.0, cpus=32)
+    winner, meta = bench.promote_best(here, cur32)
+    assert winner["value"] == 183.0      # min worst-signal of the two 32s
+    assert meta["promotion_candidates_in_band"] == 2
+
+
+def test_bench_publish_dest_keeps_per_cpus_artifacts(tmp_path):
+    """An in-band low-core winner must not clobber the in-band 32-core
+    BENCH_LOCAL.json (its baselines are per-cpus machine properties);
+    it routes to BENCH_LOCAL_c<cpus>.json instead."""
+    import json as _json
+
+    import bench
+
+    here = str(tmp_path)
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        _json.dumps(_payload(cpus=32))
+    )
+    assert bench.publish_dest(here, _payload(cpus=8)).endswith(
+        "BENCH_LOCAL_c8.json"
+    )
+    # same core count still publishes in place
+    assert bench.publish_dest(here, _payload(cpus=32)).endswith(
+        "BENCH_LOCAL.json"
+    )
+    # flagged cross-cpus winner: the flag guard wins (baseline safety)
+    flagged8 = _payload(cpus=8, calibration_flag=True)
+    assert bench.publish_dest(here, flagged8).endswith(
+        "BENCH_LOCAL_FLAGGED.json"
+    )
+    # entry_cpus legacy default: unstamped incumbent counts as 32-core
+    (tmp_path / "BENCH_LOCAL.json").write_text(_json.dumps(_payload()))
+    assert bench.publish_dest(here, _payload(cpus=8)).endswith(
+        "BENCH_LOCAL_c8.json"
+    )
+    assert bench.entry_cpus(_payload()) == 32
+    assert bench.entry_cpus(_payload(cpus=8)) == 8
+
+
 def test_bench_promotion_flagged_current_prefers_clean_history(tmp_path):
     """A sweep still flagged after its retry — by EITHER sentinel —
     must not displace an in-band same-code artifact (the r8/r9
