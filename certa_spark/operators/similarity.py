@@ -541,6 +541,74 @@ def pq_encode(
     return sv.select(id_col, "sub", best["code"].alias("code"))
 
 
+def _pq_codes_column(vec: Column, cb: Column, m: int, dsub: int,
+                     n_codes: int) -> Column:
+    """``array<int>`` of the argmin-L2 PQ code per subspace — the same
+    argmin (ties to the lowest code id via array_min's lexicographic
+    struct order) and the same ``_d2`` fold :func:`pq_encode` runs, but
+    producing the dense per-vector code ARRAY map-side instead of one
+    exploded row per subspace. One codegen'd nested fold (the
+    `pq_encode` Janino lesson: a single copy of the d2 chain)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda c: F.struct(
+                    _d2(
+                        F.slice(vec, s * dsub + 1, dsub),
+                        F.element_at(F.element_at(cb, s + 1), c + 1),
+                    ).alias("d"),
+                    c.alias("code"),
+                ),
+            )
+        )["code"],
+    )
+
+
+def _pq_lut_column(vec: Column, cb: Column, m: int, dsub: int,
+                   n_codes: int) -> Column:
+    """Dense per-probe ADC lookup table: ``array<double>`` of
+    ``m * n_codes`` entries, entry ``s*n_codes + c`` = the same rounded
+    subspace distance ``_d2(vec_sub_s, codebook[s][c])`` the relational
+    distance-table build produced — pivoted into one array so the
+    asymmetric distance becomes an inline fold instead of a
+    corpus-sized join + groupBy exchange."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda c: _d2(
+                    F.slice(vec, s * dsub + 1, dsub),
+                    F.element_at(F.element_at(cb, s + 1), c + 1),
+                ),
+            ),
+        )
+    )
+
+
+def _adc_fold(codes: Column, lut: Column, m: int, n_codes: int) -> Column:
+    """Asymmetric distance from a code array and a dense LUT: the
+    fixed-order decimal fold ``sum_s lut[s*n_codes + codes[s]]``.
+    Decimal(30,6) addition is exact and order-free, so the folded sum
+    is bit-identical to the relational ``sum(d2 cast decimal(30,6))``
+    the old groupBy computed; round(...,6) on a scale-6 decimal is the
+    same no-op both ways and the final double cast sees the same exact
+    decimal."""
+    return F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, s: acc
+            + F.element_at(
+                lut, s * n_codes + F.element_at(codes, s + 1) + 1
+            ).cast("decimal(30,6)"),
+        ),
+        6,
+    ).cast("double")
+
+
 def knn_pq_adc(
     corpus: DataFrame,
     probes: DataFrame,
@@ -549,41 +617,42 @@ def knn_pq_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """PQ asymmetric-distance ANN: encode the corpus once (uint8 codes,
-    map-side), build each probe's per-(subspace, code) distance table
-    from the SAME literal codebooks, then approximate distance =
-    sum over subspaces of table lookups — relationally an equi-join of
-    the codes table against the broadcast distance tables plus one
-    (probe, neighbor) aggregation. No full-dimension math ever touches
-    the corpus at query time; returns (probe_id, neighbor_id, rank,
-    adist) with adist the rounded squared-L2 approximation.
+    """PQ asymmetric-distance ANN: encode the corpus once (a dense
+    ``array<int>`` of codes per vector, map-side), build each probe's
+    distance table as a dense ``m * n_codes`` lookup ARRAY from the
+    SAME literal codebooks, then approximate distance = an inline
+    fixed-order decimal fold over table lookups — one broadcast of the
+    tiny probe side against the corpus scan, no corpus-sized shuffle
+    at all (the r11 relational shape paid a corpus x probes x m
+    groupBy exchange purely to sum m lookups per pair). Returns
+    (probe_id, neighbor_id, rank, adist) with adist the rounded
+    squared-L2 approximation — bit-identical to the relational form
+    (exact decimal addition, same d2 folds; see ``_adc_fold``).
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    n_codes = len(codebooks[0])
+    cb = array_lit(
+        [[list(map(float, code)) for code in book] for book in codebooks]
     )
-    # per-probe distance tables: probes are the tiny side, so a
-    # broadcast join against the codebook table costs nothing and
-    # reuses the same single d2 fold
-    dist = (
-        _subvectors(probes, id_col, vec_col, m, dsub, "probe_id")
-        .join(F.broadcast(_codebook_df(probes, codebooks)), "sub")
-        .select(
-            "probe_id",
-            "sub",
-            "code",
-            _d2(F.col("subv"), F.col("cvec")).alias("d2"),
-        )
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        "neighbor_id",
+        _pq_codes_column(F.col("_v"), cb, m, dsub, n_codes).alias("_codes"),
     )
-    scored = (
-        codes.join(F.broadcast(dist), ["sub", "code"])
-        .groupBy("probe_id", "neighbor_id")
-        .agg(
-            F.round(F.sum(F.col("d2").cast("decimal(30,6)")), 6)
-            .cast("double")
-            .alias("adist")
-        )
+    luts = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("_pv"),
+    ).select(
+        "probe_id",
+        _pq_lut_column(F.col("_pv"), cb, m, dsub, n_codes).alias("_lut"),
+    )
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        "probe_id",
+        "neighbor_id",
+        _adc_fold(F.col("_codes"), F.col("_lut"), m, n_codes).alias("adist"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
@@ -724,11 +793,13 @@ def knn_ivfpq_adc(
     Scale shape: cell assignment, residual arithmetic and encoding are
     strictly MAP-SIDE over the corpus (literal centroid/codebook
     arrays, one codegen'd d2 fold — the `pq_encode` lesson); at 100 TB
-    the (cell, sub, code) table is what gets persisted, partitioned by
-    cell. Query time touches only ``nprobe`` cells per probe: the
-    distance tables (probes x nprobe x m x n_codes rows) broadcast to
-    an equi-join against the codes table, then one (probe, neighbor)
-    aggregation and a per-probe top-k window. No full-dimension math
+    the (cell, codes-array) table is what gets persisted, partitioned
+    by cell. Query time touches only ``nprobe`` cells per probe: the
+    dense per-(probe, cell) lookup tables (probes x nprobe rows, one
+    m*n_codes array each) broadcast to an equi-join on the cell key and
+    the asymmetric distance is an inline fixed-order decimal fold over
+    table lookups — no corpus-sized aggregation exchange; the only
+    shuffle left is the per-probe top-k window. No full-dimension math
     ever reaches corpus rows at query time.
     """
     m = len(codebooks)
@@ -745,17 +816,6 @@ def knn_ivfpq_adc(
             vec, F.element_at(centlit, cell + 1), lambda x, c: x - c
         )
 
-    def sub_slices(res: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice(res, s * dsub + 1, dsub).alias("subv"),
-                )
-                for s in range(m)
-            ]
-        )
-
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -770,36 +830,16 @@ def knn_ivfpq_adc(
         )
     )
     cv = cv.select("neighbor_id", "_v", celld["cell"].alias("cell"))
-    sv = (
-        cv.select(
-            "neighbor_id",
-            "cell",
-            F.explode(sub_slices(residual(F.col("_v"), F.col("cell")))).alias(
-                "_sv"
-            ),
-        )
-        .select(
-            "neighbor_id",
-            "cell",
-            F.col("_sv.sub").alias("sub"),
-            F.col("_sv.subv").alias("subv"),
-        )
+    # dense per-vector code array over the RESIDUAL to the assigned
+    # cell — the same argmin/_d2 arithmetic the exploded (sub, code)
+    # rows carried, pivoted map-side (see _pq_codes_column)
+    codes = cv.select(
+        "neighbor_id",
+        "cell",
+        _pq_codes_column(
+            residual(F.col("_v"), F.col("cell")), cblit, m, dsub, n_codes
+        ).alias("_codes"),
     )
-    best = F.array_min(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_codes - 1)),
-            lambda c: F.struct(
-                _d2(
-                    F.col("subv"),
-                    F.element_at(
-                        F.element_at(cblit, F.col("sub") + 1), c + 1
-                    ),
-                ).alias("d"),
-                c.alias("code"),
-            ),
-        )
-    )
-    codes = sv.select("neighbor_id", "cell", "sub", best["code"].alias("code"))
 
     pv = probes.select(
         F.col(id_col).alias("probe_id"),
@@ -823,36 +863,24 @@ def knn_ivfpq_adc(
         .filter(F.col("_rn") <= nprobe)
         .select("probe_id", "_pv", "cell")
     )
-    psv = (
-        pc.select(
-            "probe_id",
-            "cell",
-            F.explode(
-                sub_slices(residual(F.col("_pv"), F.col("cell")))
-            ).alias("_sv"),
-        )
-        .select(
-            "probe_id",
-            "cell",
-            F.col("_sv.sub").alias("sub"),
-            F.col("_sv.subv").alias("subv"),
-        )
-    )
-    dist = psv.join(F.broadcast(_codebook_df(probes, codebooks)), "sub").select(
+    # dense per-(probe, cell) ADC lookup table over the probe residual
+    # to THAT cell — probes x nprobe rows, each an m*n_codes array —
+    # broadcast to an equi-join on the cell key. The r11 relational
+    # shape shipped the same distances as (cell, sub, code, d2) rows
+    # and paid a corpus x probes x m groupBy exchange to re-sum them;
+    # the fold (see _adc_fold) is bit-identical and the exchange is
+    # gone — the only shuffle left is the final top-k window.
+    luts = pc.select(
         "probe_id",
         "cell",
-        "sub",
-        "code",
-        _d2(F.col("subv"), F.col("cvec")).alias("d2"),
+        _pq_lut_column(
+            residual(F.col("_pv"), F.col("cell")), cblit, m, dsub, n_codes
+        ).alias("_lut"),
     )
-    scored = (
-        codes.join(F.broadcast(dist), ["cell", "sub", "code"])
-        .groupBy("probe_id", "neighbor_id")
-        .agg(
-            F.round(F.sum(F.col("d2").cast("decimal(30,6)")), 6)
-            .cast("double")
-            .alias("adist")
-        )
+    scored = codes.join(F.broadcast(luts), "cell").select(
+        "probe_id",
+        "neighbor_id",
+        _adc_fold(F.col("_codes"), F.col("_lut"), m, n_codes).alias("adist"),
     )
     w2 = Window.partitionBy("probe_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()

@@ -615,6 +615,61 @@ def test_pq_adc_finds_cluster_neighbors(spark):
     assert all(n >= 20 for n in got[25])
 
 
+def test_pq_adc_dense_fold_matches_relational_definition(spark):
+    """r12 internals change: knn_pq_adc pivots the per-probe distance
+    table into a dense LUT array and computes adist as an inline
+    decimal fold instead of a join + groupBy sum. The fold must be
+    BIT-identical to the relational definition: per (probe, neighbor),
+    adist == round(sum_s Decimal(d2_s), 6) over the per-subspace
+    rounded distances, with the corpus codes equal to pq_encode's
+    argmin element-for-element."""
+    import random
+    from decimal import Decimal
+
+    from certa_spark.operators.similarity import knn_pq_adc, pq_encode
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb_vecs = [rows[0][1], rows[7][1], rows[13][1], rows[21][1]]
+    m, dsub = 4, 4
+    codebooks = [[v[s * dsub : (s + 1) * dsub] for v in cb_vecs]
+                 for s in range(m)]
+    probes = df.filter(F.col("vec_id").isin(3, 17))
+
+    # corpus codes: the dense path must agree with pq_encode exactly
+    enc = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(df, codebooks).collect()
+    }
+
+    def d2(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    res = knn_pq_adc(df, probes, codebooks, k=30).collect()
+    assert len(res) == 2 * 30
+    by_vec = dict(rows)
+    for r in res:
+        codes = [enc[(r["neighbor_id"], s)] for s in range(m)]
+        pv = by_vec[r["probe_id"]]
+        want = float(
+            sum(
+                Decimal(
+                    str(
+                        d2(
+                            pv[s * dsub : (s + 1) * dsub],
+                            codebooks[s][codes[s]],
+                        )
+                    )
+                )
+                for s in range(m)
+            )
+        )
+        assert r["adist"] == want, (r, want)
+
+
 def test_streaming_upsert_sink_latest_wins(spark, tmp_path):
     from certa_spark.streaming.events import upsert_sink
 
