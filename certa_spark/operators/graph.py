@@ -2379,6 +2379,16 @@ def louvain(
                 history.append(j_best / (float(two_m) * two_m))
 
         moved_any = False
+        # accept-path caches whose unpersist is DEFERRED until the next
+        # materialization has consumed them (the combo checkpoint below
+        # is lazy — see its comment)
+        pending_unpersist: list = []
+
+        def _flush_pending():
+            for _c in pending_unpersist:
+                _c.unpersist()
+            pending_unpersist.clear()
+
         # alternating move direction: even rounds may only move a node
         # into a SMALLER community id, odd rounds into a larger one.
         # Kills the symmetric-swap deadlock (i proposes j's community
@@ -2527,6 +2537,10 @@ def louvain(
             proposed = proposed.persist()
             stats_p = _comm_stats(proposed).persist()
             j_new = _j_of(stats_p)
+            # the gate job above materialized every lazy checkpoint the
+            # proposal chain read, so the PREVIOUS round's caches are
+            # now consumable-free
+            _flush_pending()
             if j_new <= j_best:
                 # no moves, or simultaneous moves fought each other —
                 # the objective is exact, so discard the round and try
@@ -2560,10 +2574,21 @@ def louvain(
                         "dc",
                     )
                 )
-                .localCheckpoint()
+                # the union concatenates BOTH caches' partitions
+                # (observed 32 at 8 shuffle partitions), and every
+                # per-round broadcast build / scan downstream re-pays
+                # one task launch per partition over ~|V|+|C| tiny rows
+                # — measured 0.25s per broadcast build at sf0.1.
+                # coalesce is narrow (no shuffle) and caps that. The
+                # checkpoint is LAZY so its materialization rides the
+                # next round's gate job (or the level-end projection)
+                # instead of a dedicated per-round job; the thin-shape
+                # stats rationale above is preserved because the caches
+                # it snapshots were materialized by this round's gate.
+                .coalesce(4)
+                .localCheckpoint(eager=False)
             )
-            proposed.unpersist()
-            stats_p.unpersist()
+            pending_unpersist.extend((proposed, stats_p))
             assign = combo.filter(F.col("c").isNull()).select(
                 "node", "comm", "k"
             )
@@ -2622,6 +2647,9 @@ def louvain(
                 .select("node", F.col("_nc").alias("community"))
                 .localCheckpoint()
             )
+        # the eager projection checkpoint above materialized the last
+        # accepted round's lazy combo; its caches are now droppable
+        _flush_pending()
         if not moved_any:
             break
         # contract: communities become nodes, intra weight becomes a
