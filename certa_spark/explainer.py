@@ -455,6 +455,7 @@ class CertaExplainer:
             spark, tri, ext_l, ext_r, matcher, pc, attr_length, lprefix, rprefix
         )
         pre_nf = getattr(flipped, "_precomputed_n_flipped", None)
+        ranking_rows = getattr(rankings, "_precomputed_ranking_rows", None)
         flipped = tmpcache.track(flipped.repartition(2).cache())
         rankings = tmpcache.track(rankings.repartition(1).cache())
         n_flipped = pre_nf if pre_nf is not None else flipped.count()
@@ -463,7 +464,15 @@ class CertaExplainer:
         attributes = [lprefix + c for c in self.lsource.columns if c != "id"] + [
             rprefix + c for c in self.rsource.columns if c != "id"
         ]
-        sal = T.saliency(rankings, attributes, n_triangles, n_flipped)
+        # the fused perturb path already collected the per-set flip
+        # counts — fold saliency driver-side instead of re-collecting
+        sal = (
+            T.saliency_from_counts(
+                ranking_rows, attributes, n_triangles, n_flipped
+            )
+            if ranking_rows is not None
+            else T.saliency(rankings, attributes, n_triangles, n_flipped)
+        )
         summary = tmpcache.track(T.cf_summary(explanation).repartition(1).cache())
         cfs = T.counterfactuals(flipped, summary)
 
@@ -478,8 +487,18 @@ class CertaExplainer:
                 all_pred.collect(), attributes, float(scores["match_score"])
             )
 
-        pss_pdf = explanation.select("attr_set", "pss").toPandas()
-        summary_pdf = summary.select("attr_set", "pss").toPandas()
+        # pss + summary ride ONE tagged-union collect (their branches
+        # are cached single-partition frames, so per-branch row order
+        # is the same the two separate toPandas calls produced)
+        both = (
+            explanation.select(F.lit(0).alias("_t"), "attr_set", "pss")
+            .unionByName(
+                summary.select(F.lit(1).alias("_t"), "attr_set", "pss")
+            )
+            .toPandas()
+        )
+        pss_pdf = both[both["_t"] == 0][["attr_set", "pss"]]
+        summary_pdf = both[both["_t"] == 1][["attr_set", "pss"]]
         cf_pdf = (
             cfs.withColumn(
                 "alteredAttributes", F.array_join("alteredAttributes", "/")

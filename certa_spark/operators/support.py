@@ -247,10 +247,18 @@ def get_support(
     max_predict: int = -1,
     use_all: bool = False,
     seed: int = 42,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """certa/local_explain.py:162-197 — gather qualifying candidates on
     both sides, balance them, permute, and keep rows past the 0.5
-    threshold. Returns scored pair rows + composite ``id``.
+    threshold. Returns (scored pair rows + composite ``id``, row count).
+
+    The row count is DRIVER-COMPUTED from the per-side qualifying
+    totals the fused scan already collected: the final polarity filter
+    is a no-op on qualifying rows (qual is strictly > / < 0.5 while the
+    threshold is >= / < 0.5 with matching polarity) and balancing keeps
+    ``min(count, max_len)`` rows per side — so callers never pay a
+    count() action over the scan output (r12: one fewer job per
+    explain).
     """
     num_candidates = int(num_triangles / 2)
 
@@ -274,8 +282,10 @@ def get_support(
         batched=not use_all,
     )
     counts = [n_qual[tag] for *_, tag in parts]
+    n_rows = sum(counts)
     if len(parts) == 2:
         max_len = min(*counts) or max(*counts)
+        n_rows = sum(min(c, max_len) for c in counts)
         if max(*counts) > max_len:
             # reference: random sample the larger side down to max_len
             # (local_explain.py:182-185); per-side window, tiny input
@@ -304,7 +314,7 @@ def get_support(
         if find_positives
         else F.col("match_score") < 0.5
     )
-    return candidates.filter(thr)
+    return candidates.filter(thr), n_rows
 
 
 def support_predictions(
@@ -334,11 +344,11 @@ def support_predictions(
     from certa_spark.operators.pairs import pair_row
 
     find_positives = class_to_explain == 0
-    support = tmpcache.track(get_support(
+    support1, n_support = get_support(
         spark, r1, r2, lsource, rsource, matcher, find_positives,
         num_triangles, lprefix, rprefix, use_w, use_q, max_predict, use_all, seed,
-    ).cache())
-    n_support = support.count()
+    )
+    support = tmpcache.track(support1.cache())
 
     copies_left = copies_right = None
     if n_support < num_triangles:
@@ -348,13 +358,13 @@ def support_predictions(
         copies_left, copies_right = expand_copies(spark, r1, r2, n_l, n_r)
         copies_left = tmpcache.track(copies_left.cache())
         copies_right = tmpcache.track(copies_right.cache())
-        support2 = get_support(
+        support2, n_support2 = get_support(
             spark, r1, r2, copies_right, copies_left, matcher, find_positives,
             num_triangles, lprefix, rprefix, use_w, use_q, max_predict, use_all,
             seed + 7,
         )
         support = tmpcache.track(support.unionByName(support2).cache())
-        n_support = support.count()
+        n_support += n_support2
 
     if n_support == 0:
         # same schema as the non-empty path (label/_ord, no raw scores)

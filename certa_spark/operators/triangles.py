@@ -32,6 +32,7 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from certa_spark import tmpcache
 
 from certa_spark.functions.litfast import array_lit
@@ -440,12 +441,24 @@ def _perturb_predict_fused(
         allp = allp.unionByName(p)
     predicted = tmpcache.track(matcher.predict(allp).cache())
     flip = flip_condition(class_to_explain)
-    stats = {
-        r["depth"]: (r["n"], r["nf"])
-        for r in predicted.groupBy("depth")
+    # ONE collect serves the whole post-prediction bookkeeping (r12):
+    # per-(alteredAttributes, depth) totals and flip counts. Per-depth
+    # stats (the all_good/d_star reconstruction) are exact integer sums
+    # of these rows; the rankings frame is exactly these rows with
+    # flips := nf for real depths and := n for synthesized ones
+    # (matching the old real-groupBy / syn-count union); and saliency's
+    # per-attribute counts fold from the same rows driver-side — three
+    # driver actions collapsed into one, values bit-identical (all
+    # integer arithmetic).
+    by_set = (
+        predicted.groupBy("alteredAttributes", "depth")
         .agg(F.count("*").alias("n"), F.sum(flip.cast("long")).alias("nf"))
         .collect()
-    }
+    )
+    stats: dict[int, tuple[int, int]] = {}
+    for r in by_set:
+        n0, nf0 = stats.get(r["depth"], (0, 0))
+        stats[r["depth"]] = (n0 + r["n"], nf0 + (r["nf"] or 0))
     d_star = None
     for d in sorted(stats):
         n, nf = stats[d]
@@ -468,16 +481,29 @@ def _perturb_predict_fused(
         )
 
     flipped = real.filter(flip)
-    rankings = real.groupBy("alteredAttributes", "depth").agg(
-        F.sum(flip.cast("long")).alias("flips")
-    )
     if syn is not None:
         flipped = flipped.unionByName(syn)
-        rankings = rankings.unionByName(
-            syn.groupBy("alteredAttributes", "depth").agg(
-                F.count("*").cast("long").alias("flips")
-            )
+    ranking_rows = [
+        (
+            list(r["alteredAttributes"]),
+            int(r["nf"] or 0)
+            if d_star is None or r["depth"] <= d_star
+            else int(r["n"]),
+            int(r["depth"]),
         )
+        for r in by_set
+    ]
+    spark = predicted.sparkSession
+    _rank_schema = "alteredAttributes array<string>, flips bigint, depth int"
+    # parallelize() would slice these few hundred rows across
+    # defaultParallelism partitions and every downstream task-launch
+    # would multiply under concurrent explains — pin to one slice
+    rankings = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranking_rows, 1), _rank_schema
+    ) if ranking_rows else spark.createDataFrame([], _rank_schema)
+    # the caller can fold saliency / explanation inputs driver-side
+    # from the same rows instead of re-collecting
+    rankings._precomputed_ranking_rows = ranking_rows
     # n_flipped is fully determined by the stats already collected —
     # real depths contribute their flip count, synthesized depths count
     # whole — so the caller can skip a flipped.count() action
@@ -487,7 +513,7 @@ def _perturb_predict_fused(
     )
     return (
         flipped,
-        rankings.select("alteredAttributes", "flips", "depth"),
+        rankings,
         real,
     )
 
@@ -529,6 +555,25 @@ def saliency(
     return {a: base + counts.get(a, 0) / flips for a in attributes}
 
 
+def saliency_from_counts(
+    ranking_rows: list,
+    attributes: list[str],
+    n_triangles: int,
+    n_flipped: int,
+) -> dict[str, float]:
+    """Driver-side twin of :func:`saliency` for the fused perturb path,
+    folding the already-collected (alteredAttributes, flips, depth)
+    rows instead of re-collecting them from Spark. Integer sums and the
+    same two float divisions — values identical to the Spark fold."""
+    flips = n_flipped + n_triangles
+    base = n_triangles / flips if flips else 0.0
+    counts: dict[str, int] = {}
+    for attrs, nf, _depth in ranking_rows:
+        for a in attrs:
+            counts[a] = counts.get(a, 0) + nf
+    return {a: base + counts.get(a, 0) / flips for a in attributes}
+
+
 def cf_summary(explanation: DataFrame) -> DataFrame:
     """A5+A6 — keep attr-sets at the max PSS, then drop any set that
     strictly contains another surviving set (cf_summary,
@@ -537,11 +582,19 @@ def cf_summary(explanation: DataFrame) -> DataFrame:
     The reference's minimality test operates on characters of the
     "a/b"-joined strings (a latent bug); we implement the documented
     intent — attr-*set* containment.
+
+    The max-PSS cut is an unpartitioned window over the (tiny, cached,
+    <= 2^attrs-row) explanation frame rather than a separate
+    ``agg(max).collect()`` — same filter, one fewer driver action per
+    explain (r12).
     """
-    top = tmpcache.track(explanation.filter(
-        F.col("pss")
-        == explanation.agg(F.max("pss").alias("m")).select("m").collect()[0]["m"]
-    ).cache())
+    w_all = Window.partitionBy()
+    top = tmpcache.track(
+        explanation.withColumn("_mx", F.max("pss").over(w_all))
+        .filter(F.col("pss") == F.col("_mx"))
+        .drop("_mx")
+        .cache()
+    )
     a = top.select(
         F.col("alteredAttributes").alias("a_set"), F.col("pss"), F.col("attr_set")
     )
